@@ -1,0 +1,76 @@
+"""URL scalar functions (SURVEY.md §2.8).
+
+Covers the reference's string/URL helpers re-expressed on stdlib ``urllib``:
+
+- ``get_url_query_value`` — ``StringExtension.GetUrlKeyValue``
+  (``HZ.Crawler.Common/Extensions/StringExtension.cs:11-24``).
+- ``is_link`` / ``is_phone_num`` / ``is_email`` — regex predicates
+  (``StringExtension.cs:26-42``).
+- ``to_url_encode`` — ``StringExtension.ToUrlEncode`` (``:44-70``).
+- ``url_join`` — relative→absolute redirect resolution
+  (``HZ.Crawler.Common/Net/HttpResponse.cs:39-66``).
+- ``normalize_url`` — new design: the canonical frontier key feeding the
+  URL-seen set (north rule), so equality is well-defined across rounds.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlsplit, urlunsplit
+
+_LINK_RE = re.compile(r"^https?://[^\s]+$", re.I)
+_EMAIL_RE = re.compile(r"^[\w.+-]+@[\w-]+(\.[\w-]+)+$")
+_PHONE_RE = re.compile(r"^1[3-9]\d{9}$")  # CN mobile, mirroring the reference's intent
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def normalize_url(url: str) -> str:
+    """Canonical form: lowercase scheme/host, drop default port and fragment,
+    sort query params, collapse empty path to '/'. The frontier/seen-set key."""
+    s = urlsplit(url.strip())
+    scheme = s.scheme.lower()
+    host = s.hostname.lower() if s.hostname else ""
+    port = s.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = s.path or "/"
+    query = urlencode(sorted(parse_qsl(s.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_join(base: str, link: str) -> str:
+    """Resolve a possibly-relative link against its page URL."""
+    return urljoin(base, link)
+
+
+def url_host(url: str) -> str:
+    h = urlsplit(url).hostname
+    return h.lower() if h else ""
+
+
+def get_url_query_value(url: str, key: str) -> str:
+    """Value of ``key`` in the URL query string, '' when absent."""
+    for k, v in parse_qsl(urlsplit(url).query, keep_blank_values=True):
+        if k == key:
+            return v
+    return ""
+
+
+def is_link(s: str) -> bool:
+    return bool(_LINK_RE.match(s or ""))
+
+
+def is_email(s: str) -> bool:
+    return bool(_EMAIL_RE.match(s or ""))
+
+
+def is_phone_num(s: str) -> bool:
+    return bool(_PHONE_RE.match(s or ""))
+
+
+def to_url_encode(s: str) -> str:
+    """Percent-encode with uppercase hex (the reference upper-cases hex digits,
+    StringExtension.cs:55-61); ``quote`` already emits uppercase hex."""
+    return quote(s, safe="")

@@ -1,0 +1,352 @@
+"""Deterministic synthetic site graph — the pure-function stand-in for HTTP.
+
+FIXTURES.md T2: one row per fetchable URL; payloads are JSON bodies shaped like
+the reference API (category tree = nested ``Data[].Subs[]``; product list =
+``{Data:{Rows:[{ID}...], PageIndex, Total}}`` with page-size pagination —
+``ShiweijiaProduct.cs:105-127``; detail = wide product JSON —
+``ShiweijiaProduct.cs:226-265``); image URLs serve deterministically generated
+encoded image bytes. Everything derives from ``(spec, seed)`` — no wall clock,
+no network — so golden outputs are bit-stable across runs and parallelism
+levels (north-rule reproducibility).
+
+Ground-truth companions (expected seen-set, expected images table) are computed
+at generation time for the crawl tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from crawler_ray import schemas
+from crawler_ray.functions.codecs import encode_image
+from crawler_ray.functions.hashing import md5_hex, phash64
+
+_BRANDS = ["凤凰", "Acme", "Nordia", "蓝天", "Vela"]
+_STYLES = ["modern", "古典", "minimal", "rustic"]
+_CATS = ["sofa", "桌子", "lamp", "chair", "柜子", "bed"]
+
+
+@dataclass(frozen=True)
+class SiteSpec:
+    """Scale knobs (FIXTURES.md §'Scale knobs')."""
+
+    n_hosts: int = 6
+    products_per_host: int = 30  # mean; Zipf-skewed across hosts
+    categories_per_host: int = 6  # tree nodes per host (1 root + children)
+    page_size: int = 10  # product-list pagination quantum
+    imgs_per_product: int = 2
+    dup_image_frac: float = 0.25  # fraction of image links pointing at shared content
+    error_frac: float = 0.05  # fraction of detail pages served as 500
+    robots_frac: float = 0.15  # fraction of image URLs under a disallowed path
+    zipf_s: float = 1.1
+    seed: int = 42
+    img_sizes: tuple[int, ...] = (16, 32)
+
+
+def _rng_for(spec_seed: int, *parts) -> np.random.Generator:
+    key = hashlib.blake2b(
+        ("|".join(str(p) for p in parts)).encode(), digest_size=8,
+        key=spec_seed.to_bytes(8, "big", signed=False),
+    ).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(key, "big")))
+
+
+def make_pixels(content_id: str, w: int, h: int, seed: int) -> np.ndarray:
+    """Deterministic RGB image: smooth gradient + seeded noise (so lossy
+    round-trips are non-trivial but PSNR-comparable)."""
+    rng = _rng_for(seed, "px", content_id)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    noise = rng.integers(-20, 21, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+@dataclass
+class Site:
+    pages: pa.Table
+    seeds: pa.Table
+    robots: dict[str, list[str]]  # host -> disallowed path prefixes
+    expected_seen: set[str] = field(default_factory=set)  # reachable, robots-allowed
+    expected_images: pa.Table | None = None  # ground-truth images table (deduped)
+
+
+def _caption(content_id: str, seed: int) -> str:
+    rng = _rng_for(seed, "cap", content_id)
+    return (
+        f"{_BRANDS[rng.integers(len(_BRANDS))]} "
+        f"{_CATS[rng.integers(len(_CATS))]} "
+        f"{_STYLES[rng.integers(len(_STYLES))]} #{int(rng.integers(1000))}"
+    )
+
+
+def generate_site(spec: SiteSpec) -> Site:
+    """Build the full synthetic site graph + ground truth. Pure function of spec."""
+    pages: dict[str, dict] = {}
+    seeds = []
+    robots: dict[str, list[str]] = {}
+    image_meta: dict[str, dict] = {}  # url -> {content_id, fmt, w, h, caption, blocked}
+
+    # Zipf-skewed products per host (hot-host skew, FIXTURES.md T2)
+    weights = np.array([1.0 / (i + 1) ** spec.zipf_s for i in range(spec.n_hosts)])
+    weights = weights / weights.sum() * spec.products_per_host * spec.n_hosts
+    rng_global = _rng_for(spec.seed, "global")
+
+    def add_image_link(host: str, content_id: str, blocked_ok: bool) -> str:
+        """Register (or reuse) an image URL for a content id on a host."""
+        r = _rng_for(spec.seed, "img", host, content_id)
+        fmt = ["png", "jpeg", "webp"][int(r.integers(3))]
+        w = int(spec.img_sizes[int(r.integers(len(spec.img_sizes)))])
+        h = int(spec.img_sizes[int(r.integers(len(spec.img_sizes)))])
+        blocked = blocked_ok and float(r.random()) < spec.robots_frac
+        prefix = "private" if blocked else "img"
+        url = f"https://{host}/{prefix}/{content_id}.{fmt}"
+        if url not in image_meta:
+            image_meta[url] = {
+                "content_id": content_id,
+                "fmt": fmt,
+                "w": w,
+                "h": h,
+                "caption": _caption(content_id, spec.seed),
+                "blocked": blocked,
+            }
+        return url
+
+    next_pid = 1000
+    for hi in range(spec.n_hosts):
+        host = f"shop{hi}.example.com"
+        robots[host] = ["/private/"]
+        n_products = max(3, int(round(weights[hi])))
+        n_cats = spec.categories_per_host
+
+        # --- category tree (1 root, n_cats-1 leaves), EP2 semantics
+        root_id = hi * 1000 + 1
+        leaf_ids = [root_id + 1 + j for j in range(n_cats - 1)]
+        cat_img_urls = {}
+        for cid in [root_id] + leaf_ids:
+            cat_img_urls[cid] = add_image_link(host, f"cat{cid}", blocked_ok=True)
+        subs = [
+            {
+                "ID": cid,
+                "Name": f"{_CATS[j % len(_CATS)]}-{cid}",
+                "Img": cat_img_urls[cid],
+                "ImgCaption": image_meta[cat_img_urls[cid]]["caption"],
+                "Subs": [],
+            }
+            for j, cid in enumerate(leaf_ids)
+        ]
+        tree = [
+            {
+                "ID": root_id,
+                "Name": f"root-{root_id}",
+                "Img": cat_img_urls[root_id],
+                "ImgCaption": image_meta[cat_img_urls[root_id]]["caption"],
+                "Subs": subs,
+            }
+        ]
+        cat_url = f"https://{host}/api/GetAllCategories"
+
+        # --- products assigned round-robin to leaves
+        prods_by_leaf: dict[int, list[int]] = {c: [] for c in leaf_ids}
+        product_info: dict[int, dict] = {}
+        for k in range(n_products):
+            pid = next_pid
+            next_pid += 1
+            leaf = leaf_ids[k % len(leaf_ids)]
+            prods_by_leaf[leaf].append(pid)
+            r = _rng_for(spec.seed, "prod", pid)
+            img_urls = []
+            for ii in range(spec.imgs_per_product):
+                if float(r.random()) < spec.dup_image_frac:
+                    content = f"shared{int(r.integers(20))}"  # shared across products
+                else:
+                    content = f"p{pid}_{ii}"
+                img_urls.append(add_image_link(host, content, blocked_ok=True))
+            product_info[pid] = {
+                "ID": pid,
+                "ProductCode": f"P{pid:06d}",
+                "BrandId": int(r.integers(len(_BRANDS))),
+                "Brand": _BRANDS[int(r.integers(len(_BRANDS)))],
+                "Name": f"prod-{pid}",
+                "Pattern": _STYLES[int(r.integers(len(_STYLES)))],
+                "SalePrice": round(float(r.uniform(10, 5000)), 2),
+                "CostPrice": round(float(r.uniform(10, 5000)), 2),
+                "CustomPrice": round(float(r.uniform(10, 5000)), 2),
+                "CategoryId": leaf,
+                "MainImgs": img_urls[:1],
+                "DetailImgs": img_urls[1:],
+                "ImgCaptions": {u: image_meta[u]["caption"] for u in img_urls},
+                "Paras": [
+                    {
+                        "Paras": [
+                            {"Name": "材质", "ParameterValue": _STYLES[int(r.integers(len(_STYLES)))]},
+                            {"Name": "color", "ParameterValue": ""},  # dropped by M5
+                        ]
+                    }
+                ],
+                "_error": float(r.random()) < spec.error_frac,
+            }
+
+        # --- category tree page
+        cat_out = [
+            f"https://{host}/api/QueryProductByPage?Category={c}&PageIndex=1"
+            for c in leaf_ids
+        ] + [cat_img_urls[c] for c in [root_id] + leaf_ids]
+        pages[cat_url] = {
+            "url": cat_url,
+            "host": host,
+            "kind": "category_tree",
+            "payload": json.dumps({"IsSuccess": True, "Data": tree}).encode(),
+            "out_links": cat_out,
+            "status": 200,
+        }
+        seeds.append(
+            {"url": cat_url, "seed_id": f"seed-{hi}", "priority": float(spec.n_hosts - hi)}
+        )
+
+        # --- product list pages (paginated, M3/A2 semantics)
+        for leaf, pids in prods_by_leaf.items():
+            total = len(pids)
+            n_pages = max(1, math.ceil(total / spec.page_size))
+            for pg in range(1, n_pages + 1):
+                url = f"https://{host}/api/QueryProductByPage?Category={leaf}&PageIndex={pg}"
+                chunk = pids[(pg - 1) * spec.page_size : pg * spec.page_size]
+                out = [
+                    f"https://{host}/api/GetProductDetail?ProductId={p}" for p in chunk
+                ]
+                if pg < n_pages:
+                    out.append(
+                        f"https://{host}/api/QueryProductByPage?Category={leaf}&PageIndex={pg + 1}"
+                    )
+                pages[url] = {
+                    "url": url,
+                    "host": host,
+                    "kind": "product_list",
+                    "payload": json.dumps(
+                        {
+                            "IsSuccess": True,
+                            "Data": {
+                                "Rows": [{"ID": p} for p in chunk],
+                                "PageIndex": pg,
+                                "Total": total,
+                                "PageSize": spec.page_size,
+                            },
+                        }
+                    ).encode(),
+                    "out_links": out,
+                    "status": 200,
+                }
+
+        # --- product detail pages
+        for pid, info in product_info.items():
+            url = f"https://{host}/api/GetProductDetail?ProductId={pid}"
+            err = info.pop("_error")
+            out = info["MainImgs"] + info["DetailImgs"]
+            pages[url] = {
+                "url": url,
+                "host": host,
+                "kind": "product_detail",
+                "payload": (
+                    b"server error"
+                    if err
+                    else json.dumps({"IsSuccess": True, "Data": info}).encode()
+                ),
+                "out_links": [] if err else out,
+                "status": 500 if err else 200,
+            }
+
+    # --- image pages (encode content once per (host, content, fmt, size))
+    encoded_cache: dict[str, bytes] = {}
+    for url, meta in image_meta.items():
+        key = f"{meta['content_id']}|{meta['fmt']}|{meta['w']}x{meta['h']}"
+        if key not in encoded_cache:
+            px = make_pixels(meta["content_id"], meta["w"], meta["h"], spec.seed)
+            encoded_cache[key] = encode_image(px, meta["fmt"])
+        pages[url] = {
+            "url": url,
+            "host": url.split("/")[2],
+            "kind": "image",
+            "payload": encoded_cache[key],
+            "out_links": [],
+            "status": 200,
+        }
+
+    # --- ground truth: BFS reachability from seeds, robots-filtered
+    blocked = {u for u, m in image_meta.items() if m["blocked"]}
+    expected_seen: set[str] = set()
+    frontier = [s["url"] for s in seeds]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            if u in expected_seen or u in blocked:
+                continue
+            expected_seen.add(u)
+            if u in pages and pages[u]["status"] == 200:
+                nxt.extend(pages[u]["out_links"])
+        frontier = nxt
+
+    # ground-truth images table: reachable, allowed image URLs, deduped by bytes
+    img_rows: dict[str, dict] = {}
+    for url in sorted(expected_seen):
+        m = image_meta.get(url)
+        if m is None or url in blocked:
+            continue
+        data = pages[url]["payload"]
+        iid = md5_hex(data)
+        if iid not in img_rows:
+            # phash is over the *decoded* pixels (input_hint: the hash a
+            # consumer of the table can recompute from `bytes`)
+            from crawler_ray.functions.codecs import decode_image
+
+            px = decode_image(data, m["fmt"])
+            img_rows[iid] = {
+                "image_id": iid,
+                "bytes": data,
+                "w": m["w"],
+                "h": m["h"],
+                "fmt": m["fmt"],
+                "caption": m["caption"],
+                "phash": phash64(px),
+            }
+    expected_images = pa.Table.from_pylist(
+        sorted(img_rows.values(), key=lambda r: r["image_id"]), schema=schemas.IMAGES
+    )
+
+    pages_table = pa.Table.from_pylist(list(pages.values()), schema=schemas.PAGES)
+    seeds_table = pa.Table.from_pylist(seeds, schema=schemas.SEEDS)
+    return Site(
+        pages=pages_table,
+        seeds=seeds_table,
+        robots=robots,
+        expected_seen=expected_seen,
+        expected_images=expected_images,
+    )
+
+
+def write_site(site: Site, out_dir: str) -> None:
+    """Persist the fixture for multi-process use (bench, resume tests)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(site.pages, f"{out_dir}/pages.parquet")
+    pq.write_table(site.seeds, f"{out_dir}/seeds.parquet")
+    with open(f"{out_dir}/robots.json", "w") as f:
+        json.dump(site.robots, f)
+    with open(f"{out_dir}/expected_seen.json", "w") as f:
+        json.dump(sorted(site.expected_seen), f)
+    if site.expected_images is not None:
+        pq.write_table(site.expected_images, f"{out_dir}/expected_images.parquet")

@@ -1,0 +1,97 @@
+"""Fetch stage — an actor-pool ``map_batches`` callable.
+
+Replaces the reference's per-thread fetch loop (``BaseSpider.TaskRun``,
+``BaseSpider.cs:115-141``) and its ``IHttpClient`` session state
+(``HZ.Crawler.Common/Net/HttpClient.cs:36-172``; session/nonce actor state =
+ST3/ST4 in SURVEY.md §2.3). In this sandbox the network is replaced by the
+deterministic synthetic site graph (a pure function of the pages table), but
+the stage shape is the real one: a callable CLASS whose ``__init__`` builds
+per-actor session state once, and whose ``__call__`` maps a frontier batch to
+a fetched batch (zero-copy Arrow in/out).
+
+On a real cluster ``__init__`` would create an HTTP session and the page
+lookup would be a network round-trip; here it loads the host-pruned pages
+index. Retries: transient failures get Ray task retries for free; semantic
+failures (HTTP 5xx) are retried ``max_attempts`` times with the attempt count
+recorded, then dead-lettered (``BaseSpider.cs:235-247`` retry budget).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+class SyntheticFetchStage:
+    """``frontier batch -> fetched batch`` (adds status/payload/attempt).
+
+    Parameters
+    ----------
+    pages_path: parquet file of the synthetic site (schemas.PAGES).
+    politeness: optional list of PolitenessActor handles (sharded by host
+        hash); the stage requests per-host token grants for bookkeeping —
+        the per-round per-host quota in the frontier selection is the
+        primary politeness budget (see pipelines/crawl.py).
+    max_attempts: semantic-retry budget for 5xx pages.
+    """
+
+    def __init__(self, pages, politeness=None, max_attempts: int = 3):
+        if isinstance(pages, str):
+            t = pq.read_table(pages, columns=["url", "payload", "status"])
+        else:  # ray.ObjectRef of the pruned pages table — ray.put once on the
+            # driver, shared via the object store (broadcast, not re-shipped
+            # per batch)
+            import ray
+
+            t = ray.get(pages)
+        self.index: dict[str, tuple[bytes, int]] = {
+            u: (p, s)
+            for u, p, s in zip(
+                t["url"].to_pylist(), t["payload"].to_pylist(), t["status"].to_pylist()
+            )
+        }
+        self.politeness = politeness or []
+        self.max_attempts = max_attempts
+
+    def _grant_tokens(self, hosts: list[str]) -> None:
+        if not self.politeness:
+            return
+        from collections import Counter
+
+        import ray
+
+        per_host = Counter(hosts)
+        futs = [
+            self.politeness[hash(h) % len(self.politeness)].grant.remote(h, n)
+            for h, n in per_host.items()
+        ]
+        ray.get(futs)  # bookkeeping grant (quota already enforced per round)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        self._grant_tokens(batch["host"].to_pylist())
+        payloads, statuses, attempts = [], [], []
+        for u in urls:
+            payload, status = self.index.get(u, (b"", 404))
+            # deterministic synthetic site: a 5xx is persistent, so the retry
+            # budget is exhausted; record the attempts actually spent.
+            attempts.append(self.max_attempts if status >= 500 else 1)
+            payloads.append(payload)
+            statuses.append(status)
+        return (
+            batch.append_column("status", pa.array(statuses, pa.int32()))
+            .append_column("payload", pa.array(payloads, pa.binary()))
+            .append_column("attempt", pa.array(attempts, pa.int32()))
+        )
+
+
+def split_fetched(fetched: pa.Table) -> dict[str, pa.Table]:
+    """Partition one fetched batch into ok-pages / ok-images / dead letters."""
+    ok = pc.equal(fetched["status"], 200)
+    is_img = pc.equal(fetched["kind"], "image")
+    return {
+        "pages": fetched.filter(pc.and_(ok, pc.invert(is_img))),
+        "images": fetched.filter(pc.and_(ok, is_img)),
+        "dead": fetched.filter(pc.invert(ok)),
+    }

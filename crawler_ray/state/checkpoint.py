@@ -1,0 +1,108 @@
+"""Per-round crawl checkpointing (north rule: resumable from checkpoint with
+per-partition lineage + metrics).
+
+The reference has no mid-run checkpoint — only a coarse DB warm start
+(``BaseSpider.cs:50-59``) and a 3-second background img flush
+(``BaseSpider.cs:146-162``). Here every BFS round writes an atomic checkpoint:
+
+    <dir>/round_0007/
+        frontier.parquet      # frontier entering the NEXT round
+        seen_shards.pkl       # cuckoo+bloom+exact snapshot per shard
+        metrics.json          # cumulative per-host/kind counters
+        lineage.json          # round -> input/output row counts + upstream round
+        _COMPLETE             # written last; resume only trusts complete rounds
+
+Output images land in ``<dir>/images/round_%04d/`` — one directory per round
+partition, so a resumed run skips rounds that already produced output
+(resumable-output layout, SURVEY.md §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class CheckpointManager:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round_{rnd:04d}")
+
+    def images_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, "images", f"round_{rnd:04d}")
+
+    def save_round(
+        self,
+        rnd: int,
+        frontier: pa.Table,
+        seen_snapshot: list[dict],
+        metrics: dict,
+        lineage: dict,
+    ) -> None:
+        """Atomic: stage into a tmp dir, fsync-rename, then mark complete."""
+        final = self._round_dir(rnd)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pq.write_table(frontier, os.path.join(tmp, "frontier.parquet"))
+        with open(os.path.join(tmp, "seen_shards.pkl"), "wb") as f:
+            pickle.dump(seen_snapshot, f, protocol=pickle.HIGHEST_PROTOCOL)
+        with open(os.path.join(tmp, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        with open(os.path.join(tmp, "lineage.json"), "w") as f:
+            json.dump(lineage, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(os.path.join(final, "_COMPLETE"), "w") as f:
+            f.write("ok")
+
+    def latest_complete_round(self) -> int | None:
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for name in os.listdir(self.root):
+            if name.startswith("round_") and not name.endswith(".tmp"):
+                d = os.path.join(self.root, name)
+                if os.path.exists(os.path.join(d, "_COMPLETE")):
+                    rnd = int(name.split("_")[1])
+                    best = rnd if best is None else max(best, rnd)
+        return best
+
+    def load_round(self, rnd: int) -> tuple[pa.Table, list[dict], dict, dict]:
+        d = self._round_dir(rnd)
+        frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
+        with open(os.path.join(d, "seen_shards.pkl"), "rb") as f:
+            snaps = pickle.load(f)
+        with open(os.path.join(d, "metrics.json")) as f:
+            metrics = json.load(f)
+        with open(os.path.join(d, "lineage.json")) as f:
+            lineage = json.load(f)
+        return frontier, snaps, metrics, lineage
+
+    def prune_rounds_after(self, rnd: int) -> None:
+        """Drop incomplete/later state so a resume is consistent (images from
+        later rounds are removed — they were produced after the checkpoint)."""
+        for name in list(os.listdir(self.root)):
+            if name.startswith("round_"):
+                try:
+                    r = int(name.split("_")[1].split(".")[0])
+                except ValueError:
+                    continue
+                if r > rnd or name.endswith(".tmp"):
+                    shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        img_root = os.path.join(self.root, "images")
+        if os.path.isdir(img_root):
+            for name in list(os.listdir(img_root)):
+                r = int(name.split("_")[1])
+                if r > rnd:
+                    shutil.rmtree(os.path.join(img_root, name), ignore_errors=True)
