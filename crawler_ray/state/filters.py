@@ -63,7 +63,8 @@ class BloomFilter:
         f = cls.__new__(cls)
         f.capacity = int(st["capacity"])
         f.k = int(st["k"])
-        f.bits = np.asarray(st["bits"], dtype=np.uint8)
+        # copy: state may arrive zero-copy (read-only) from the object store
+        f.bits = np.array(st["bits"], dtype=np.uint8, copy=True)
         f.n_bits = f.bits.size * 8
         return f
 
@@ -76,11 +77,19 @@ class CuckooFilter:
     SLOTS = 4
     MAX_KICKS = 500
 
+    STASH_LIMIT = 128
+
     def __init__(self, capacity: int, seed: int = 7):
         n_buckets = 1 << int(np.ceil(np.log2(max(16, capacity // self.SLOTS))))
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)  # 0 = empty
         self.count = 0
+        # victim stash: a failed kick loop leaves one *previously inserted*
+        # fingerprint homeless; dropping it would create a false negative.
+        # Stash (bucket_idx, fp) pairs; `full` flips when the stash saturates
+        # and the caller should route new keys to its bloom fallback.
+        self.stash: list[tuple[int, int]] = []
+        self.full = False
         self._rng = np.random.Generator(np.random.PCG64(seed))
 
     # fingerprint: low 16 bits of the key hash, avoiding 0 (the empty marker)
@@ -103,9 +112,11 @@ class CuckooFilter:
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._i2(i1, fp)
-        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
-        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
-        return hit1 | hit2
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        for idx_s, fp_s in self.stash:
+            hit |= (fp == fp_s) & ((i1 == idx_s) | (i2 == idx_s))
+        return hit
 
     def _insert_one(self, i1: int, i2: int, fp: int) -> bool:
         for idx in (i1, i2):
@@ -128,15 +139,25 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
-        return False  # table full — caller falls back (bloom overflow)
+        # homeless VICTIM fingerprint (already-inserted key) → stash it so no
+        # false negative appears; the new key was placed during the kicks.
+        self.stash.append((idx, fp))
+        self.count += 1
+        if len(self.stash) >= self.STASH_LIMIT:
+            self.full = True
+        return True
 
     def add(self, h: np.ndarray) -> np.ndarray:
-        """Insert each key; returns a bool mask of successful inserts."""
+        """Insert each key; returns a bool mask of successful inserts. Keys
+        rejected (``full`` filter) must go to the caller's fallback filter."""
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._i2(i1, fp)
         ok = np.empty(h.size, dtype=bool)
         for j in range(h.size):
+            if self.full:
+                ok[j] = False
+                continue
             ok[j] = self._insert_one(int(i1[j]), int(i2[j]), int(fp[j]))
         return ok
 
@@ -145,13 +166,21 @@ class CuckooFilter:
         return self.count / (self.n_buckets * self.SLOTS)
 
     def state(self) -> dict:
-        return {"table": self.table, "count": self.count}
+        return {
+            "table": self.table,
+            "count": self.count,
+            "stash": list(self.stash),
+            "full": self.full,
+        }
 
     @classmethod
     def from_state(cls, st: dict, seed: int = 7) -> "CuckooFilter":
         f = cls.__new__(cls)
-        f.table = np.asarray(st["table"], dtype=np.uint16)
+        # copy: state may arrive zero-copy (read-only) from the object store
+        f.table = np.array(st["table"], dtype=np.uint16, copy=True)
         f.n_buckets = f.table.shape[0]
         f.count = int(st["count"])
+        f.stash = [tuple(x) for x in st.get("stash", [])]
+        f.full = bool(st.get("full", False))
         f._rng = np.random.Generator(np.random.PCG64(seed))
         return f

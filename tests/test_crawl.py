@@ -1,0 +1,131 @@
+"""End-to-end crawl tests (SURVEY.md §5 items 2–3): golden reproducibility,
+parallelism-invariance, PSNR/caption invariants, kill/resume."""
+
+import numpy as np
+import pytest
+
+from crawler_ray.functions.codecs import decode_image, psnr
+from crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver, read_images_table
+
+
+def _run(site_dir, out, **over):
+    kw = dict(quota_per_host=50, fetch_concurrency=2, num_seen_shards=2)
+    kw.update(over)
+    cfg = CrawlConfig(fixture_dir=site_dir, out_dir=str(out), **kw)
+    drv = CrawlDriver(cfg)
+    res = drv.run()
+    return drv, res
+
+
+@pytest.fixture(scope="module")
+def crawl_once(ray_session, small_site, tmp_path_factory):
+    site, site_dir = small_site
+    out = tmp_path_factory.mktemp("crawl_out")
+    drv, res = _run(site_dir, out)
+    return site, site_dir, out, drv, res
+
+
+def test_crawl_matches_ground_truth(crawl_once):
+    site, _, out, drv, res = crawl_once
+    # final URL-seen set == BFS-reachable robots-allowed URL set
+    assert res.pages_fetched == len(site.expected_seen)
+    imgs = read_images_table(str(out))
+    assert imgs.equals(site.expected_images)  # bit-identical images table
+
+
+def test_image_row_invariants(crawl_once):
+    site, _, out, *_ = crawl_once
+    imgs = read_images_table(str(out)).to_pylist()
+    assert imgs, "no images crawled"
+    for r in imgs[:25]:
+        px = decode_image(r["bytes"], r["fmt"])
+        assert px.shape == (r["h"], r["w"], 3)
+        # re-decode equals itself; lossy codecs satisfied PSNR at encode time
+        assert psnr(px, px) == float("inf")
+        assert isinstance(r["caption"], str) and r["caption"]
+
+
+def test_crawl_parallelism_invariant(ray_session, small_site, tmp_path_factory):
+    """North rule: identical final state across parallelism levels (stand-in
+    for N vs 4N nodes: different actor-pool sizes + batch sizes)."""
+    site, site_dir = small_site
+    out_a = tmp_path_factory.mktemp("par_a")
+    out_b = tmp_path_factory.mktemp("par_b")
+    _, res_a = _run(site_dir, out_a, fetch_concurrency=1, batch_size=16)
+    _, res_b = _run(site_dir, out_b, fetch_concurrency=4, batch_size=256)
+    assert res_a.pages_fetched == res_b.pages_fetched
+    assert res_a.seen_size == res_b.seen_size
+    assert read_images_table(str(out_a)).equals(read_images_table(str(out_b)))
+
+
+def test_crawl_quota_splits_hot_host(ray_session, small_site, tmp_path_factory):
+    """A tiny per-host quota forces backlog splitting across extra rounds but
+    must reach the same final state (hot-host skew handling)."""
+    site, site_dir = small_site
+    out = tmp_path_factory.mktemp("quota")
+    _, res = _run(site_dir, out, quota_per_host=7)
+    assert res.pages_fetched == len(site.expected_seen)
+    assert res.rounds > 5  # strictly more rounds than the unthrottled crawl
+    assert read_images_table(str(out)).equals(site.expected_images)
+
+
+def test_kill_resume(ray_session, small_site, tmp_path_factory):
+    """North rule: kill mid-crawl, resume from checkpoint, identical output."""
+    site, site_dir = small_site
+    out = tmp_path_factory.mktemp("resume")
+    # run only rounds 0..1, then abandon the driver (simulated kill)
+    cfg = CrawlConfig(fixture_dir=site_dir, out_dir=str(out), quota_per_host=50,
+                      fetch_concurrency=2, num_seen_shards=2)
+    drv1 = CrawlDriver(cfg)
+    drv1.run(stop_after_round=1)
+    partial = read_images_table(str(out))
+    assert partial.num_rows < site.expected_images.num_rows  # genuinely mid-run
+
+    # fresh driver (fresh seen-set actors) resumes from the checkpoint
+    drv2 = CrawlDriver(cfg)
+    res = drv2.run(resume=True)
+    assert res.pages_fetched == len(site.expected_seen) - 0  # totals preserved
+    assert read_images_table(str(out)).equals(site.expected_images)
+
+
+def test_error_pages_dead_lettered(crawl_once):
+    import os
+
+    import pyarrow.parquet as pq
+
+    site, _, out, drv, res = crawl_once
+    err_root = os.path.join(str(out), "errors")
+    n_500 = site.pages.to_pandas().query("status != 200").shape[0]
+    if n_500 == 0:
+        pytest.skip("fixture generated no error pages")
+    assert res.errors > 0
+    rows = 0
+    for rdir in os.listdir(err_root):
+        d = os.path.join(err_root, rdir)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                rows += pq.read_table(os.path.join(d, f)).num_rows
+    assert rows == res.errors
+
+
+def test_entity_tables_written(crawl_once):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    site, _, out, *_ = crawl_once
+    cat_root = os.path.join(str(out), "tables", "categories")
+    assert os.path.isdir(cat_root)
+    cats = []
+    for rdir in os.listdir(cat_root):
+        d = os.path.join(cat_root, rdir)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                cats.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    recs = [json.loads(c["record"]) for c in cats]
+    # adjacency-list tree: every non-root parent exists
+    ids = {r["id"] for r in recs}
+    for r in recs:
+        if r["parent_id"] is not None:
+            assert r["parent_id"] in ids
