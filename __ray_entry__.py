@@ -1,44 +1,103 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native crawl/data-processing engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
+frontier rounds → images table per the BASELINE.json input_hint schema).
+``queries()`` exposes every SQL-expressible operator over the driver testdata
+(one entry per SURVEY.md §2 family + the training-data suite); each has a
+DuckDB twin in ``oracle_sql()`` unless genuinely non-SQL-expressible (those
+get the weaker rows-only check: minhash/simhash LSH, lang-id heuristic,
+composite quality score, ANN probing).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller BEFORE this module is used; nothing in
+crawler_ray calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl on a small deterministic synthetic site; returns the
+    crawled images Dataset (input_hint schema, ≥0 rows, stable schema).
+    Also touches /root/testdata/sf0.001 via one representative query so the
+    smoke check exercises the testdata path too."""
+    from crawler_ray.pipelines import relational
+    from crawler_ray.pipelines.flagship import run_flagship
+
+    # smoke a testdata pipeline (result intentionally small)
+    relational.q1_pricing_summary("/root/testdata/sf0.001").to_pandas()
+    images, _driver = run_flagship()
+    return images
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.pipelines import dedup, events, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.4-2.7 semantics over TPC-H-ish tables)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "market_segment_revenue": relational.market_segment_revenue,
+        "customers_per_region": relational.customers_per_region,
+        "supplier_nation_balance": relational.supplier_nation_balance,
+        "top_customers": relational.top_customers,
+        "top3_orders_per_customer": relational.top3_orders_per_customer,
+        "filtered_revenue_rows": relational.filtered_revenue_rows,
+        "first_order_per_customer": relational.first_order_per_customer,
+        "part_type_stats": relational.part_type_stats,
+        "distinct_event_types": relational.distinct_event_types,
+        # stream-shaped (events)
+        "hourly_event_counts": events.hourly_event_counts,
+        "sessionize": events.sessionize,
+        "props_key_sum": events.props_key_sum,
+        # text analysis (documents)
+        "doc_token_stats": textops.doc_token_stats,
+        "doc_punct_ratio": textops.doc_punct_ratio,
+        "lang_distribution": textops.lang_distribution,
+        "doc_lang_id": textops.doc_lang_id,  # rows-only (heuristic)
+        "doc_quality_scores": textops.doc_quality_scores,  # rows-only
+        "doc_fingerprints": textops.doc_fingerprints,  # rows-only
+        # dedup suite (documents)
+        "exact_dedup_docs": dedup.exact_dedup_docs,
+        "token_set_dup_pairs": dedup.token_set_dup_pairs,
+        "minhash_near_dup_pairs": dedup.minhash_near_dup_pairs,  # rows-only
+        "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only
+        # similarity search (embeddings)
+        "knn_brute_force": similarity.knn_brute_force,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ray.pipelines import dedup, events, relational, similarity, textops
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "market_segment_revenue": relational.MARKET_SEGMENT_SQL,
+        "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
+        "supplier_nation_balance": relational.SUPPLIER_NATION_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "top3_orders_per_customer": relational.TOP3_PER_CUSTOMER_SQL,
+        "filtered_revenue_rows": relational.FILTERED_REVENUE_SQL,
+        "first_order_per_customer": relational.FIRST_ORDER_SQL,
+        "part_type_stats": relational.PART_TYPE_SQL,
+        "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
+        "hourly_event_counts": events.HOURLY_EVENTS_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "props_key_sum": events.PROPS_KEY_SUM_SQL,
+        "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
+        "doc_punct_ratio": textops.DOC_PUNCT_RATIO_SQL,
+        "lang_distribution": textops.LANG_DISTRIBUTION_SQL,
+        "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
+        "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
+        "knn_brute_force": similarity.knn_sql(),
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
+    }

@@ -1,0 +1,359 @@
+"""Deduplication suite over the ``documents`` table: exact, token-set exact,
+MinHash+LSH near-dup, SimHash near-dup.
+
+Generalizes the reference's exact-dedup family (SURVEY.md §2.7: image-MD5 J4,
+category-id J5, visited-variant J6 — all hash-key first-wins) to the
+content-dedup operators a training-data pipeline needs. The scalable shapes:
+
+- exact dedup        = hash-partition on content hash + per-group first
+- token-set dedup    = same, on a canonicalized token-set hash
+- MinHash+LSH        = shingle→minhash per batch (actor pool) → explode to
+                       (band, band_hash, doc) rows → groupby band bucket →
+                       candidate pairs → exact-Jaccard verify
+- SimHash            = 64-bit signature → band by 16-bit quarters → candidate
+                       pairs → Hamming verify
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (md5 of text)
+
+
+def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """One representative (min doc_id) per distinct text + copy count."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def hash_batch(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: feeds the dedup groupby shuffle
+        return pa.table(
+            {
+                "text_md5": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+                    pa.string(),
+                ),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    return hashed.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS rep_doc_id,
+       COUNT(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-set-identical pairs (word-level Jaccard == 1.0; integer-exact oracle)
+
+
+def token_set_dup_pairs(sf_dir: str) -> rd.Dataset:
+    """Pairs of docs with IDENTICAL distinct-token sets (Jaccard exactly 1):
+    canonical token-set hash → hash-partition → within-group pairs. Avoids
+    the all-pairs token join the naive SQL oracle does."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def key_batch(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["text"].map(
+            lambda t: hashlib.md5(
+                "\x00".join(sorted(set(t.split()))).encode("utf-8")
+            ).hexdigest()
+        )
+        return pa.table(
+            {"set_key": pa.array(list(keys), pa.string()),
+             "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    keyed = ds.map_batches(key_batch, batch_format="pandas")
+    return keyed.groupby("set_key").map_groups(pairs, batch_format="pandas")
+
+
+TOKEN_SET_DUP_SQL = r"""
+WITH dtok AS (
+    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM dtok a JOIN dtok b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE c = ca.n AND c = cb.n
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (char n-gram shingles)
+
+_N_PERM = 128
+_N_BANDS = 16  # 8 rows per band → LSH s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71
+
+
+def _perm_params(seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # odd multipliers → multiply-add over Z/2^64 (wraparound) is a bijection;
+    # fully vectorizable in uint64, unlike Mersenne-prime modular arithmetic
+    a = rng.integers(1, 1 << 63, size=_N_PERM, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=_N_PERM, dtype=np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """doc → 128-perm MinHash over char n-gram shingles → one row per band:
+    (band_id, band_hash, doc_id). Stateful setup (perm params, regex) once
+    per actor."""
+
+    def __init__(self, ngram: int = 3, seed: int = 13):
+        self.ngram = ngram
+        self.a, self.b = _perm_params(seed)
+
+    def _signature(self, text: str) -> np.ndarray:
+        from crawler_ray.functions.text import char_ngrams
+
+        shingles = char_ngrams(text, self.ngram)
+        if not shingles:
+            return np.zeros(_N_PERM, dtype=np.uint64)
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                for s in shingles
+            ),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        # one (m × 128) vectorized multiply-add in Z/2^64, min over shingles
+        with np.errstate(over="ignore"):
+            vals = h[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows_per_band = _N_PERM // _N_BANDS
+        out_doc, out_bucket = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = self._signature(text)
+            for band in range(_N_BANDS):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                # single composite bucket key (band prefix + band hash):
+                # single-key groupby shuffles are much cheaper than multi-key
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_doc.append(doc_id)
+                out_bucket.append(f"{band:02d}:{bh}")
+        # Arrow out: these rows feed a groupby shuffle, and sort-shuffles
+        # over Arrow blocks are ~10x faster than over pandas blocks
+        return pa.table(
+            {"bucket": pa.array(out_bucket, pa.string()),
+             "doc_id": pa.array(np.array(out_doc, dtype=np.int64), pa.int64())}
+        )
+
+
+class JaccardVerifier:
+    """Exact n-gram Jaccard over candidate pairs; texts come from a broadcast
+    doc_id→text map (``ray.put`` once). At corpus scales where the text map
+    can't broadcast, replace with a hash-partitioned join on doc_id carrying
+    the (small) shingle signatures instead of raw text."""
+
+    def __init__(self, texts_ref, ngram: int, threshold: float):
+        self.texts: dict = ray.get(texts_ref)
+        self.ngram = ngram
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.functions.text import char_ngrams, jaccard
+
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        cache: dict[int, set] = {}
+
+        def sh(d):
+            if d not in cache:
+                cache[d] = char_ngrams(self.texts[d], self.ngram)
+            return cache[d]
+
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            j = jaccard(sh(int(a)), sh(int(b)))
+            if j >= self.threshold:
+                out["doc_a"].append(int(a))
+                out["doc_b"].append(int(b))
+                out["jaccard"].append(round(j, 6))
+        return pd.DataFrame(
+            {"doc_a": np.array(out["doc_a"], dtype=np.int64),
+             "doc_b": np.array(out["doc_b"], dtype=np.int64),
+             "jaccard": np.array(out["jaccard"], dtype=np.float64)}
+        )
+
+
+def minhash_near_dup_pairs(
+    sf_dir: str, ngram: int = 3, threshold: float = 0.8
+) -> rd.Dataset:
+    """MinHash→LSH candidate generation → exact-Jaccard verification.
+    Rows-only driver check (LSH is probabilistic; recall vs brute force is
+    asserted in tests/test_dedup.py on a corpus with planted near-dups)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    banded = docs.map_batches(
+        MinHashStage,
+        fn_constructor_args=(ngram,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    candidates = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands: single packed int64 key (assumes
+    # doc_id < 2^31; use a string "a:b" key for wider id spaces). Arrow out —
+    # this feeds the pair-dedup shuffle.
+    packed = candidates.map_batches(
+        lambda t: t.append_column(
+            "pair",
+            pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
+        ),
+        batch_format="pyarrow",
+    )
+    uniq = (
+        packed.groupby("pair")
+        .aggregate(Min("doc_a", alias_name="doc_a"), Min("doc_b", alias_name="doc_b"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+    return uniq.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(texts_ref, ngram, threshold),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+
+
+class SimHashStage:
+    def __init__(self):
+        from crawler_ray.functions.hashing import simhash64
+        from crawler_ray.functions.text import TOKEN_RE
+
+        self.simhash = simhash64
+        self.token_re = TOKEN_RE
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = df["text"].map(
+            lambda t: self.simhash(self.token_re.findall(t.lower()))
+        ).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sigs})
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """SimHash banding: 4×16-bit quarters — two signatures within Hamming
+    distance ≤ 4-1 share at least one exact quarter (pigeonhole) → groupby
+    quarter values → verify Hamming. Rows-only driver check."""
+    from crawler_ray.functions.hashing import hamming64_batch
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = docs.map_batches(
+        SimHashStage, batch_format="pandas", concurrency=(1, 4), num_cpus=1
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["simhash"].to_numpy().astype(np.uint64)
+        parts = []
+        for q in range(4):
+            quarter = ((s >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+            # single int64 bucket key: band in the high bits, quarter value low
+            parts.append(pd.DataFrame({
+                "bucket": (np.int64(q) << np.int64(16)) | quarter,
+                "doc_id": df["doc_id"].to_numpy(),
+                "simhash": df["simhash"].to_numpy(),
+            }))
+        # Arrow out: feeds the bucket groupby shuffle
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "sh_a": pd.Series([], dtype="int64"),
+                                 "sh_b": pd.Series([], dtype="int64")})
+        a, b = np.triu_indices(n, k=1)
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy()
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b], "sh_a": sh[a], "sh_b": sh[b]})
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+    cands = (
+        exploded.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "pair",
+                pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pair")
+        .aggregate(
+            Min("doc_a", alias_name="doc_a"),
+            Min("doc_b", alias_name="doc_b"),
+            Min("sh_a", alias_name="sh_a"),  # identical across bands per pair
+            Min("sh_b", alias_name="sh_b"),
+        )
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        d = hamming64_batch(df["sh_a"].to_numpy(), df["sh_b"].to_numpy())
+        out = df.assign(hamming=d.astype("int64"))
+        out = out[out["hamming"] <= max_hamming]
+        return out[["doc_a", "doc_b", "hamming"]]
+
+    return cands.map_batches(verify, batch_format="pandas")

@@ -1,0 +1,166 @@
+"""Stream-shaped pipelines over the ``events`` table.
+
+Ray Data is a batch engine; the reference is batch too (SURVEY.md §2.9), so
+windows are expressed over the event log as an ordered, partitioned table:
+tumbling windows = groupby a bucketed time key; session windows = per-user
+``map_groups`` over ts-sorted groups (the ordering assumption — events of one
+user fit one group — is the documented partitioning contract).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def hourly_event_counts(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per event type. The hour key is computed
+    vectorized per batch; the groupby shuffles one row per (hour, type,
+    batch) after the in-batch pre-aggregation."""
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        out = (
+            df.assign(hour=hour)
+            .groupby(["hour", "event_type"], sort=True)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        # single composite shuffle key (single-key groupby is much cheaper
+        # than multi-key in this Ray version); split back after the aggregate
+        out["win_key"] = out["hour"] + "|" + out["event_type"]
+        # Arrow out: feeds the window-key groupby shuffle
+        return pa.Table.from_pandas(
+            out[["win_key", "n_events", "sum_value"]], preserve_index=False
+        )
+
+    partial = ds.map_batches(bucket, batch_format="pandas")
+    agg = partial.groupby("win_key").aggregate(
+        Sum("n_events", alias_name="n_events_f"),
+        Sum("sum_value", alias_name="sum_value_f"),
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["win_key"].str.split("|", expand=True, regex=False)
+        return pd.DataFrame(
+            {
+                "hour": parts[0],
+                "event_type": parts[1],
+                "n_events": df["n_events_f"].astype("int64"),
+                "sum_value": df["sum_value_f"].round(2),
+            }
+        )
+
+    return agg.map_batches(split, batch_format="pandas")
+
+
+HOURLY_EVENTS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows: per-user, a new session starts when the gap since the
+    previous event exceeds ``gap_minutes``. Partitioning contract: one user's
+    events co-locate in one group (hash-partition by user_id)."""
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(brk)
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                sum_value=("value", "sum"),
+                session_start=("ts", "min"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        out["session_start_epoch"] = (
+            out["session_start"].astype("datetime64[ns]").astype("int64") // 10**9
+        )
+        return out[["user_id", "session_id", "n_events", "sum_value", "session_start_epoch"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       epoch(MIN(ts))::BIGINT AS session_start_epoch
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def props_key_sum(sf_dir: str) -> rd.Dataset:
+    """JSON property extraction (the reference's tolerant ``TryGetProperty``
+    parsing, ``ShiweijiaProduct.cs:249-263``) + grouped sum."""
+    ds = _read_events(sf_dir, ["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["props"].map(lambda s: json.loads(s).get("k", 0) if s else 0)
+        out = (
+            df.assign(k=ks.astype("int64"))
+            .groupby("event_type", sort=True)["k"]
+            .sum()
+            .reset_index(name="k_sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(extract, batch_format="pandas")
+    return (
+        partial.groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="k_sum"))
+        .map_batches(
+            lambda df: df.assign(k_sum=df["k_sum"].astype("int64")),
+            batch_format="pandas",
+        )
+    )
+
+
+PROPS_KEY_SUM_SQL = """
+SELECT event_type,
+       SUM(json_extract_string(props, '$.k')::BIGINT) AS k_sum
+FROM events
+GROUP BY event_type
+"""

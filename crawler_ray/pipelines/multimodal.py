@@ -1,0 +1,151 @@
+"""Multimodal-column stages: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The engine's own image path (stages/images.py) uses the real PNG codec and
+deterministic lossy stand-ins. The stages here are the GENERIC plumbing a
+training-data pipeline needs over arbitrary media blobs:
+
+- ``ImageResizeStage`` — decode → resize → re-encode (REAL for the formats
+  codecs.py supports; nearest-neighbour resample).
+- ``AudioFeatureStage`` / ``VideoFrameSampleStage`` — the Ray-side plumbing
+  (schema, batch sizing, actor signature, output layout) is real and tested;
+  the codec call is a clearly-marked stub (``NotImplementedError`` for real
+  media bytes; a deterministic fake path for fixture payloads) because this
+  container ships no audio/video libraries. Swap ``_decode_audio`` /
+  ``_decode_video`` for soundfile / PyAV on a real cluster.
+
+All stages take/return Arrow batches (``batch_format='pyarrow'``) and are
+meant for SMALL ``batch_size`` — rows carry media payloads (SURVEY.md §7.5
+wide-binary-row guidance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from crawler_ray.functions.codecs import decode_image, encode_image, sniff_fmt
+
+# deterministic fake containers for tests (no media libs in this sandbox)
+FAKE_AUDIO_MAGIC = b"FAUD"  # FAKE header: FAUD + u32 n_samples + u16 rate/100
+FAKE_VIDEO_MAGIC = b"FVID"  # FAKE header: FVID + u16 n_frames + u8 w + u8 h
+
+
+def make_fake_audio(n_samples: int, rate: int, seed: int = 0) -> bytes:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    samples = (rng.standard_normal(n_samples) * 1000).astype(np.int16)
+    return FAKE_AUDIO_MAGIC + struct.pack(">IH", n_samples, rate // 100) + samples.tobytes()
+
+
+def make_fake_video(n_frames: int, w: int, h: int, seed: int = 0) -> bytes:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    frames = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+    return FAKE_VIDEO_MAGIC + struct.pack(">HBB", n_frames, w, h) + frames.tobytes()
+
+
+def _decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """STUB: real audio decode needs soundfile/ffmpeg (absent here). The
+    deterministic fake container keeps the pipeline testable end-to-end."""
+    if data[:4] == FAKE_AUDIO_MAGIC:
+        n, rate100 = struct.unpack(">IH", data[4:10])
+        samples = np.frombuffer(data[10 : 10 + 2 * n], dtype=np.int16)
+        return samples, rate100 * 100
+    raise NotImplementedError(
+        "real audio decoding requires soundfile/ffmpeg — not available in this "
+        "environment; only the deterministic FAUD fixture container is supported"
+    )
+
+
+def _decode_video(data: bytes) -> np.ndarray:
+    """STUB: real video decode needs PyAV/ffmpeg (absent here)."""
+    if data[:4] == FAKE_VIDEO_MAGIC:
+        n, w, h = struct.unpack(">HBB", data[4:8])
+        return np.frombuffer(data[8 : 8 + n * h * w * 3], dtype=np.uint8).reshape(
+            n, h, w, 3
+        )
+    raise NotImplementedError(
+        "real video decoding requires PyAV/ffmpeg — not available in this "
+        "environment; only the deterministic FVID fixture container is supported"
+    )
+
+
+def _resize_nn(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
+    xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
+    return px[np.ix_(ys, xs)]
+
+
+class ImageResizeStage:
+    """bytes → decode → resize to (target_w, target_h) → re-encode.
+    Real end-to-end for png/jpeg/webp stand-ins."""
+
+    def __init__(self, target_w: int = 16, target_h: int = 16):
+        self.tw = target_w
+        self.th = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, out_w, out_h = [], [], []
+        for data in batch["bytes"].to_pylist():
+            fmt = sniff_fmt(data)
+            px = decode_image(data, fmt)
+            rs = _resize_nn(px, self.tw, self.th)
+            out_bytes.append(encode_image(np.ascontiguousarray(rs), fmt))
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        return (
+            batch.drop_columns([c for c in ("bytes", "w", "h") if c in batch.column_names])
+            .append_column("bytes", pa.array(out_bytes, pa.binary()))
+            .append_column("w", pa.array(out_w, pa.int32()))
+            .append_column("h", pa.array(out_h, pa.int32()))
+        )
+
+
+class AudioFeatureStage:
+    """audio bytes → (duration_sec, rms, sample_rate). Decode is the stub;
+    the feature math, schema and batch plumbing are real."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, rate = [], [], []
+        for data in batch["audio"].to_pylist():
+            samples, sr = _decode_audio(data)
+            dur.append(round(len(samples) / sr, 4))
+            rms.append(round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 4))
+            rate.append(sr)
+        return (
+            batch.drop_columns(["audio"])
+            .append_column("duration_sec", pa.array(dur, pa.float64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("sample_rate", pa.array(rate, pa.int32()))
+        )
+
+
+class VideoFrameSampleStage:
+    """video bytes → every k-th frame re-encoded as PNG rows (flat_map-shaped:
+    one input row → n output rows)."""
+
+    def __init__(self, every_k: int = 2):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, frames_idx, frame_bytes = [], [], []
+        ids = (
+            batch["video_id"].to_pylist()
+            if "video_id" in batch.column_names
+            else [hashlib.md5(b).hexdigest() for b in batch["video"].to_pylist()]
+        )
+        for vid, data in zip(ids, batch["video"].to_pylist()):
+            frames = _decode_video(data)
+            for i in range(0, len(frames), self.k):
+                vids.append(vid)
+                frames_idx.append(i)
+                frame_bytes.append(encode_image(np.ascontiguousarray(frames[i]), "png"))
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(frames_idx, pa.int32()),
+                "frame_png": pa.array(frame_bytes, pa.binary()),
+            }
+        )

@@ -1,0 +1,344 @@
+"""Generic relational operators over the driver testdata (TPC-H-ish tables).
+
+These re-express the reference's joins / aggregations / sorts / dedup
+(SURVEY.md §2.4–§2.7: brand broadcast-lookup J1/J2, grouped counts A1,
+first-match limits O4, exact dedup J5) as reusable Ray Data pipelines, each
+with a DuckDB oracle in ``__ray_entry__.oracle_sql``. Conventions:
+
+- column pruning at ``read_parquet`` (only needed columns leave storage),
+- vectorized pyarrow/pandas kernels inside ``map_batches`` (no row loops),
+- small-side joins are broadcast (``ray.put`` once, merged per batch inside
+  an actor-pool stage) — no shuffle,
+- aggregates are named identically to the oracle SQL aliases,
+- floats that cross the hash-compare boundary are rounded in BOTH engines.
+
+None of these functions calls ``ray.init`` (driver contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+class BroadcastJoiner:
+    """Map-side hash join against a broadcast small table (J1/J2 pattern:
+    the reference probes in-memory brand/category bags,
+    ``ShiweijiaProduct.cs:228-240,395-396``). ``ray.put`` the small side once;
+    each actor fetches it in ``__init__`` — never re-shipped per batch."""
+
+    def __init__(self, small_ref, on: str | list[str], how: str = "inner"):
+        self.small: pd.DataFrame = ray.get(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        # Arrow out: broadcast-join results usually feed a groupby shuffle,
+        # and sort-shuffles over Arrow blocks are much faster than pandas
+        return pa.Table.from_pandas(
+            batch.merge(self.small, on=self.on, how=self.how), preserve_index=False
+        )
+
+
+def _bjoin(ds: rd.Dataset, small: pd.DataFrame, on, how="inner", concurrency=(1, 4)):
+    ref = ray.put(small)
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_args=(ref, on, how),
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (filter → computed cols → grouped aggregate)
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """Grouped aggregate with pre-computed measure columns; the groupby is the
+    only shuffle and runs over 6 groups of partial aggregates."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def measures(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(measures, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
+        for c in ("avg_qty", "avg_disc"):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 4))
+        return t
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)      AS avg_qty,
+       ROUND(AVG(l_discount), 4)      AS avg_disc,
+       COUNT(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast joins (dimension lookups)
+
+
+def market_segment_revenue(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer (broadcast) → revenue per market segment (A1-style
+    grouped report joined to names)."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    )  # small dimension side — materializing it is the point of a broadcast join
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = _bjoin(orders, cust.rename(columns={"c_custkey": "o_custkey"}), "o_custkey")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+MARKET_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def customers_per_region(sf_dir: str) -> rd.Dataset:
+    """customer ⋈ nation ⋈ region (two chained broadcast joins, J2's
+    child→parent two-hop lookup) → counts per region name."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = _bjoin(cust, dim, "c_nationkey")
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    joined = _bjoin(
+        supp, nation.rename(columns={"n_nationkey": "s_nationkey"}), "s_nationkey"
+    )
+    agg = joined.groupby("n_name").aggregate(
+        Sum("s_acctbal", alias_name="total_balance"),
+        Count(alias_name="n_suppliers"),
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_balance"),
+            "total_balance",
+            pc.round(t["total_balance"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SUPPLIER_NATION_SQL = """
+SELECT n_name,
+       ROUND(SUM(s_acctbal), 2) AS total_balance,
+       COUNT(*)                 AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / per-group top-k
+
+
+def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Global top-k by balance (O1-style priority ordering). ``sort`` is a
+    shuffle; at scale prefer per-block top-k partials then a tiny final sort —
+    at dimension-table size the direct sort is fine."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(k)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10
+"""
+
+
+def top3_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Per-group top-k (O4 first-match generalized): hash-partition by
+    customer, per-group sort + head(3). No global sort."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.assign(rn=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+TOP3_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# filters / projections / dedup
+
+
+def filtered_revenue_rows(sf_dir: str) -> rd.Dataset:
+    """Predicate + computed projection, fully vectorized (M1/M12 pattern)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_discount"], 0.05),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+        )
+        t = t.filter(keep)
+        rev = pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])), 2
+        )
+        return t.select(["l_orderkey", "l_linenumber"]).append_column("revenue", rev)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FILTERED_REVENUE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def first_order_per_customer(sf_dir: str) -> rd.Dataset:
+    """Exact dedup-by-key keeping the earliest row (J5 exists-check /
+    first-wins semantics): hash-partition by key + per-group first."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort").head(1)
+
+    out = ds.groupby("o_custkey").map_groups(first, batch_format="pandas")
+    return out.map_batches(
+        lambda df: df.assign(
+            first_order_epoch=(
+                df["o_orderdate"].astype("datetime64[ns]").astype("int64") // 10**9
+            ).astype("int64")
+        ).drop(columns=["o_orderdate"]),
+        batch_format="pandas",
+    )
+
+
+FIRST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS first_order_epoch
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) = 1
+"""
+
+
+def part_type_stats(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+    agg = ds.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+        Min("p_size", alias_name="min_size"),
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("avg_price"), "avg_price", pc.round(t["avg_price"], 4)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PART_TYPE_SQL = """
+SELECT p_type, COUNT(*) AS n_parts,
+       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       MAX(p_size) AS max_size, MIN(p_size) AS min_size
+FROM part
+GROUP BY p_type
+"""
+
+
+def distinct_event_types(sf_dir: str) -> rd.Dataset:
+    """``unique`` re-expressed as pre-aggregated distinct: per-batch distinct
+    (combiner) → tiny groupby — the full shuffle only ever sees one row per
+    (batch, value)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    partial = ds.map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("event_type").aggregate(Count(alias_name="_n")).select_columns(
+        ["event_type"]
+    )
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"

@@ -1,0 +1,181 @@
+"""Text-analysis pipelines over the ``documents`` table (training-data suite:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Stateful kernels (compiled regexes, stopword sets) live in actor-pool
+callables (``__init__`` once per actor); everything per-batch is vectorized
+pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Count, Mean
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+class TokenStats:
+    """Whitespace token counts + char counts (compiled-regex actor state)."""
+
+    def __init__(self):
+        import re
+
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.count(self.token_re).astype("int64"),
+                "text_chars": df["text"].str.len().astype("int64"),
+            }
+        )
+
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenStats, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+    )
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+       length(text)::BIGINT AS text_chars
+FROM documents
+"""
+
+
+class PunctStats:
+    def __init__(self):
+        import re
+
+        self.punct_re = re.compile(r"[^\w\s]", re.ASCII)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_punct = df["text"].str.count(self.punct_re).astype("int64")
+        n_chars = df["text"].str.len().clip(lower=1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "punct_ratio": (n_punct / n_chars).round(6),
+            }
+        )
+
+
+def doc_punct_ratio(sf_dir: str) -> rd.Dataset:
+    """Quality feature with an exact SQL twin (ASCII \\w semantics match
+    RE2's). The composite quality score (functions/text.py) is covered by the
+    rows-only ``doc_quality_scores`` query + unit tests."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PunctStats, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+    )
+
+
+DOC_PUNCT_RATIO_SQL = r"""
+SELECT doc_id,
+       ROUND(length(regexp_replace(text, '[\w\s]', '', 'g'))
+             / GREATEST(length(text), 1)::DOUBLE, 6) AS punct_ratio
+FROM documents
+"""
+
+
+def lang_distribution(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+    return agg.map_batches(
+        lambda df: df.assign(avg_chars=df["avg_chars"].round(4)), batch_format="pandas"
+    )
+
+
+LANG_DISTRIBUTION_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+class LangIdStage:
+    """Marker-word language-ID heuristic (functions/text.py). No SQL oracle —
+    the heuristic is not SQL-expressible; verified by unit test + the
+    rows-only driver check."""
+
+    def __init__(self):
+        from crawler_ray.functions.text import detect_lang
+
+        self.detect = detect_lang
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_true": df["lang"],
+                "lang_pred": df["text"].map(self.detect),
+            }
+        )
+
+
+def doc_lang_id(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangIdStage, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+    )
+
+
+class QualityStage:
+    def __init__(self):
+        from crawler_ray.functions.text import quality_score
+
+        self.score = quality_score
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "quality": np.round(self.score(df["text"]), 6),
+            }
+        )
+
+
+def doc_quality_scores(sf_dir: str) -> rd.Dataset:
+    """Composite quality score (rows-only: heuristic weights aren't SQL)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityStage, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+    )
+
+
+class FingerprintStage:
+    def __init__(self):
+        from crawler_ray.functions.hashing import rolling_fingerprint, simhash64
+        from crawler_ray.functions.text import TOKEN_RE
+
+        self.fp = rolling_fingerprint
+        self.simhash = simhash64
+        self.token_re = TOKEN_RE
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": df["text"]
+                .map(lambda t: self.simhash(self.token_re.findall(t.lower())))
+                .astype("int64"),
+                "fingerprint": df["text"].map(
+                    lambda t: ",".join(str(x) for x in self.fp(t))
+                ),
+            }
+        )
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """SimHash + winnowing fingerprint per doc (rows-only)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FingerprintStage, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+    )

@@ -34,12 +34,14 @@ class _SeenShardImpl:
         self.capacity = capacity
         self.exact: set[int] | None = set() if exact else None
         self.seed = seed
+        self.ops = 0  # total keys processed (the frontier-ops metric)
 
     def check_and_insert(self, h: np.ndarray) -> np.ndarray:
         """Batch membership-test-and-insert. Returns ``seen`` mask (True =
         key was already present before this call, or earlier in this batch —
         first occurrence wins, duplicates within the batch report seen)."""
         h = np.asarray(h, dtype=np.uint64)
+        self.ops += int(h.size)
         seen = self.cuckoo.contains(h)
         if self.bloom_overflow is not None:
             seen |= self.bloom_overflow.contains(h)
@@ -83,6 +85,9 @@ class _SeenShardImpl:
         if self.exact is not None:
             return len(self.exact)
         return self.cuckoo.count
+
+    def total_ops(self) -> int:
+        return self.ops
 
     def snapshot(self) -> dict:
         return {
@@ -128,6 +133,9 @@ class SeenShard:
 
     def size(self) -> int:
         return self.impl.size()
+
+    def total_ops(self) -> int:
+        return self.impl.total_ops()
 
     def snapshot(self) -> dict:
         return self.impl.snapshot()
@@ -190,6 +198,10 @@ class SeenSet:
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def total_ops(self) -> int:
+        """Total keys routed through ``check_and_insert`` (frontier-ops)."""
+        return sum(ray.get([s.total_ops.remote() for s in self.shards]))
 
     def snapshot(self) -> list[dict]:
         return ray.get([s.snapshot.remote() for s in self.shards])

@@ -1,0 +1,121 @@
+"""Similarity search: brute-force correctness + LSH recall + multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    from crawler_ray.pipelines.similarity import knn_brute_force
+
+    got = knn_brute_force(SF_DIR, query_vec_id=0, k=10).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[ids == 0][0]
+    sims = mat @ q
+    mask = ids != 0
+    order = np.lexsort((ids[mask], -sims[mask]))[:10]
+    exp_ids = ids[mask][order]
+    assert list(got["vec_id"]) == list(exp_ids)
+    np.testing.assert_allclose(got["cos_sim"], np.round(sims[mask][order], 4), atol=1e-9)
+
+
+def test_ann_lsh_recall(ray_session):
+    """Multi-probe LSH top-k recall vs brute force ≥ 0.3 on random data (8-bit
+    buckets + Hamming-1 probing scans ~9/256 of the corpus; random embeddings
+    are the adversarial worst case for LSH, so the bar is modest — planted
+    structure in test_embedding_near_dup gets exact results)."""
+    from crawler_ray.pipelines.similarity import ann_lsh_topk, knn_brute_force
+
+    exact = set(knn_brute_force(SF_DIR, query_vec_id=0, k=10).to_pandas()["vec_id"])
+    approx = set(ann_lsh_topk(SF_DIR, query_vec_id=0, k=10).to_pandas()["vec_id"])
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.3
+
+
+def test_embedding_near_dup_planted(ray_session, tmp_path):
+    """Planted duplicates must be found with cos ≈ 1.0 by the blocked
+    all-pairs stage."""
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    mat[100] = mat[0] * 2.0  # same direction → cosine 1
+    mat[101] = mat[1] + rng.standard_normal(16).astype(np.float32) * 0.01
+    rows = [{"vec_id": i, "embedding": mat[i].tolist(), "label": 0} for i in range(200)]
+    pq.write_table(pa.Table.from_pylist(rows), f"{tmp_path}/embeddings.parquet")
+    from crawler_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    got = embedding_near_dup_pairs(str(tmp_path), threshold=0.95).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.codecs import decode_image, encode_image
+    from crawler_ray.pipelines.multimodal import ImageResizeStage
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        fmt = ["png", "jpeg", "webp"][i % 3]
+        rows.append({"image_id": str(i), "bytes": encode_image(px, fmt), "fmt": fmt})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_args=(16, 16),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    px0 = decode_image(out.iloc[0]["bytes"], out.iloc[0]["fmt"])
+    assert px0.shape == (16, 16, 3)
+
+
+def test_audio_video_stages(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import (
+        AudioFeatureStage,
+        VideoFrameSampleStage,
+        make_fake_audio,
+        make_fake_video,
+    )
+
+    audio_rows = [
+        {"clip_id": i, "audio": make_fake_audio(16000 * 2, 16000, seed=i)}
+        for i in range(4)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(audio_rows))
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=2).to_pandas()
+    assert (out["duration_sec"] == 2.0).all()
+    assert (out["sample_rate"] == 16000).all()
+    assert (out["rms"] > 0).all()
+
+    video_rows = [
+        {"video_id": f"v{i}", "video": make_fake_video(6, 8, 8, seed=i)} for i in range(3)
+    ]
+    vds = rd.from_arrow(pa.Table.from_pylist(video_rows))
+    frames = vds.map_batches(
+        VideoFrameSampleStage, fn_constructor_args=(2,), batch_format="pyarrow",
+        batch_size=2,
+    ).to_pandas()
+    assert len(frames) == 3 * 3  # every 2nd of 6 frames
+    assert set(frames["frame_idx"]) == {0, 2, 4}
+
+
+def test_real_media_raises(ray_session):
+    from crawler_ray.pipelines.multimodal import _decode_audio, _decode_video
+
+    with pytest.raises(NotImplementedError):
+        _decode_audio(b"RIFF....WAVE")
+    with pytest.raises(NotImplementedError):
+        _decode_video(b"\x00\x00\x00 ftypmp42")
