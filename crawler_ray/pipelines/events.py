@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from crawler_ray.functions.rounding import round_np
+
 
 def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
@@ -58,7 +60,7 @@ def hourly_event_counts(sf_dir: str) -> rd.Dataset:
                 "hour": parts[0],
                 "event_type": parts[1],
                 "n_events": df["n_events_f"].astype("int64"),
-                "sum_value": df["sum_value_f"].round(2),
+                "sum_value": round_np(df["sum_value_f"], 2),
             }
         )
 
@@ -100,7 +102,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
             )
             .reset_index()
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_np(out["sum_value"], 2)
         out["session_start_epoch"] = (
             out["session_start"].astype("datetime64[ns]").astype("int64") // 10**9
         )
@@ -126,7 +128,7 @@ sessions AS (
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS sum_value,
-       epoch(MIN(ts))::BIGINT AS session_start_epoch
+       (epoch_us(MIN(ts)) // 1000000)::BIGINT AS session_start_epoch
 FROM sessions
 GROUP BY user_id, session_id
 """

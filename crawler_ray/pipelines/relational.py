@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from crawler_ray.functions.rounding import round_pa
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
@@ -91,9 +93,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
     def final(t: pa.Table) -> pa.Table:
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
+            t = t.set_column(t.schema.get_field_index(c), c, round_pa(t[c], 2))
         for c in ("avg_qty", "avg_disc"):
-            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 4))
+            t = t.set_column(t.schema.get_field_index(c), c, round_pa(t[c], 4))
         return t
 
     return agg.map_batches(final, batch_format="pyarrow")
@@ -131,7 +133,7 @@ def market_segment_revenue(sf_dir: str) -> rd.Dataset:
     )
     return agg.map_batches(
         lambda t: t.set_column(
-            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 2)
+            t.schema.get_field_index("revenue"), "revenue", round_pa(t["revenue"], 2)
         ),
         batch_format="pyarrow",
     )
@@ -182,7 +184,7 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
         lambda t: t.set_column(
             t.schema.get_field_index("total_balance"),
             "total_balance",
-            pc.round(t["total_balance"], 2),
+            round_pa(t["total_balance"], 2),
         ),
         batch_format="pyarrow",
     )
@@ -259,7 +261,7 @@ def filtered_revenue_rows(sf_dir: str) -> rd.Dataset:
             pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
         )
         t = t.filter(keep)
-        rev = pc.round(
+        rev = round_pa(
             pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])), 2
         )
         return t.select(["l_orderkey", "l_linenumber"]).append_column("revenue", rev)
@@ -312,7 +314,7 @@ def part_type_stats(sf_dir: str) -> rd.Dataset:
     )
     return agg.map_batches(
         lambda t: t.set_column(
-            t.schema.get_field_index("avg_price"), "avg_price", pc.round(t["avg_price"], 4)
+            t.schema.get_field_index("avg_price"), "avg_price", round_pa(t["avg_price"], 4)
         ),
         batch_format="pyarrow",
     )

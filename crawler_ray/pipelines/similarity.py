@@ -17,6 +17,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from crawler_ray.functions.rounding import round_np
+
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -49,7 +51,7 @@ class CosineTopK:
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "cos_sim": pa.array(np.round(sims[order], 4), pa.float64()),
+                "cos_sim": pa.array(round_np(sims[order], 4), pa.float64()),
             }
         )
 
@@ -105,7 +107,7 @@ class NearDupPairs:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _stack(batch)
         sims = _normalize(mat) @ self.all_mat.T  # (b, N)
-        sims = np.round(sims, 3)
+        sims = round_np(sims.ravel(), 3).reshape(sims.shape)
         bi, ni = np.nonzero(sims >= self.threshold)
         a = ids[bi]
         b = self.all_ids[ni]
@@ -190,7 +192,15 @@ def ann_lsh_topk(
     qsig = 0
     for j in range(n_bits):
         qsig = (qsig << 1) | int((planes[j] @ q) > 0)
-    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_bits)}  # Hamming ≤ 1
+    # multi-probe: the query bucket plus all buckets within Hamming ≤ 2
+    # (for 8-bit signatures that is 37/256 buckets ≈ 14% of the corpus —
+    # still sub-linear, with much better recall than single-bucket probing)
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_bits)}
+    probe |= {
+        qsig ^ (1 << b1) ^ (1 << b2)
+        for b1 in range(n_bits)
+        for b2 in range(b1 + 1, n_bits)
+    }
     probe_arr = pa.array(sorted(probe), pa.int64())
     query_ref = ray.put(q)
 

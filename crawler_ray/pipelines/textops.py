@@ -13,6 +13,8 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
+from crawler_ray.functions.rounding import round_np
+
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
@@ -63,7 +65,7 @@ class PunctStats:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "punct_ratio": (n_punct / n_chars).round(6),
+                "punct_ratio": round_np(n_punct / n_chars, 6),
             }
         )
 
@@ -92,7 +94,7 @@ def lang_distribution(sf_dir: str) -> rd.Dataset:
         Mean("n_chars", alias_name="avg_chars"),
     )
     return agg.map_batches(
-        lambda df: df.assign(avg_chars=df["avg_chars"].round(4)), batch_format="pandas"
+        lambda df: df.assign(avg_chars=round_np(df["avg_chars"], 4)), batch_format="pandas"
     )
 
 

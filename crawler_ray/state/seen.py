@@ -93,6 +93,7 @@ class _SeenShardImpl:
         return {
             "capacity": self.capacity,
             "seed": self.seed,
+            "ops": self.ops,
             "cuckoo": self.cuckoo.state(),
             "bloom": self.bloom_overflow.state() if self.bloom_overflow else None,
             "exact": (
@@ -107,6 +108,7 @@ class _SeenShardImpl:
         obj = cls.__new__(cls)
         obj.capacity = int(st["capacity"])
         obj.seed = int(st["seed"])
+        obj.ops = int(st.get("ops", 0))
         obj.cuckoo = CuckooFilter.from_state(st["cuckoo"], seed=obj.seed)
         obj.bloom_overflow = (
             BloomFilter.from_state(st["bloom"]) if st["bloom"] is not None else None

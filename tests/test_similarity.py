@@ -95,7 +95,9 @@ def test_audio_video_stages(ray_session):
         for i in range(4)
     ]
     ds = rd.from_arrow(pa.Table.from_pylist(audio_rows))
-    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=2).to_pandas()
+    out = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=2, concurrency=(1, 2)
+    ).to_pandas()
     assert (out["duration_sec"] == 2.0).all()
     assert (out["sample_rate"] == 16000).all()
     assert (out["rms"] > 0).all()
@@ -106,7 +108,7 @@ def test_audio_video_stages(ray_session):
     vds = rd.from_arrow(pa.Table.from_pylist(video_rows))
     frames = vds.map_batches(
         VideoFrameSampleStage, fn_constructor_args=(2,), batch_format="pyarrow",
-        batch_size=2,
+        batch_size=2, concurrency=(1, 2),
     ).to_pandas()
     assert len(frames) == 3 * 3  # every 2nd of 6 frames
     assert set(frames["frame_idx"]) == {0, 2, 4}
