@@ -132,14 +132,17 @@ def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token list (signed int64 result)."""
+    """64-bit SimHash over a token list (signed int64 result).
+    Vectorized: hash each token once, then one unpackbits + column sum."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = stable_hash_u64(t)
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
+    hs = np.fromiter(
+        (stable_hash_u64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1)
+    if np.little_endian:  # view() gives little-endian byte order; fix to MSB-first
+        bits = bits.reshape(len(tokens), 8, 8)[:, ::-1, :].reshape(len(tokens), 64)
+    acc = bits.astype(np.int64).sum(axis=0) * 2 - len(tokens)
     v = 0
     for b in acc >= 0:
         v = (v << 1) | int(b)

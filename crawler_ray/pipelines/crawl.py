@@ -192,7 +192,7 @@ class CrawlDriver:
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=cfg.fetch_concurrency,
+                concurrency=(min(2, cfg.fetch_concurrency), cfg.fetch_concurrency),
                 num_cpus=1,
             ).materialize()
 

@@ -181,14 +181,49 @@ class MinHashStage:
         )
 
 
-class JaccardVerifier:
-    """Exact n-gram Jaccard over candidate pairs; texts come from a broadcast
-    doc_id→text map (``ray.put`` once). At corpus scales where the text map
-    can't broadcast, replace with a hash-partitioned join on doc_id carrying
-    the (small) shingle signatures instead of raw text."""
+class MinHashSignatures(MinHashStage):
+    """doc → raw 128-perm signature (one binary cell per doc). Split from
+    the banding so the signatures can ALSO drive the estimate prefilter."""
 
-    def __init__(self, texts_ref, ngram: int, threshold: float):
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        sigs = [self._signature(t).tobytes() for t in df["text"]]
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+             "sig": pa.array(sigs, pa.binary())}
+        )
+
+
+def sig_to_bands(t: pa.Table) -> pa.Table:
+    """Signature rows → (bucket, doc_id) band rows (stateless, Arrow out)."""
+    rows_per_band = _N_PERM // _N_BANDS
+    out_doc, out_bucket = [], []
+    for doc_id, sig in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+        arr = np.frombuffer(sig, dtype=np.uint64)
+        for band in range(_N_BANDS):
+            chunk = arr[band * rows_per_band : (band + 1) * rows_per_band]
+            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            out_doc.append(doc_id)
+            out_bucket.append(f"{band:02d}:{bh}")
+    return pa.table(
+        {"bucket": pa.array(out_bucket, pa.string()),
+         "doc_id": pa.array(np.array(out_doc, dtype=np.int64), pa.int64())}
+    )
+
+
+class JaccardVerifier:
+    """Candidate-pair verification: a vectorized MinHash-estimate prefilter
+    (signature agreement fraction, broadcast signature matrix) drops pairs
+    whose estimated Jaccard is below ``threshold - margin`` (margin = 3σ of
+    the 128-perm estimator), then exact n-gram Jaccard confirms survivors.
+    Texts + signatures come from broadcast maps (``ray.put`` once). At corpus
+    scales where those can't broadcast, carry the signature through the
+    shuffle and hash-partition-join texts on doc_id instead."""
+
+    MARGIN = 0.12  # ~3 * sqrt(j(1-j)/128) at j≈0.8
+
+    def __init__(self, texts_ref, sigs_ref, ngram: int, threshold: float):
         self.texts: dict = ray.get(texts_ref)
+        self.sig_ids, self.sig_mat = ray.get(sigs_ref)  # sorted ids, (n,128)
         self.ngram = ngram
         self.threshold = threshold
 
@@ -196,19 +231,26 @@ class JaccardVerifier:
         from crawler_ray.functions.text import char_ngrams, jaccard
 
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
-        cache: dict[int, set] = {}
+        if len(df):
+            da = df["doc_a"].to_numpy(dtype=np.int64)
+            db = df["doc_b"].to_numpy(dtype=np.int64)
+            ia = np.searchsorted(self.sig_ids, da)
+            ib = np.searchsorted(self.sig_ids, db)
+            est = (self.sig_mat[ia] == self.sig_mat[ib]).mean(axis=1)
+            keep = est >= self.threshold - self.MARGIN
+            cache: dict[int, set] = {}
 
-        def sh(d):
-            if d not in cache:
-                cache[d] = char_ngrams(self.texts[d], self.ngram)
-            return cache[d]
+            def sh(d):
+                if d not in cache:
+                    cache[d] = char_ngrams(self.texts[d], self.ngram)
+                return cache[d]
 
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            j = jaccard(sh(int(a)), sh(int(b)))
-            if j >= self.threshold:
-                out["doc_a"].append(int(a))
-                out["doc_b"].append(int(b))
-                out["jaccard"].append(round(j, 6))
+            for a, b in zip(da[keep].tolist(), db[keep].tolist()):
+                j = jaccard(sh(a), sh(b))
+                if j >= self.threshold:
+                    out["doc_a"].append(a)
+                    out["doc_b"].append(b)
+                    out["jaccard"].append(round(j, 6))
         return pd.DataFrame(
             {"doc_a": np.array(out["doc_a"], dtype=np.int64),
              "doc_b": np.array(out["doc_b"], dtype=np.int64),
@@ -223,13 +265,16 @@ def minhash_near_dup_pairs(
     Rows-only driver check (LSH is probabilistic; recall vs brute force is
     asserted in tests/test_dedup.py on a corpus with planted near-dups)."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    banded = docs.map_batches(
-        MinHashStage,
+    # signatures once (actor pool), reused by BOTH the banding path and the
+    # estimate prefilter in verification
+    sigs = docs.map_batches(
+        MinHashSignatures,
         fn_constructor_args=(ngram,),
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, 8),
         num_cpus=1,
-    )
+    ).materialize()
+    banded = sigs.map_batches(sig_to_bands, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -239,32 +284,68 @@ def minhash_near_dup_pairs(
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
-    candidates = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # dedupe pairs found in multiple bands: single packed int64 key (assumes
-    # doc_id < 2^31; use a string "a:b" key for wider id spaces). Arrow out —
-    # this feeds the pair-dedup shuffle.
-    packed = candidates.map_batches(
+    # prune singleton buckets before the per-group UDF: the Count aggregate
+    # is a cheap single-key Arrow shuffle (one row per bucket); only buckets
+    # with >=2 members (rare) reach map_groups. At 5k docs this cuts the
+    # map_groups group count from ~80k to a few hundred.
+    hot = (
+        banded.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda t: t.filter(pa.compute.greater_equal(t["n"], 2)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_ref = ray.put(set(hot["bucket"]))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = pa.array([b in keys for b in t["bucket"].to_pylist()])
+        return t.filter(mask)
+
+    candidates = (
+        banded.map_batches(only_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+    # broadcast the signature matrix for the estimate prefilter (n × 1 KiB)
+    sig_t = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
+    sig_ids = sig_t["doc_id"].to_numpy()
+    order = np.argsort(sig_ids)
+    sig_mat = np.stack(
+        [np.frombuffer(s, dtype=np.uint64) for s in sig_t["sig"].to_pylist()]
+    )[order]
+    sigs_ref = ray.put((sig_ids[order], sig_mat))
+    # verify BEFORE pair-dedup: verification is idempotent and candidate
+    # duplication across bands is small (~10%), so shuffling the huge
+    # candidate set just to dedupe it costs far more than re-verifying;
+    # the tiny verified output is deduped instead (packed int64 pair key,
+    # assumes doc_id < 2^31).
+    verified = candidates.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(texts_ref, sigs_ref, ngram, threshold),
+        batch_format="pandas",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    packed = verified.map_batches(
         lambda t: t.append_column(
             "pair",
             pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
         ),
         batch_format="pyarrow",
     )
-    uniq = (
+    return (
         packed.groupby("pair")
-        .aggregate(Min("doc_a", alias_name="doc_a"), Min("doc_b", alias_name="doc_b"))
-        .select_columns(["doc_a", "doc_b"])
-    )
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
-    return uniq.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(texts_ref, ngram, threshold),
-        batch_format="pandas",
-        concurrency=(1, 4),
-        num_cpus=1,
+        .aggregate(
+            Min("doc_a", alias_name="doc_a"),
+            Min("doc_b", alias_name="doc_b"),
+            Min("jaccard", alias_name="jaccard"),
+        )
+        .select_columns(["doc_a", "doc_b", "jaccard"])
     )
 
 
@@ -327,23 +408,29 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b], "sh_a": sh[a], "sh_b": sh[b]})
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
-    cands = (
+    # prune singleton buckets (same pattern as MinHash-LSH above)
+    hot = (
         exploded.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda t: t.filter(pa.compute.greater_equal(t["n"], 2)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_ref = ray.put(set(hot["bucket"]))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        import numpy as _np
+
+        mask = pa.array(_np.isin(t["bucket"].to_numpy(), list(keys)))
+        return t.filter(mask)
+
+    # candidate pairs carry both signatures; Hamming-verify per batch first
+    # (vectorized + idempotent), dedup only the small verified output
+    cands = (
+        exploded.map_batches(only_hot, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(
-            lambda t: t.append_column(
-                "pair",
-                pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("pair")
-        .aggregate(
-            Min("doc_a", alias_name="doc_a"),
-            Min("doc_b", alias_name="doc_b"),
-            Min("sh_a", alias_name="sh_a"),  # identical across bands per pair
-            Min("sh_b", alias_name="sh_b"),
-        )
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -356,4 +443,20 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         out = out[out["hamming"] <= max_hamming]
         return out[["doc_a", "doc_b", "hamming"]]
 
-    return cands.map_batches(verify, batch_format="pandas")
+    verified = cands.map_batches(verify, batch_format="pandas")
+    packed = verified.map_batches(
+        lambda t: t.append_column(
+            "pair",
+            pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        packed.groupby("pair")
+        .aggregate(
+            Min("doc_a", alias_name="doc_a"),
+            Min("doc_b", alias_name="doc_b"),
+            Min("hamming", alias_name="hamming"),
+        )
+        .select_columns(["doc_a", "doc_b", "hamming"])
+    )

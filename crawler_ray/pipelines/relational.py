@@ -67,8 +67,10 @@ def _bjoin(ds: rd.Dataset, small: pd.DataFrame, on, how="inner", concurrency=(1,
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
-    """Grouped aggregate with pre-computed measure columns; the groupby is the
-    only shuffle and runs over 6 groups of partial aggregates."""
+    """Pre-aggregated grouped summary: partial sums per (flag, status) are
+    computed INSIDE each batch (combiner), so the shuffle moves one row per
+    group per batch instead of every lineitem row — the pattern that keeps
+    this a non-event at 100 TB. Means decompose into sum/count partials."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -76,29 +78,60 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
          "l_discount", "l_shipdate"],
     )
 
-    def measures(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+        df = pd.DataFrame(
+            {
+                "grp": pc.binary_join_element_wise(
+                    t["l_returnflag"], t["l_linestatus"], "|"
+                ).to_pandas(),
+                "qty": t["l_quantity"].to_numpy(),
+                "price": t["l_extendedprice"].to_numpy(),
+                "disc": t["l_discount"].to_numpy(),
+                "disc_price": (
+                    t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+                ),
+            }
+        )
+        out = (
+            df.groupby("grp", sort=True)
+            .agg(
+                sum_qty_p=("qty", "sum"),
+                sum_base_price_p=("price", "sum"),
+                sum_disc_price_p=("disc_price", "sum"),
+                sum_disc_p=("disc", "sum"),
+                n=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    ds = ds.map_batches(measures, batch_format="pyarrow")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("grp").aggregate(
+        Sum("sum_qty_p", alias_name="sum_qty"),
+        Sum("sum_base_price_p", alias_name="sum_base_price"),
+        Sum("sum_disc_price_p", alias_name="sum_disc_price"),
+        Sum("sum_disc_p", alias_name="sum_disc"),
+        Sum("n", alias_name="count_order"),
     )
 
-    def final(t: pa.Table) -> pa.Table:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t = t.set_column(t.schema.get_field_index(c), c, round_pa(t[c], 2))
-        for c in ("avg_qty", "avg_disc"):
-            t = t.set_column(t.schema.get_field_index(c), c, round_pa(t[c], 4))
-        return t
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.functions.rounding import round_np
 
-    return agg.map_batches(final, batch_format="pyarrow")
+        parts = df["grp"].str.split("|", expand=True)
+        return pd.DataFrame(
+            {
+                "l_returnflag": parts[0],
+                "l_linestatus": parts[1],
+                "sum_qty": round_np(df["sum_qty"], 2),
+                "sum_base_price": round_np(df["sum_base_price"], 2),
+                "sum_disc_price": round_np(df["sum_disc_price"], 2),
+                "avg_qty": round_np(df["sum_qty"] / df["count_order"], 4),
+                "avg_disc": round_np(df["sum_disc"] / df["count_order"], 4),
+                "count_order": df["count_order"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
 
 
 Q1_SQL = """
