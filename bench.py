@@ -74,7 +74,7 @@ def bench_crawl() -> dict:
     from crawler_ray.sources.synthetic import SiteSpec, generate_site, write_site
 
     spec = SiteSpec(**BENCH_SPEC)
-    fix_dir = f"/tmp/crawler_ray_bench_site_{spec.seed}_{spec.n_hosts}x{spec.products_per_host}"
+    fix_dir = f"/tmp/crawler_ray_bench_site_v2_{spec.seed}_{spec.n_hosts}x{spec.products_per_host}"
     if not os.path.exists(os.path.join(fix_dir, "_DONE")):
         site = generate_site(spec)
         write_site(site, fix_dir)
@@ -112,6 +112,65 @@ def bench_crawl() -> dict:
     }
 
 
+def bench_ingest(n_images: int | None = None, img_size: int | None = None) -> dict:
+    """Image-frontier ingest throughput: one BFS round over a breadth-only
+    frontier of image URLs — fetch (on-demand deterministic synthesis, the
+    network stand-in) → decode → md5 → phash → seen-set dedup → write.
+    This is the breadth-dominated regime the 10^10-URL design point lives in
+    (round-barrier costs amortized away), so it is the scaling headline."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver
+    from crawler_ray.sources.synthetic import generate_image_frontier
+
+    n_images = n_images or int(os.environ.get("GRAFT_INGEST_N", "250000"))
+    img_size = img_size or int(os.environ.get("GRAFT_INGEST_PX", "64"))
+    fix_dir = f"/tmp/crawler_ray_bench_ingest_v2_{n_images}_{img_size}"
+    if not os.path.exists(os.path.join(fix_dir, "_DONE")):
+        os.makedirs(fix_dir, exist_ok=True)
+        seeds = generate_image_frontier(n_images, img_sizes=(img_size,))
+        pq.write_table(seeds, os.path.join(fix_dir, "seeds.parquet"))
+        with open(os.path.join(fix_dir, "robots.json"), "w") as f:
+            f.write("{}")
+        with open(os.path.join(fix_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    # output on tmpfs: the measurement targets compute+shuffle throughput;
+    # this sandbox's single disk (~150 MB/s) would otherwise serialize the
+    # parallel image writes (a real cluster writes to object storage whose
+    # aggregate bandwidth scales with nodes)
+    out_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_dir = f"{out_root}/crawler_ray_bench_ingest_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    fetch_conc = max(2, NUM_CPUS - 2)
+    t0 = time.monotonic()
+    driver = CrawlDriver(
+        CrawlConfig(
+            fixture_dir=fix_dir,
+            out_dir=out_dir,
+            quota_per_host=10**9,
+            fetch_concurrency=fetch_conc,
+            num_seen_shards=max(2, NUM_CPUS // 4),
+            batch_size=2048,
+            synth_images={"seed": 42, "img_sizes": [img_size], "robots_frac": 0.0},
+        )
+    )
+    res = driver.run()
+    elapsed = time.monotonic() - t0
+    frontier_ops = driver.seen.total_ops()
+    out = {
+        "sec": round(elapsed, 2),
+        "rounds": res.rounds,
+        "pages_fetched": res.pages_fetched,
+        "images_written": res.images_written,
+        "pages_per_sec": round(res.pages_fetched / elapsed, 1),
+        "frontier_ops_per_sec": round(frontier_ops / elapsed, 1),
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)  # don't leave GBs on tmpfs
+    return out
+
+
 def bench_queries() -> dict[str, float]:
     import __ray_entry__ as entry_mod
 
@@ -145,18 +204,21 @@ def main() -> dict:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
+    only = os.environ.get("GRAFT_BENCH_ONLY", "")
     t0 = time.monotonic()
-    crawl = bench_crawl()
-    queries = bench_queries()
+    crawl = bench_crawl() if only in ("", "crawl") else None
+    ingest = bench_ingest() if only in ("", "ingest") else None
+    queries = bench_queries() if only == "" else {}
     total = time.monotonic() - t0
     result = {
-        "metric": "crawl+query-suite wall time",
+        "metric": "crawl+ingest+query-suite wall time",
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "crawl": crawl,
+        "ingest": ingest,
     }
     ray.shutdown()
     return result
@@ -164,28 +226,38 @@ def main() -> dict:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="ingest")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    thr_lo = lo["crawl"]["pages_per_sec"]
-    thr_hi = hi["crawl"]["pages_per_sec"]
+    run(8)  # warm the fixture cache + OS page cache (untimed)
+    # 3 trials per level, keep the median (the sandbox host shows 2x
+    # run-to-run variance from neighbors; a single sample is meaningless)
+    def median_run(ncpu: int) -> dict:
+        trials = sorted(
+            (run(ncpu) for _ in range(3)),
+            key=lambda d: d["ingest"]["pages_per_sec"],
+        )
+        return trials[1]
+
+    lo, hi = median_run(8), median_run(32)
+    thr_lo = lo["ingest"]["pages_per_sec"]
+    thr_hi = hi["ingest"]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (32 / 8)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (pages-fetched/s, 8 vs 32 cpus)",
+                "metric": "scaling efficiency (pages-fetched/s, image-frontier ingest, 8 vs 32 cpus)",
                 "num_cpus": [8, 32],
                 "pages_per_sec": [thr_lo, thr_hi],
                 "frontier_ops_per_sec": [
-                    lo["crawl"]["frontier_ops_per_sec"],
-                    hi["crawl"]["frontier_ops_per_sec"],
+                    lo["ingest"]["frontier_ops_per_sec"],
+                    hi["ingest"]["frontier_ops_per_sec"],
                 ],
-                "total_sec": [lo["value"], hi["value"]],
+                "ingest_sec": [lo["ingest"]["sec"], hi["ingest"]["sec"]],
                 "scaling_efficiency": round(eff, 3),
             }
         )

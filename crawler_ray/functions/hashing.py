@@ -47,13 +47,27 @@ def md5_hex_batch(values: list[bytes] | list[str]) -> list[str]:
     return out
 
 
-def md5_u64_batch(values: np.ndarray | list) -> np.ndarray:
-    """First 8 bytes of MD5 as uint64 — shard routing / dedup keys."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        if isinstance(v, str):
-            v = v.encode("utf-8")
-        out[i] = int.from_bytes(hashlib.md5(v).digest()[:8], "big")
+def md5_u64_batch(values: np.ndarray | list, threads: int = 8) -> np.ndarray:
+    """First 8 bytes of MD5 as uint64 — shard routing / dedup keys.
+    hashlib releases the GIL, so large batches hash on a thread pool."""
+    n = len(values)
+    out = np.empty(n, dtype=np.uint64)
+
+    def fill(lo: int, hi: int) -> None:
+        for i in range(lo, hi):
+            v = values[i]
+            if isinstance(v, str):
+                v = v.encode("utf-8")
+            out[i] = int.from_bytes(hashlib.md5(v).digest()[:8], "big")
+
+    if n < 50_000 or threads <= 1:
+        fill(0, n)
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    step = -(-n // threads)
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(lambda k: fill(k * step, min((k + 1) * step, n)), range(threads)))
     return out
 
 

@@ -36,6 +36,10 @@ import json
 import os
 from dataclasses import dataclass, field
 
+import time as _time
+
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -62,6 +66,15 @@ class CrawlConfig:
     image_batch_size: int = 32  # wide binary rows → small batches
     max_rounds: int = 1000
     max_attempts: int = 3
+    # on-demand image synthesis (dict: seed, img_sizes, robots_frac): image
+    # payloads are regenerated inside the fetch actors from the URL alone and
+    # image rows are pruned from the broadcast pages index — the per-actor
+    # state no longer grows with the site (see stages/fetch.py)
+    synth_images: dict | None = None
+    # "tasks": fused stage runs as stateless tasks on pre-started workers
+    # with per-worker stage caching (no per-round actor-pool spin-up);
+    # "actors": classic fixed actor pool (sized by fetch_concurrency)
+    fetch_mode: str = "tasks"
     use_politeness_actors: bool = True
     num_politeness_shards: int = 2
     seed: int = 7
@@ -111,35 +124,46 @@ class CrawlDriver:
         import pyarrow.parquet as pq
 
         seeds = pq.read_table(os.path.join(self.cfg.fixture_dir, "seeds.parquet"))
-        rows = []
-        for r in seeds.to_pylist():
-            u = normalize_url(r["url"])
-            rows.append(
-                {
-                    "url": u,
-                    "host": url_host(u),
-                    "kind": "category_tree",
-                    "depth": 0,
-                    "priority": float(r["priority"]),
-                    "seed_id": r["seed_id"],
-                    "caption": "",
-                }
-            )
-        rows.sort(key=lambda r: (-r["priority"], r["url"]))
-        return pa.Table.from_pylist(rows, schema=schemas.FRONTIER)
+        # vectorized frontier build (seed lists can be large for breadth
+        # workloads): generator URLs are already in normalized form
+        df = seeds.to_pandas()
+        parts = df["url"].str.split("/", n=4, expand=True)
+        host = parts[2].str.lower()
+        is_img = parts[3].isin(["img", "private"]) if 3 in parts else False
+        out = pd.DataFrame(
+            {
+                "url": df["url"],
+                "host": host,
+                # image-URL seeds (breadth/ingest workloads) vs the
+                # category-tree entry points of the BFS site crawl
+                "kind": np.where(is_img, "image", "category_tree"),
+                "depth": np.int32(0),
+                "priority": df["priority"].astype("float64"),
+                "seed_id": df["seed_id"],
+                "caption": "",
+            }
+        ).sort_values(["priority", "url"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schemas.FRONTIER)
 
     def _filter_new(self, candidates: pa.Table) -> pa.Table:
         """Robots filter then seen anti-join (driver-side for the seed round
         and round boundaries; in-pipeline stages do the same per batch)."""
         if candidates.num_rows == 0:
             return candidates
-        robots = RobotsFilterStage(self.robots_txt)
-        seen = SeenFilterStage(self.seen)
-        return seen(robots(candidates))
+        if self.robots_txt:  # fast path: no robots rules → nothing to drop
+            candidates = RobotsFilterStage(self.robots_txt)(candidates)
+        return SeenFilterStage(self.seen)(candidates)
 
     # ------------------------------------------------------------------
     def run(self, resume: bool = False, stop_after_round: int | None = None) -> CrawlResult:
         cfg = self.cfg
+        _dbg = os.environ.get("CRAWLER_RAY_TIMING")
+        _t = _time.monotonic
+
+        def _tick(label, t0):
+            if _dbg:
+                print(f"[crawl-timing] {label}: {_t() - t0:.2f}s", flush=True)
+            return _t()
         start_round = 0
         if resume:
             latest = self.ckpt.latest_complete_round()
@@ -158,43 +182,146 @@ class CrawlDriver:
             totals[key] = int(self.metrics.get("_totals", {}).get(key, 0))
 
         # broadcast the synthetic pages index once (ray.put → read per actor
-        # from the shared object store; never re-shipped per batch)
+        # from the shared object store; never re-shipped per batch). With
+        # on-demand image synthesis the image rows are pruned — the index
+        # holds only the small non-image pages; a frontier-only fixture may
+        # have no pages.parquet at all.
         import pyarrow.parquet as pq
 
-        pages_ref = ray.put(
-            pq.read_table(
-                os.path.join(cfg.fixture_dir, "pages.parquet"),
-                columns=["url", "payload", "status"],
+        pages_path = os.path.join(cfg.fixture_dir, "pages.parquet")
+        if os.path.exists(pages_path):
+            pages_table = pq.read_table(
+                pages_path, columns=["url", "payload", "status", "kind"]
             )
-        )
+            if cfg.synth_images is not None:
+                pages_table = pages_table.filter(
+                    pc.invert(pc.equal(pages_table["kind"], "image"))
+                )
+            pages_ref = ray.put(pages_table.drop_columns(["kind"]))
+        else:
+            pages_ref = None
 
         rnd = start_round
         while rnd < cfg.max_rounds and frontier.num_rows > 0:
+            t0 = _t()
             selected, backlog = split_selected(frontier, cfg.quota_per_host)
             if selected.num_rows == 0:
                 break
-            ds = rd.from_arrow(selected)
+            t0 = _tick("split_selected", t0)
+            # from_arrow yields ONE block per table and map parallelism is
+            # per block — slice the frontier driver-side (zero-copy) so every
+            # fetch worker gets work; no repartition shuffle needed. In task
+            # mode size to the session's CPUs (3 waves for straggler
+            # smoothing); in actor mode to the pool.
+            if cfg.fetch_mode == "tasks":
+                width = int(ray.cluster_resources().get("CPU", cfg.fetch_concurrency))
+                target = width * 3
+            else:
+                target = cfg.fetch_concurrency * 2
+            n_blocks = max(
+                1, min(-(-selected.num_rows // cfg.batch_size), target)
+            )
+            if selected.num_rows >= 50_000:
+                # large frontier: spill to a scratch parquet and read it back
+                # with override_num_blocks — the block split then happens in
+                # PARALLEL read tasks instead of a serial driver loop of
+                # take()+ray.put() (a zero-copy slice would serialize its
+                # full parent buffers, so a copy per block is unavoidable)
+                import tempfile
 
-            # ONE actor-pool execution per round: fused fetch → decode/parse →
-            # robots → seen anti-join (see stages/process.py for the fusion
+                import pyarrow.parquet as pq
+
+                scratch_root = (
+                    "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+                )
+                scratch = os.path.join(
+                    scratch_root, f"crawler_ray_frontier_{os.getpid()}_{rnd}.parquet"
+                )
+                pq.write_table(selected, scratch, compression="none")
+                ds = rd.read_parquet(
+                    scratch, override_num_blocks=n_blocks
+                ).materialize()
+                os.unlink(scratch)
+            else:
+                step = -(-selected.num_rows // n_blocks)
+                # take(), not slice(): a zero-copy slice serializes its FULL
+                # parent buffers on ray.put — every "block" would ship the
+                # whole frontier; take() materializes only the block's rows.
+                ds = rd.from_arrow(
+                    [
+                        selected.take(
+                            np.arange(
+                                i * step, min((i + 1) * step, selected.num_rows)
+                            )
+                        )
+                        for i in range(n_blocks)
+                    ]
+                )
+            t0 = _tick("slice_blocks", t0)
+
+            # ONE fused execution per round: fetch → decode/parse → robots →
+            # seen anti-join (see stages/process.py for the fusion
             # rationale). Branch extraction below is cheap filters over the
             # materialized union-schema result.
-            from crawler_ray.stages.process import CrawlProcessStage
+            from crawler_ray.stages.process import CrawlProcessStage, make_process_fn
 
-            processed = ds.map_batches(
-                CrawlProcessStage,
-                fn_constructor_args=(
-                    pages_ref,
-                    self.politeness,
-                    self.seen,
-                    self.robots_txt,
-                    cfg.max_attempts,
-                ),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=(min(2, cfg.fetch_concurrency), cfg.fetch_concurrency),
-                num_cpus=1,
-            ).materialize()
+            init_args = (
+                pages_ref,
+                self.politeness,
+                self.seen,
+                self.robots_txt,
+                cfg.max_attempts,
+                cfg.synth_images,
+                self.ckpt.images_dir(rnd),  # direct image sink in-stage
+            )
+            if cfg.fetch_mode == "tasks":
+                # stateless tasks on pre-started workers, stage cached per
+                # worker — no per-round actor-pool spin-up (stages/process.py)
+                processed = ds.map_batches(
+                    make_process_fn(ray.put(init_args)),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                ).materialize()
+            else:
+                processed = ds.map_batches(
+                    CrawlProcessStage,
+                    fn_constructor_args=init_args,
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    # fixed-size pool: Ray's autoscaling pool tends to stay at
+                    # its minimum for bursty per-round executions; the input
+                    # is pre-materialized so a fixed pool cannot starve its
+                    # producer
+                    concurrency=cfg.fetch_concurrency,
+                    num_cpus=1,
+                ).materialize()
+            t0 = _tick("process", t0)
+
+            # ONE counting pass over the (image-free, lightweight) control
+            # output decides which branch extractions are needed at all
+            def _count_types(t: pa.Table) -> pa.Table:
+                df = t.select(["row_type", "status"]).to_pandas()
+                g = (
+                    df.groupby("row_type")
+                    .agg(n=("row_type", "size"), s=("status", "sum"))
+                    .reset_index()
+                )
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            cdf = (
+                processed.map_batches(_count_types, batch_format="pyarrow")
+                .to_pandas()
+                .groupby("row_type")[["n", "s"]]
+                .sum()
+            )
+            counts = cdf["n"].to_dict()
+            # images arrive either as per-row markers or per-batch
+            # image_stat summaries (status = rows written in that batch)
+            n_imgs = int(counts.get("image", 0)) + int(
+                cdf["s"].get("image_stat", 0)
+            )
+            n_dead = int(counts.get("error", 0))
+            t0 = _tick("counts", t0)
 
             def _branch(rt: str, columns: list[str] | None = None):
                 b = processed.map_batches(
@@ -205,41 +332,35 @@ class CrawlDriver:
                     b = b.select_columns(columns)
                 return b.materialize()
 
-            # --- images sink (IMAGES schema projection)
-            imgs = _branch(
-                "image",
-                ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
-            )
-            n_imgs = imgs.count()
-            if n_imgs:
-                imgs.write_parquet(self.ckpt.images_dir(rnd))
-
             # --- entity sinks (S7): per-round partition dirs
             for row_type, table_name in (("category", "categories"), ("product", "products")):
-                branch = _branch(row_type, ["url", "host", "kind", "seed_id", "record"])
-                if branch.count():
-                    branch.write_parquet(
+                if counts.get(row_type, 0):
+                    _branch(row_type, ["url", "host", "kind", "seed_id", "record"]).write_parquet(
                         os.path.join(cfg.out_dir, "tables", table_name, f"round_{rnd:04d}")
                     )
 
             # --- dead letters (S9)
-            dead = _branch("error", ["url", "host", "kind", "seed_id", "status", "attempt"])
-            n_dead = dead.count()
             if n_dead:
-                dead.write_parquet(os.path.join(cfg.out_dir, "errors", f"round_{rnd:04d}"))
+                _branch(
+                    "error", ["url", "host", "kind", "seed_id", "status", "attempt"]
+                ).write_parquet(os.path.join(cfg.out_dir, "errors", f"round_{rnd:04d}"))
 
             # --- next frontier: successors are control data (URLs only);
             # already robots-filtered + seen-marked inside the fused stage
-            succ_tables = [
-                t
-                for t in ray.get(
-                    _branch(
-                        "succ",
-                        ["url", "host", "kind", "depth", "priority", "seed_id", "caption"],
-                    ).to_arrow_refs()
-                )
-                if t.num_rows
-            ]
+            succ_tables = (
+                [
+                    t
+                    for t in ray.get(
+                        _branch(
+                            "succ",
+                            ["url", "host", "kind", "depth", "priority", "seed_id", "caption"],
+                        ).to_arrow_refs()
+                    )
+                    if t.num_rows
+                ]
+                if counts.get("succ", 0)
+                else []
+            )
             survivors = (
                 pa.concat_tables(succ_tables).cast(schemas.FRONTIER)
                 if succ_tables
@@ -281,9 +402,11 @@ class CrawlDriver:
                 if backlog.num_rows
                 else survivors
             )
+            t0 = _t()
             self.ckpt.save_round(
                 rnd, frontier, self.seen.snapshot(), self.metrics, self.lineage
             )
+            _tick("checkpoint", t0)
             if stop_after_round is not None and rnd >= stop_after_round:
                 rnd += 1
                 break

@@ -59,19 +59,58 @@ def _rng_for(spec_seed: int, *parts) -> np.random.Generator:
 
 def make_pixels(content_id: str, w: int, h: int, seed: int) -> np.ndarray:
     """Deterministic RGB image: smooth gradient + seeded noise (so lossy
-    round-trips are non-trivial but PSNR-comparable)."""
+    round-trips are non-trivial but PSNR-comparable). Narrow dtypes
+    throughout — wide intermediates made the synth memory-bandwidth-bound
+    when many fetch actors run per node."""
     rng = _rng_for(seed, "px", content_id)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 // max(w - 1, 1)),
-            (yy * 255 // max(h - 1, 1)),
-            ((xx + yy) * 255 // max(w + h - 2, 1)),
-        ],
-        axis=-1,
-    ).astype(np.int64)
-    noise = rng.integers(-20, 21, size=(h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    xx = np.arange(w, dtype=np.int32)
+    yy = np.arange(h, dtype=np.int32)
+    base = np.empty((h, w, 3), dtype=np.int16)
+    base[..., 0] = (xx * 255 // max(w - 1, 1)).astype(np.int16)[None, :]
+    base[..., 1] = (yy * 255 // max(h - 1, 1)).astype(np.int16)[:, None]
+    base[..., 2] = ((xx[None, :] + yy[:, None]) * 255 // max(w + h - 2, 1)).astype(
+        np.int16
+    )
+    noise = rng.integers(-20, 21, size=(h, w, 3), dtype=np.int16)
+    base += noise
+    return np.clip(base, 0, 255, out=base).astype(np.uint8)
+
+
+def image_meta_for(
+    seed: int,
+    host: str,
+    content_id: str,
+    img_sizes: tuple[int, ...],
+    robots_frac: float,
+) -> dict:
+    """Deterministic (fmt, w, h, blocked) for an image content id on a host —
+    shared by the generator AND the on-demand synthetic fetcher so image
+    payloads can be re-synthesized from the URL alone (no payload index)."""
+    r = _rng_for(seed, "img", host, content_id)
+    fmt = ["png", "jpeg", "webp"][int(r.integers(3))]
+    w = int(img_sizes[int(r.integers(len(img_sizes)))])
+    h = int(img_sizes[int(r.integers(len(img_sizes)))])
+    blocked = float(r.random()) < robots_frac
+    return {"fmt": fmt, "w": w, "h": h, "blocked": blocked}
+
+
+def synthesize_image_payload(
+    seed: int, host: str, content_id: str, img_sizes: tuple[int, ...],
+    robots_frac: float,
+) -> bytes:
+    """Encoded image bytes as a pure function of (seed, host, content_id)."""
+    m = image_meta_for(seed, host, content_id, img_sizes, robots_frac)
+    px = make_pixels(content_id, m["w"], m["h"], seed)
+    return encode_image(px, m["fmt"])
+
+
+def parse_image_url(url: str) -> tuple[str, str] | None:
+    """('https://h/img/<cid>.<fmt>' | '.../private/...') → (host, content_id);
+    None when the URL is not a synthetic image URL."""
+    parts = url.split("/")
+    if len(parts) == 5 and parts[3] in ("img", "private"):
+        return parts[2], parts[4].rsplit(".", 1)[0]
+    return None
 
 
 @dataclass
@@ -106,19 +145,18 @@ def generate_site(spec: SiteSpec) -> Site:
 
     def add_image_link(host: str, content_id: str, blocked_ok: bool) -> str:
         """Register (or reuse) an image URL for a content id on a host."""
-        r = _rng_for(spec.seed, "img", host, content_id)
-        fmt = ["png", "jpeg", "webp"][int(r.integers(3))]
-        w = int(spec.img_sizes[int(r.integers(len(spec.img_sizes)))])
-        h = int(spec.img_sizes[int(r.integers(len(spec.img_sizes)))])
-        blocked = blocked_ok and float(r.random()) < spec.robots_frac
+        m = image_meta_for(
+            spec.seed, host, content_id, spec.img_sizes, spec.robots_frac
+        )
+        blocked = blocked_ok and m["blocked"]
         prefix = "private" if blocked else "img"
-        url = f"https://{host}/{prefix}/{content_id}.{fmt}"
+        url = f"https://{host}/{prefix}/{content_id}.{m['fmt']}"
         if url not in image_meta:
             image_meta[url] = {
                 "content_id": content_id,
-                "fmt": fmt,
-                "w": w,
-                "h": h,
+                "fmt": m["fmt"],
+                "w": m["w"],
+                "h": m["h"],
                 "caption": _caption(content_id, spec.seed),
                 "blocked": blocked,
             }
@@ -333,6 +371,36 @@ def generate_site(spec: SiteSpec) -> Site:
         expected_seen=expected_seen,
         expected_images=expected_images,
     )
+
+
+def generate_image_frontier(
+    n_images: int,
+    n_hosts: int = 32,
+    dup_frac: float = 0.15,
+    seed: int = 42,
+    img_sizes: tuple[int, ...] = (32,),
+) -> pa.Table:
+    """Breadth-only frontier of image URLs (schemas.SEEDS + kind/caption) for
+    the image-ingest throughput benchmark: payloads are synthesized on demand
+    by the fetch stage (no fixture payloads — the site is a pure function).
+    Zipf-ish host skew via round-robin over hosts with hot-host doubling."""
+    rng = _rng_for(seed, "frontier")
+    rows = []
+    for i in range(n_images):
+        host = f"shop{int(rng.zipf(1.3)) % n_hosts}.example.com"
+        if float(rng.random()) < dup_frac:
+            cid = f"dup{int(rng.integers(max(16, n_images // 50)))}"
+        else:
+            cid = f"img{i}"
+        m = image_meta_for(seed, host, cid, img_sizes, robots_frac=0.0)
+        rows.append(
+            {
+                "url": f"https://{host}/img/{cid}.{m['fmt']}",
+                "seed_id": f"s{i % 64}",
+                "priority": 1.0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=schemas.SEEDS)
 
 
 def write_site(site: Site, out_dir: str) -> None:

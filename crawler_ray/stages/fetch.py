@@ -36,8 +36,11 @@ class SyntheticFetchStage:
     max_attempts: semantic-retry budget for 5xx pages.
     """
 
-    def __init__(self, pages, politeness=None, max_attempts: int = 3):
-        if isinstance(pages, str):
+    def __init__(self, pages, politeness=None, max_attempts: int = 3,
+                 synth_images: dict | None = None):
+        if pages is None:
+            t = None
+        elif isinstance(pages, str):
             t = pq.read_table(pages, columns=["url", "payload", "status"])
         else:  # ray.ObjectRef of the pruned pages table — ray.put once on the
             # driver, shared via the object store (broadcast, not re-shipped
@@ -45,14 +48,46 @@ class SyntheticFetchStage:
             import ray
 
             t = ray.get(pages)
-        self.index: dict[str, tuple[bytes, int]] = {
-            u: (p, s)
-            for u, p, s in zip(
-                t["url"].to_pylist(), t["payload"].to_pylist(), t["status"].to_pylist()
-            )
-        }
+        self.index: dict[str, tuple[bytes, int]] = (
+            {}
+            if t is None
+            else {
+                u: (p, s)
+                for u, p, s in zip(
+                    t["url"].to_pylist(), t["payload"].to_pylist(), t["status"].to_pylist()
+                )
+            }
+        )
         self.politeness = politeness or []
         self.max_attempts = max_attempts
+        # on-demand image synthesis: the synthetic site is a pure function, so
+        # image payloads can be regenerated from the URL alone instead of
+        # broadcasting them — the index then only holds the (small) non-image
+        # pages. This mirrors a real fetcher (bytes come from the network per
+        # request, not from a pre-shipped corpus) and removes the only piece
+        # of per-actor state that grows with the site.
+        # dict keys: seed, img_sizes, robots_frac.
+        self.synth = synth_images
+
+    def _lookup(self, u: str) -> tuple[bytes, int]:
+        hit = self.index.get(u)
+        if hit is not None:
+            return hit
+        if self.synth is not None:
+            from crawler_ray.sources.synthetic import (
+                parse_image_url,
+                synthesize_image_payload,
+            )
+
+            parsed = parse_image_url(u)
+            if parsed is not None:
+                host, cid = parsed
+                payload = synthesize_image_payload(
+                    self.synth["seed"], host, cid,
+                    tuple(self.synth["img_sizes"]), self.synth["robots_frac"],
+                )
+                return payload, 200
+        return b"", 404
 
     def _grant_tokens(self, hosts: list[str]) -> None:
         if not self.politeness:
@@ -62,9 +97,12 @@ class SyntheticFetchStage:
         import ray
 
         per_host = Counter(hosts)
+        # ONE RPC per politeness shard per batch (not per host)
+        by_shard: dict[int, dict[str, int]] = {}
+        for h, n in per_host.items():
+            by_shard.setdefault(hash(h) % len(self.politeness), {})[h] = n
         futs = [
-            self.politeness[hash(h) % len(self.politeness)].grant.remote(h, n)
-            for h, n in per_host.items()
+            self.politeness[s].grant_many.remote(req) for s, req in by_shard.items()
         ]
         ray.get(futs)  # bookkeeping grant (quota already enforced per round)
 
@@ -73,7 +111,7 @@ class SyntheticFetchStage:
         self._grant_tokens(batch["host"].to_pylist())
         payloads, statuses, attempts = [], [], []
         for u in urls:
-            payload, status = self.index.get(u, (b"", 404))
+            payload, status = self._lookup(u)
             # deterministic synthetic site: a 5xx is persistent, so the retry
             # budget is exhausted; record the attempts actually spent.
             attempts.append(self.max_attempts if status >= 500 else 1)

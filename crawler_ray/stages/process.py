@@ -91,49 +91,165 @@ def _row(base: dict, **over) -> dict:
     return r
 
 
+# per-worker-process stage cache for task-mode execution (see
+# make_process_fn): Ray pre-starts and reuses worker processes, so the stage
+# builds once per worker instead of once per actor-pool spin-up per round.
+_PROC_CACHE: dict[str, "CrawlProcessStage"] = {}
+
+
+def make_process_fn(init_args_ref):
+    """Task-mode wrapper around CrawlProcessStage.
+
+    Ray Data actor pools are created per execution — a BFS crawl pays the
+    whole pool spin-up every round, which dominates small rounds and skews
+    scaling measurements. Plain tasks run on Ray's PRE-STARTED worker
+    processes; the stage state (seen/politeness actor HANDLES, robots rules,
+    pages index ref — all small or shared) is built lazily once per worker
+    and cached. The truly stateful components stay actors; only the fetch
+    session wrapper becomes elastic.
+    """
+
+    def process_fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        key = init_args_ref.hex() if hasattr(init_args_ref, "hex") else str(init_args_ref)
+        stage = _PROC_CACHE.get(key)
+        if stage is None:
+            stage = CrawlProcessStage(*ray.get(init_args_ref))
+            _PROC_CACHE.clear()  # at most one live config per worker
+            _PROC_CACHE[key] = stage
+        return stage(batch)
+
+    return process_fn
+
+
 class CrawlProcessStage:
     """``frontier batch -> union-schema round rows``; one instance per actor."""
 
     def __init__(self, pages_ref, politeness, seen, robots_txt: dict[str, str],
-                 max_attempts: int = 3):
-        self.fetch = SyntheticFetchStage(pages_ref, politeness, max_attempts)
+                 max_attempts: int = 3, synth_images: dict | None = None,
+                 images_dir: str | None = None):
+        self.fetch = SyntheticFetchStage(
+            pages_ref, politeness, max_attempts, synth_images=synth_images
+        )
         self.seen = seen
         self.robots = RobotsCache(lambda host: robots_txt.get(host))
+        # direct image sink: when set, new-image rows are written to
+        # parquet HERE (one deterministically-named part file per batch)
+        # instead of being carried through the object store for a second
+        # write pass — images are the bulk payload at scale, and this keeps
+        # them out of the round's materialized control output entirely.
+        self.images_dir = images_dir
+
+    def _process_images(self, fetched: pa.Table, out: list[dict]) -> None:
+        """Vectorized image path: columnar in/out, per-row work is only the
+        codec/hash kernels — no per-row dict building (measured ~0.5 ms/row
+        of pure-python overhead at breadth scale)."""
+        mask = pa.compute.and_(
+            pa.compute.equal(fetched["kind"], "image"),
+            pa.compute.equal(fetched["status"], 200),
+        )
+        imgs = fetched.filter(mask)
+        if imgs.num_rows == 0:
+            return
+        payloads = imgs["payload"].to_pylist()
+        captions = imgs["caption"].to_pylist()
+        ids, ws, hs, fmts, hashes, keep = [], [], [], [], [], []
+        for i, data in enumerate(payloads):
+            fmt = sniff_fmt(data)
+            try:
+                px = decode_image(data, fmt)
+            except Exception:
+                continue
+            keep.append(i)
+            ids.append(md5_hex(data))
+            ws.append(px.shape[1])
+            hs.append(px.shape[0])
+            fmts.append(fmt)
+            hashes.append(phash64(px))
+        if not ids:
+            return
+        dup = self.seen.check_and_insert(["img:" + i for i in ids])
+        new_idx = [j for j, d in enumerate(dup) if not d]
+        if not new_idx:
+            return
+        table = pa.table(
+            {
+                "image_id": pa.array([ids[j] for j in new_idx], pa.string()),
+                "bytes": pa.array([payloads[keep[j]] for j in new_idx], pa.binary()),
+                "w": pa.array([ws[j] for j in new_idx], pa.int32()),
+                "h": pa.array([hs[j] for j in new_idx], pa.int32()),
+                "fmt": pa.array([fmts[j] for j in new_idx], pa.string()),
+                "caption": pa.array([captions[keep[j]] for j in new_idx], pa.string()),
+                "phash": pa.array([hashes[j] for j in new_idx], pa.int64()),
+            }
+        )
+        if self.images_dir:
+            import hashlib as _hl
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            _os.makedirs(self.images_dir, exist_ok=True)
+            digest = _hl.md5("".join(ids[j] for j in new_idx).encode()).hexdigest()[:16]
+            # no dictionary encoding / compression: the payloads are already
+            # compressed images, and pyarrow's default dictionary encoding of
+            # large binary values costs seconds per part file
+            _pq.write_table(
+                table,
+                f"{self.images_dir}/part-{digest}.parquet",
+                compression="none",
+                use_dictionary=False,
+            )
+            # one summary row per batch instead of 10^3 marker rows
+            out.append(
+                _row(
+                    {"url": "", "host": "", "kind": "image",
+                     "depth": 0, "priority": 0.0, "seed_id": ""},
+                    row_type="image_stat",
+                    status=len(new_idx),
+                )
+            )
+        else:
+            urls = imgs["url"].to_pylist()
+            for j in new_idx:
+                out.append(
+                    _row(
+                        {"url": urls[keep[j]], "host": "", "kind": "image",
+                         "depth": 0, "priority": 0.0, "seed_id": "",
+                         "caption": captions[keep[j]]},
+                        row_type="image",
+                        image_id=ids[j],
+                        w=int(ws[j]),
+                        h=int(hs[j]),
+                        fmt=fmts[j],
+                        phash=int(hashes[j]),
+                    )
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fetched = self.fetch(batch)
-        rows_in = fetched.to_pylist()
         out: list[dict] = []
-        image_rows: list[dict] = []
         succ_rows: list[dict] = []
 
-        for r in rows_in:
+        # vectorized image path (typically the bulk of a breadth round)
+        self._process_images(fetched, out)
+
+        # page + error rows: row-at-a-time is fine (control-plane volumes)
+        rest = fetched.filter(
+            pa.compute.or_(
+                pa.compute.invert(pa.compute.equal(fetched["kind"], "image")),
+                pa.compute.invert(pa.compute.equal(fetched["status"], 200)),
+            )
+        )
+        for r in rest.to_pylist():
             if r["status"] != 200:
                 out.append(
                     _row(r, row_type="error", status=r["status"], attempt=r["attempt"])
                 )
                 continue
             if r["kind"] == "image":
-                data = r["payload"]
-                fmt = sniff_fmt(data)
-                try:
-                    px = decode_image(data, fmt)
-                except Exception:
-                    out.append(_row(r, row_type="error", status=422))
-                    continue
-                image_rows.append(
-                    _row(
-                        r,
-                        row_type="image",
-                        bytes=data,
-                        image_id=md5_hex(data),
-                        w=int(px.shape[1]),
-                        h=int(px.shape[0]),
-                        fmt=fmt,
-                        phash=phash64(px),
-                    )
-                )
-                continue
+                continue  # handled above (only non-200 images reach here)
             # page: parse (M1 envelope + per-kind parser)
             try:
                 doc = json.loads(r["payload"].decode("utf-8"))
@@ -153,13 +269,6 @@ class CrawlProcessStage:
                     out.append(_row(p, row_type="error", status=422))
                 else:
                     out.append(_row(p, row_type=p["row_type"], record=p["record"]))
-
-        # image content dedup (J4): first-seen wins via the sharded seen-set
-        if image_rows:
-            mask = self.seen.check_and_insert(
-                ["img:" + r["image_id"] for r in image_rows]
-            )
-            out.extend(r for r, dup in zip(image_rows, mask) if not dup)
 
         # successors: robots filter THEN seen anti-join (blocked URLs stay
         # unmarked — see stages/frontier.py rationale)

@@ -132,6 +132,10 @@ class PolitenessActor:
         the next round (quota-splitting, not thread sleeps)."""
         return self._bucket(host).try_acquire(n)
 
+    def grant_many(self, requests: dict[str, int]) -> dict[str, int]:
+        """Batched grant — one RPC for a whole fetch batch."""
+        return {h: self._bucket(h).try_acquire(n) for h, n in requests.items()}
+
     def allowed(self, urls: list[str]) -> np.ndarray:
         return self.robots.allowed(urls)
 
