@@ -39,9 +39,20 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawler_ray.pipelines import dedup, events, relational, similarity, textops
+    from crawler_ray.pipelines import (
+        dedup,
+        events,
+        joins,
+        relational,
+        similarity,
+        textops,
+    )
 
     return {
+        # both-sides-large partitioned hash join
+        "order_lineitem_join_totals": joins.order_lineitem_join_totals,
+        "top_users_by_value": events.top_users_by_value,
+        "token_vocabulary": textops.token_vocabulary,
         # relational core (SURVEY.md §2.4-2.7 semantics over TPC-H-ish tables)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "market_segment_revenue": relational.market_segment_revenue,
@@ -77,9 +88,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from crawler_ray.pipelines import dedup, events, relational, similarity, textops
+    from crawler_ray.pipelines import (
+        dedup,
+        events,
+        joins,
+        relational,
+        similarity,
+        textops,
+    )
 
     return {
+        "order_lineitem_join_totals": joins.ORDER_LINEITEM_JOIN_SQL,
+        "top_users_by_value": events.TOP_USERS_SQL,
+        "token_vocabulary": textops.TOKEN_VOCABULARY_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "market_segment_revenue": relational.MARKET_SEGMENT_SQL,
         "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,

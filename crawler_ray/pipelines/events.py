@@ -166,3 +166,42 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Grouped sum → global top-k (pre-aggregate per batch, tiny sort)."""
+    from crawler_ray.functions.rounding import round_np
+
+    ds = _read_events(sf_dir, ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("user_id", sort=False)["value"].agg(["sum", "size"]).reset_index()
+        out.columns = ["user_id", "sum_p", "n_p"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("sum_p", alias_name="total_value_f"),
+                   Sum("n_p", alias_name="n_events_f"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "total_value": round_np(df["total_value_f"], 2),
+                    "n_events": df["n_events_f"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
+
+
+TOP_USERS_SQL = """
+SELECT user_id, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY SUM(value) DESC, user_id
+LIMIT 10
+"""

@@ -1,0 +1,153 @@
+"""Large-side joins: explicit partitioned hash join.
+
+The reference only ever joins against small in-memory bags (J1/J2 broadcast
+pattern, see relational.py). For two LARGE sides Ray Data's portable pattern
+(ray_guide) is an explicit bucketed hash join: add ``bucket = hash(key) % B``
+to both sides, tag the side, union, ``groupby(bucket)`` and merge each bucket
+pairwise inside ``map_groups``. B controls shuffle granularity; skewed keys
+can be salted into sub-buckets (documented knob, not needed for the uniform
+TPC-H keys here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from crawler_ray.functions.rounding import round_np
+
+
+def _tag_and_bucket(ds: rd.Dataset, key: str, side: str, n_buckets: int) -> rd.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy()
+        bucket = (keys % n_buckets).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bucket, pa.int64())).append_column(
+            "_side", pa.array([side] * t.num_rows, pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def partitioned_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Hash-partitioned join of two Datasets on an integer key column.
+    Column sets of the two sides must be disjoint apart from ``on``.
+    Union requires aligned schemas, so each side is padded with typed null
+    columns for the other side's fields before the bucket shuffle."""
+    lsch: pa.Schema = left.schema().base_schema
+    rsch: pa.Schema = right.schema().base_schema
+    lcols = [f.name for f in lsch]
+    rcols = [f.name for f in rsch]
+    l_extra = [f for f in rsch if f.name not in lcols]
+    r_extra = [f for f in lsch if f.name not in rcols]
+
+    def pad(extra):
+        def fn(t: pa.Table) -> pa.Table:
+            for f in extra:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            # stable column order for union
+            return t.select(sorted(t.column_names))
+
+        return fn
+
+    tagged = (
+        _tag_and_bucket(left, on, "L", n_buckets)
+        .map_batches(pad(l_extra), batch_format="pyarrow")
+        .union(
+            _tag_and_bucket(right, on, "R", n_buckets).map_batches(
+                pad(r_extra), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["_side"] == "L", lcols]
+        rg = g.loc[g["_side"] == "R", rcols]
+        if how == "inner" and (lg.empty or rg.empty):
+            return pd.DataFrame(columns=[c for c in lcols + rcols if c != on] + [on])
+        return lg.merge(rg, on=on, how=how)
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def order_lineitem_join_totals(sf_dir: str) -> rd.Dataset:
+    """Both-sides-large join: lineitem ⨝ orders on orderkey, then per-order
+    revenue. The lineitem side is pre-aggregated per (bucket, orderkey)
+    BEFORE the join shuffle (combiner), so the exchange moves one row per
+    order per side instead of one per lineitem."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        # exact integer-cents arithmetic: price and discount have 2 decimals,
+        # so round(price*100) * round((1-d)*100) is an exact integer (in
+        # float64, < 2^53) and the distributed sum is associative — no
+        # summation-order rounding flips vs the oracle
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100.0)
+        disc_c = np.round((1.0 - t["l_discount"].to_numpy()) * 100.0)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "rev": price_c * disc_c,  # revenue in 1e-4 units, exact
+            }
+        )
+        out = (
+            df.groupby("l_orderkey", sort=False)
+            .agg(rev_p=("rev", "sum"), n_items_p=("rev", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li_agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("rev_p", alias_name="revenue_raw"),
+            Sum("n_items_p", alias_name="n_items_raw"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "lineitem_revenue_raw": t["revenue_raw"],
+                    "n_items": pa.compute.cast(t["n_items_raw"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    joined = partitioned_hash_join(li_agg, orders, on="o_orderkey", n_buckets=16)
+    return joined.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_totalprice": df["o_totalprice"],
+                "lineitem_revenue": round_np(df["lineitem_revenue_raw"] / 10000.0, 2),
+                "n_items": df["n_items"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+ORDER_LINEITEM_JOIN_SQL = """
+SELECT o_orderkey, o_totalprice,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS lineitem_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_totalprice
+"""

@@ -88,9 +88,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "qty": t["l_quantity"].to_numpy(),
                 "price": t["l_extendedprice"].to_numpy(),
                 "disc": t["l_discount"].to_numpy(),
-                "disc_price": (
-                    t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
-                ),
+                # exact integer-cents product (see joins.py li_partial note)
+                "disc_price": np.round(t["l_extendedprice"].to_numpy() * 100.0)
+                * np.round((1.0 - t["l_discount"].to_numpy()) * 100.0),
             }
         )
         out = (
@@ -124,7 +124,7 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "l_linestatus": parts[1],
                 "sum_qty": round_np(df["sum_qty"], 2),
                 "sum_base_price": round_np(df["sum_base_price"], 2),
-                "sum_disc_price": round_np(df["sum_disc_price"], 2),
+                "sum_disc_price": round_np(df["sum_disc_price"] / 10000.0, 2),
                 "avg_qty": round_np(df["sum_qty"] / df["count_order"], 4),
                 "avg_disc": round_np(df["sum_disc"] / df["count_order"], 4),
                 "count_order": df["count_order"].astype("int64"),
@@ -138,7 +138,8 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)      AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS sum_disc_price,
        ROUND(AVG(l_quantity), 4)      AS avg_qty,
        ROUND(AVG(l_discount), 4)      AS avg_disc,
        COUNT(*)                       AS count_order

@@ -105,6 +105,49 @@ GROUP BY lang
 """
 
 
+def token_vocabulary(sf_dir: str) -> rd.Dataset:
+    """Corpus token-frequency table: per-batch Counter partials (combiner) →
+    single-key groupby over (token, partial-count) rows — the shuffle moves
+    one row per distinct token per batch, not one per token occurrence."""
+    from collections import Counter
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        c: Counter = Counter()
+        for txt in df["text"]:
+            c.update(txt.split())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n_p", alias_name="n_f"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"token": df["token"], "n": df["n_f"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+TOKEN_VOCABULARY_SQL = r"""
+SELECT w AS token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents WHERE trim(text) != '')
+GROUP BY w
+"""
+
+
 class LangIdStage:
     """Marker-word language-ID heuristic (functions/text.py). No SQL oracle —
     the heuristic is not SQL-expressible; verified by unit test + the

@@ -1,0 +1,135 @@
+"""Crawl-output reports, submit view, phash near-dup, signing, IO."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawler_ray.functions.signing import epoch_millis, sign_request, signed_url
+from crawler_ray.pipelines.reports import (
+    images_phash_near_dups,
+    products_per_category,
+    recrawl_priority,
+    render_detail_html,
+    reshape_attributes,
+    submit_view,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session, small_site, tmp_path_factory):
+    from crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver
+
+    site, site_dir = small_site
+    out = tmp_path_factory.mktemp("reports_out")
+    drv = CrawlDriver(
+        CrawlConfig(fixture_dir=site_dir, out_dir=str(out), quota_per_host=100,
+                    fetch_concurrency=2, num_seen_shards=2)
+    )
+    drv.run()
+    return str(out), drv
+
+
+def test_products_per_category(crawl_out):
+    out_dir, drv = crawl_out
+    rep = products_per_category(out_dir)
+    assert not rep.empty
+    assert (rep["n_products"] > 0).all()
+    assert rep["category_name"].notna().all()
+    # every category with products is a leaf → parent is the root
+    assert rep["parent_name"].str.startswith("root-").all()
+
+
+def test_submit_view(crawl_out):
+    out_dir, _ = crawl_out
+    view = submit_view(out_dir)
+    assert not view.empty
+    row = view.iloc[0]
+    assert "<p>" in row["detail_html"] or "<img" in row["detail_html"]
+    attrs = json.loads(row["attributes_json"])
+    assert all(set(a) == {"AttributeName", "AttributeValue"} for a in attrs)
+
+
+def test_render_and_reshape_semantics():
+    html = render_detail_html({"k": "v"}, ["http://h/i.png"])
+    assert html == '<p>k:v</p><img src="http://h/i.png"/>'
+    assert reshape_attributes({"a": "1", "b": "", "": "x"}) == [
+        {"AttributeName": "a", "AttributeValue": "1"}
+    ]
+
+
+def test_images_phash_near_dups(ray_session, crawl_out):
+    import ray.data as rd
+
+    out_dir, drv = crawl_out
+    imgs = drv.images_dataset()
+    # plant two near-identical phashes
+    extra = pa.table(
+        {
+            "image_id": ["zz_a", "zz_b"],
+            "bytes": [b"x", b"y"],
+            "w": pa.array([1, 1], pa.int32()),
+            "h": pa.array([1, 1], pa.int32()),
+            "fmt": ["png", "png"],
+            "caption": ["", ""],
+            "phash": pa.array([0x0F0F0F0F0F0F0F0F, 0x0F0F0F0F0F0F0F0B], pa.int64()),
+        }
+    )
+    ds = imgs.select_columns(["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]).union(
+        rd.from_arrow(extra)
+    )
+    pairs = images_phash_near_dups(ds, max_hamming=3).to_pandas()
+    assert (("zz_a", "zz_b") in set(zip(pairs["img_a"], pairs["img_b"])))
+    # identical content (dup images dedup'd already) → planted pair hamming
+    planted = pairs[(pairs["img_a"] == "zz_a") & (pairs["img_b"] == "zz_b")]
+    assert planted["hamming"].iloc[0] == 1  # 0x..0F ^ 0x..0B = 0x04
+
+
+def test_recrawl_priority_deterministic():
+    df = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "last_crawled_epoch": [100.0, 50.0, 100.0],
+        }
+    )
+    out = recrawl_priority(df, now_epoch=200.0, half_life_sec=100.0)
+    assert list(out["url"]) == ["u2", "u1", "u3"]  # oldest first, url tiebreak
+    assert out["priority"].iloc[0] == pytest.approx(1.5)
+
+
+def test_signing_deterministic():
+    s1 = sign_request({"b": "2", "a": "1"}, nonce="n0", timestamp_ms=1234)
+    s2 = sign_request({"a": "1", "b": "2"}, nonce="n0", timestamp_ms=1234)
+    assert s1 == s2 and s1 == s1.upper() and len(s1) == 32
+    assert sign_request({"a": "1"}, "n0", 1234) != sign_request({"a": "1"}, "n1", 1234)
+    assert epoch_millis(1.5) == 1500
+    url = signed_url("https://h/api", {"a": "1"}, "n0", 1234)
+    assert "sign=" in url and "t=1234" in url
+
+
+def test_local_image_reader(ray_session, tmp_path):
+    from crawler_ray.functions.codecs import encode_image
+    from crawler_ray.sources.io import read_local_images
+
+    d = tmp_path / "imgs" / "p1"
+    d.mkdir(parents=True)
+    px = np.zeros((8, 8, 3), np.uint8)
+    (d / "a.png").write_bytes(encode_image(px, "png"))
+    (d / "b.jpg").write_bytes(encode_image(px, "jpeg"))
+    out = read_local_images(str(tmp_path / "imgs")).to_pandas()
+    assert len(out) == 2
+    assert set(out["fmt"]) == {"png", "jpeg"}
+    assert out["bytes"].map(len).min() > 0
+
+
+def test_lance_gate_falls_back(ray_session, tmp_path):
+    import ray.data as rd
+
+    from crawler_ray.sources import io as tio
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    tio.write_table(ds, str(tmp_path / "t"))
+    back = tio.read_table(str(tmp_path / "t"))
+    assert back.count() == 3
