@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_counts": events.hourly_event_counts,
         "sessionize": events.sessionize,
         "props_key_sum": events.props_key_sum,
+        "distinct_users_hll": events.distinct_users_hll,  # rows-only (sketch)
         # text analysis (documents)
         "doc_token_stats": textops.doc_token_stats,
         "doc_punct_ratio": textops.doc_punct_ratio,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
+        "token_jaccard_pairs": dedup.token_jaccard_pairs,
         "minhash_near_dup_pairs": dedup.minhash_near_dup_pairs,  # rows-only
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only
         # similarity search (embeddings)
@@ -119,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": textops.LANG_DISTRIBUTION_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
+        "token_jaccard_pairs": dedup.token_jaccard_sql(),
         "knn_brute_force": similarity.knn_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
     }

@@ -1,0 +1,154 @@
+"""CLI entry points — the reference's console client (``Program.Main``,
+``HZ.Crawler.ConsoleClient/Program.cs:15-45``) re-expressed: configure →
+run crawl → reports. Owns the Ray session (the library never inits Ray).
+
+    python -m crawler_ray.cli gen-site  --out /tmp/site [--hosts 6 ...]
+    python -m crawler_ray.cli crawl     --fixture /tmp/site --out /tmp/run \
+                                        [--resume] [--quota 200] [--cpus 8]
+    python -m crawler_ray.cli report    --out /tmp/run
+    python -m crawler_ray.cli bench-ingest --images 100000 [--px 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if cpus:
+            kwargs["num_cpus"] = cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_gen_site(args) -> int:
+    from crawler_ray.sources.synthetic import SiteSpec, generate_site, write_site
+
+    spec = SiteSpec(
+        n_hosts=args.hosts,
+        products_per_host=args.products,
+        categories_per_host=args.categories,
+        page_size=args.page_size,
+        seed=args.seed,
+    )
+    site = generate_site(spec)
+    write_site(site, args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "pages": site.pages.num_rows,
+                "seeds": site.seeds.num_rows,
+                "expected_seen": len(site.expected_seen),
+                "expected_images": site.expected_images.num_rows,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    ray = _init_ray(args.cpus)
+    from crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver
+
+    cfg = CrawlConfig(
+        fixture_dir=args.fixture,
+        out_dir=args.out,
+        quota_per_host=args.quota,
+        fetch_concurrency=args.fetch_concurrency,
+        num_seen_shards=args.seen_shards,
+        batch_size=args.batch_size,
+    )
+    driver = CrawlDriver(cfg)
+    res = driver.run(resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "rounds": res.rounds,
+                "pages_fetched": res.pages_fetched,
+                "images_written": res.images_written,
+                "errors": res.errors,
+                "seen_size": res.seen_size,
+                "out_dir": res.out_dir,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_report(args) -> int:
+    from crawler_ray.pipelines.reports import products_per_category, submit_view
+
+    rep = products_per_category(args.out)
+    print(rep.to_string(index=False))
+    print(f"\nsubmit view rows: {len(submit_view(args.out))}")
+    return 0
+
+
+def cmd_bench_ingest(args) -> int:
+    import os
+
+    os.environ["GRAFT_INGEST_N"] = str(args.images)
+    os.environ["GRAFT_INGEST_PX"] = str(args.px)
+    os.environ.setdefault("RAY_GRAFT_CPUS", str(args.cpus or 32))
+    os.environ["GRAFT_BENCH_ONLY"] = "ingest"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    print(json.dumps(bench.main()))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="crawler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-site", help="generate a deterministic synthetic site")
+    g.add_argument("--out", required=True)
+    g.add_argument("--hosts", type=int, default=6)
+    g.add_argument("--products", type=int, default=30)
+    g.add_argument("--categories", type=int, default=6)
+    g.add_argument("--page-size", type=int, default=10)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen_site)
+
+    c = sub.add_parser("crawl", help="run (or resume) a crawl")
+    c.add_argument("--fixture", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--quota", type=int, default=200)
+    c.add_argument("--fetch-concurrency", type=int, default=4)
+    c.add_argument("--seen-shards", type=int, default=4)
+    c.add_argument("--batch-size", type=int, default=128)
+    c.add_argument("--cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_crawl)
+
+    r = sub.add_parser("report", help="post-crawl reports")
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=cmd_report)
+
+    b = sub.add_parser("bench-ingest", help="image-frontier ingest benchmark")
+    b.add_argument("--images", type=int, default=100_000)
+    b.add_argument("--px", type=int, default=64)
+    b.add_argument("--cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_bench_ingest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

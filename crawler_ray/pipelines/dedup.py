@@ -460,3 +460,92 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         )
         .select_columns(["doc_a", "doc_b", "hamming"])
     )
+
+
+# ---------------------------------------------------------------------------
+# thresholded token-set Jaccard (bounded-vocabulary all-pairs)
+
+
+class TokenJaccardPairs:
+    """Blocked all-pairs word-level Jaccard against a broadcast boolean
+    doc-term matrix: ``inter = A_batch @ A_all.T`` (popcount via int matmul),
+    ``jaccard = inter / (na + nb - inter)``. Both operands are exact
+    integers, so the single division produces bit-identical doubles in Ray
+    and DuckDB — the threshold comparison is oracle-exact.
+
+    Applicability: bounded vocabulary (matrix is n_docs × V booleans). For
+    open vocabularies use the MinHash-LSH path above instead."""
+
+    def __init__(self, matrix_ref, threshold: float):
+        self.ids, self.mat = ray.get(matrix_ref)  # sorted ids, (n, V) uint8
+        self.sizes = self.mat.sum(axis=1).astype(np.int64)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        idx = np.searchsorted(self.ids, ids)
+        sub = self.mat[idx]
+        inter = (sub.astype(np.int64) @ self.mat.T.astype(np.int64))
+        na = self.sizes[idx][:, None]
+        nb = self.sizes[None, :]
+        union = na + nb - inter
+        jac = inter / np.maximum(union, 1)
+        bi, ni = np.nonzero(jac >= self.threshold)
+        a = ids[bi]
+        b = self.ids[ni]
+        keep = a < b
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(np.round(jac[bi, ni][keep], 6), pa.float64()),
+            }
+        )
+
+
+def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
+    """All doc pairs with word-level Jaccard ≥ threshold (exact)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = [t["text"].to_pylist()[i] for i in order]
+    token_sets = [set(x.split()) for x in texts]
+    vocab = sorted(set().union(*token_sets)) if token_sets else []
+    v_index = {w: i for i, w in enumerate(vocab)}
+    mat = np.zeros((len(ids), len(vocab)), dtype=np.uint8)
+    for r, s in enumerate(token_sets):
+        for w in s:
+            mat[r, v_index[w]] = 1
+    matrix_ref = ray.put((ids, mat))
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        TokenJaccardPairs,
+        fn_constructor_args=(matrix_ref, threshold),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def token_jaccard_sql(threshold: float = 0.95) -> str:
+    return rf"""
+WITH dtok AS (
+    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM dtok a JOIN dtok b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (ca.n + cb.n - c)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE c / (ca.n + cb.n - c)::DOUBLE >= {threshold}
+"""
