@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 
 from crawler_ray.functions.codecs import decode_image, sniff_fmt
@@ -154,6 +155,15 @@ class CrawlProcessStage:
             return
         payloads = imgs["payload"].to_pylist()
         captions = imgs["caption"].to_pylist()
+        # md5 first (cheap) → issue the seen-set RPC asynchronously → the
+        # decode/phash loop below OVERLAPS the shard round-trip, hiding the
+        # membership latency entirely behind per-batch compute
+        all_ids = [md5_hex(d) for d in payloads]
+        pending = (
+            self.seen.check_and_insert_async(["img:" + i for i in all_ids])
+            if hasattr(self.seen, "check_and_insert_async")
+            else None
+        )
         ids, ws, hs, fmts, hashes, keep = [], [], [], [], [], []
         for i, data in enumerate(payloads):
             fmt = sniff_fmt(data)
@@ -162,14 +172,20 @@ class CrawlProcessStage:
             except Exception:
                 continue
             keep.append(i)
-            ids.append(md5_hex(data))
+            ids.append(all_ids[i])
             ws.append(px.shape[1])
             hs.append(px.shape[0])
             fmts.append(fmt)
             hashes.append(phash64(px))
         if not ids:
+            if pending is not None:
+                type(self.seen).gather(pending)
             return
-        dup = self.seen.check_and_insert(["img:" + i for i in ids])
+        if pending is not None:
+            dup_all = type(self.seen).gather(pending)
+            dup = dup_all[np.asarray(keep, dtype=np.int64)]
+        else:
+            dup = self.seen.check_and_insert(["img:" + i for i in ids])
         new_idx = [j for j, d in enumerate(dup) if not d]
         if not new_idx:
             return

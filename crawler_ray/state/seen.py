@@ -172,19 +172,30 @@ class SeenSet:
         h = keys_to_u64(keys)
         return h, (h % np.uint64(self.num_shards)).astype(np.int64)
 
-    def check_and_insert(self, keys) -> np.ndarray:
-        """Batch check-and-insert across shards; one RPC per touched shard.
-        Returns the ``seen`` mask aligned with ``keys``."""
+    def check_and_insert_async(self, keys):
+        """Issue the per-shard RPCs WITHOUT blocking; returns an opaque
+        pending handle for :meth:`gather`. Lets callers overlap the
+        membership round-trip with other per-batch compute."""
         h, shard_of = self._route(keys)
-        out = np.zeros(len(h), dtype=bool)
         futs, idxs = [], []
         for s in np.unique(shard_of):
             idx = np.nonzero(shard_of == s)[0]
             futs.append(self.shards[int(s)].check_and_insert.remote(h[idx]))
             idxs.append(idx)
+        return (len(h), futs, idxs)
+
+    @staticmethod
+    def gather(pending) -> np.ndarray:
+        n, futs, idxs = pending
+        out = np.zeros(n, dtype=bool)
         for idx, res in zip(idxs, ray.get(futs)):
             out[idx] = res
         return out
+
+    def check_and_insert(self, keys) -> np.ndarray:
+        """Batch check-and-insert across shards; one RPC per touched shard.
+        Returns the ``seen`` mask aligned with ``keys``."""
+        return self.gather(self.check_and_insert_async(keys))
 
     def contains(self, keys) -> np.ndarray:
         h, shard_of = self._route(keys)
