@@ -101,6 +101,7 @@ def bench_crawl() -> dict:
     res = driver.run()
     elapsed = time.monotonic() - t0
     frontier_ops = driver.seen.total_ops()
+    driver.shutdown()
     return {
         "sec": round(elapsed, 2),
         "rounds": res.rounds,
@@ -159,6 +160,7 @@ def bench_ingest(n_images: int | None = None, img_size: int | None = None) -> di
     res = driver.run()
     elapsed = time.monotonic() - t0
     frontier_ops = driver.seen.total_ops()
+    driver.shutdown()
     out = {
         "sec": round(elapsed, 2),
         "rounds": res.rounds,

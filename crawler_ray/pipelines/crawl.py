@@ -119,6 +119,19 @@ class CrawlDriver:
         self.metrics: dict[str, dict] = {}
         self.lineage: dict[str, dict] = {}
 
+    def shutdown(self) -> None:
+        """Kill this driver's state actors (seen shards, politeness). Each
+        actor reserves fractional CPU for the session lifetime — long-lived
+        processes that create many drivers MUST release them (tests, CLI,
+        bench do; a driver whose actors are killed cannot run() again)."""
+        for a in list(self.seen.shards) + list(self.politeness):
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self.seen.shards = []
+        self.politeness = []
+
     # ------------------------------------------------------------------
     def _seed_frontier(self) -> pa.Table:
         import pyarrow.parquet as pq

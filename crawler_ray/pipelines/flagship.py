@@ -49,4 +49,6 @@ def run_flagship(
         )
     )
     driver.run()
-    return driver.images_dataset(), driver
+    images = driver.images_dataset()
+    driver.shutdown()  # release state actors; outputs are on disk
+    return images, driver

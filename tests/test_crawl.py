@@ -14,6 +14,7 @@ def _run(site_dir, out, **over):
     cfg = CrawlConfig(fixture_dir=site_dir, out_dir=str(out), **kw)
     drv = CrawlDriver(cfg)
     res = drv.run()
+    drv.shutdown()  # release state actors (fractional-CPU reservations)
     return drv, res
 
 
@@ -78,12 +79,14 @@ def test_kill_resume(ray_session, small_site, tmp_path_factory):
                       fetch_concurrency=2, num_seen_shards=2)
     drv1 = CrawlDriver(cfg)
     drv1.run(stop_after_round=1)
+    drv1.shutdown()
     partial = read_images_table(str(out))
     assert partial.num_rows < site.expected_images.num_rows  # genuinely mid-run
 
     # fresh driver (fresh seen-set actors) resumes from the checkpoint
     drv2 = CrawlDriver(cfg)
     res = drv2.run(resume=True)
+    drv2.shutdown()
     assert res.pages_fetched == len(site.expected_seen) - 0  # totals preserved
     assert read_images_table(str(out)).equals(site.expected_images)
 

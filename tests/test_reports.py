@@ -29,6 +29,7 @@ def crawl_out(ray_session, small_site, tmp_path_factory):
                     fetch_concurrency=2, num_seen_shards=2)
     )
     drv.run()
+    drv.shutdown()
     return str(out), drv
 
 
