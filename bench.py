@@ -227,15 +227,21 @@ def main() -> dict:
 
 
 def scaling() -> None:
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_n = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="ingest")
+        # pin to a fixed core set so the low level cannot borrow idle cores
+        # for Ray infrastructure (keeps the two levels comparable)
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+             os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    run(8)  # warm the fixture cache + OS page cache (untimed)
+    run(lo_n)  # warm the fixture cache + OS page cache (untimed)
     # 3 trials per level, keep the median (the sandbox host shows 2x
     # run-to-run variance from neighbors; a single sample is meaningless)
     def median_run(ncpu: int) -> dict:
@@ -245,15 +251,15 @@ def scaling() -> None:
         )
         return trials[1]
 
-    lo, hi = median_run(8), median_run(32)
+    lo, hi = median_run(lo_n), median_run(hi_n)
     thr_lo = lo["ingest"]["pages_per_sec"]
     thr_hi = hi["ingest"]["pages_per_sec"]
-    eff = (thr_hi / thr_lo) / (32 / 8)
+    eff = (thr_hi / thr_lo) / (hi_n / lo_n)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (pages-fetched/s, image-frontier ingest, 8 vs 32 cpus)",
-                "num_cpus": [8, 32],
+                "metric": f"scaling efficiency (pages-fetched/s, image-frontier ingest, {lo_n} vs {hi_n} cpus)",
+                "num_cpus": [lo_n, hi_n],
                 "pages_per_sec": [thr_lo, thr_hi],
                 "frontier_ops_per_sec": [
                     lo["ingest"]["frontier_ops_per_sec"],

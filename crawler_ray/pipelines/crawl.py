@@ -91,6 +91,28 @@ class CrawlResult:
     out_dir: str = ""
 
 
+def _seed_batch_to_frontier(t: pa.Table) -> pa.Table:
+    """Vectorized seeds→frontier projection for big-seed streaming rounds
+    (generator URLs are already normalized; order is irrelevant because the
+    whole seed frontier is admitted in one unconstrained round)."""
+    df = t.to_pandas()
+    parts = df["url"].str.split("/", n=4, expand=True)
+    host = parts[2].str.lower()
+    is_img = parts[3].isin(["img", "private"]) if 3 in parts else False
+    out = pd.DataFrame(
+        {
+            "url": df["url"],
+            "host": host,
+            "kind": np.where(is_img, "image", "category_tree"),
+            "depth": np.int32(0),
+            "priority": df["priority"].astype("float64"),
+            "seed_id": df["seed_id"],
+            "caption": "",
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False).cast(schemas.FRONTIER)
+
+
 class CrawlDriver:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
@@ -178,6 +200,21 @@ class CrawlDriver:
                 print(f"[crawl-timing] {label}: {_t() - t0:.2f}s", flush=True)
             return _t()
         start_round = 0
+        pending_big_seed = False
+        empty_frontier = pa.Table.from_pylist([], schema=schemas.FRONTIER)
+        seeds_path = os.path.join(cfg.fixture_dir, "seeds.parquet")
+
+        def _seed_round0():
+            """Big seed lists stream straight into round 0 (frontier build,
+            robots filter and seen anti-join all happen INSIDE the fused
+            stage) — the driver never materializes the seed list. Requires
+            an unconstrained quota (breadth/ingest mode); the per-host-quota
+            path below stays driver-side."""
+            import pyarrow.parquet as _pq
+
+            n = _pq.read_metadata(seeds_path).num_rows
+            return n >= 50_000 and cfg.quota_per_host >= n
+
         if resume:
             latest = self.ckpt.latest_complete_round()
             if latest is not None:
@@ -185,8 +222,12 @@ class CrawlDriver:
                 self.seen.restore(snaps)
                 self.ckpt.prune_rounds_after(latest)
                 start_round = latest + 1
+            elif _seed_round0():
+                frontier, pending_big_seed = empty_frontier, True
             else:
                 frontier = self._filter_new(self._seed_frontier())
+        elif _seed_round0():
+            frontier, pending_big_seed = empty_frontier, True
         else:
             frontier = self._filter_new(self._seed_frontier())
 
@@ -215,62 +256,72 @@ class CrawlDriver:
             pages_ref = None
 
         rnd = start_round
-        while rnd < cfg.max_rounds and frontier.num_rows > 0:
+        while rnd < cfg.max_rounds and (frontier.num_rows > 0 or pending_big_seed):
             t0 = _t()
-            selected, backlog = split_selected(frontier, cfg.quota_per_host)
-            if selected.num_rows == 0:
-                break
-            t0 = _tick("split_selected", t0)
-            # from_arrow yields ONE block per table and map parallelism is
-            # per block — slice the frontier driver-side (zero-copy) so every
-            # fetch worker gets work; no repartition shuffle needed. In task
-            # mode size to the session's CPUs (3 waves for straggler
-            # smoothing); in actor mode to the pool.
             if cfg.fetch_mode == "tasks":
                 width = int(ray.cluster_resources().get("CPU", cfg.fetch_concurrency))
                 target = width * 3
             else:
                 target = cfg.fetch_concurrency * 2
-            n_blocks = max(
-                1, min(-(-selected.num_rows // cfg.batch_size), target)
-            )
-            if selected.num_rows >= 50_000:
-                # large frontier: spill to a scratch parquet and read it back
-                # with override_num_blocks — the block split then happens in
-                # PARALLEL read tasks instead of a serial driver loop of
-                # take()+ray.put() (a zero-copy slice would serialize its
-                # full parent buffers, so a copy per block is unavoidable)
-                import tempfile
 
-                import pyarrow.parquet as pq
-
-                scratch_root = (
-                    "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+            filter_input = False
+            if pending_big_seed:
+                # stream the seed list straight into the fused stage: the
+                # frontier build is a vectorized map; robots + seen dedup of
+                # the input happen IN-STAGE (filter_input below)
+                pending_big_seed = False
+                filter_input = True
+                selected, backlog = None, empty_frontier
+                ds = rd.read_parquet(seeds_path, override_num_blocks=target).map_batches(
+                    _seed_batch_to_frontier, batch_format="pyarrow"
                 )
-                scratch = os.path.join(
-                    scratch_root, f"crawler_ray_frontier_{os.getpid()}_{rnd}.parquet"
-                )
-                pq.write_table(selected, scratch, compression="none")
-                ds = rd.read_parquet(
-                    scratch, override_num_blocks=n_blocks
-                ).materialize()
-                os.unlink(scratch)
+                t0 = _tick("seed_stream", t0)
             else:
-                step = -(-selected.num_rows // n_blocks)
-                # take(), not slice(): a zero-copy slice serializes its FULL
-                # parent buffers on ray.put — every "block" would ship the
-                # whole frontier; take() materializes only the block's rows.
-                ds = rd.from_arrow(
-                    [
-                        selected.take(
-                            np.arange(
-                                i * step, min((i + 1) * step, selected.num_rows)
-                            )
-                        )
-                        for i in range(n_blocks)
-                    ]
+                selected, backlog = split_selected(frontier, cfg.quota_per_host)
+                if selected.num_rows == 0:
+                    break
+                t0 = _tick("split_selected", t0)
+                # from_arrow yields ONE block per table and map parallelism
+                # is per block — split the frontier so every fetch worker
+                # gets work (no repartition shuffle needed)
+                n_blocks = max(
+                    1, min(-(-selected.num_rows // cfg.batch_size), target)
                 )
-            t0 = _tick("slice_blocks", t0)
+                if selected.num_rows >= 50_000:
+                    # large frontier: spill to a scratch parquet and read it
+                    # back with override_num_blocks — the block split happens
+                    # in PARALLEL read tasks instead of a serial driver loop
+                    import tempfile
+
+                    import pyarrow.parquet as pq
+
+                    scratch_root = (
+                        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+                    )
+                    scratch = os.path.join(
+                        scratch_root, f"crawler_ray_frontier_{os.getpid()}_{rnd}.parquet"
+                    )
+                    pq.write_table(selected, scratch, compression="none")
+                    ds = rd.read_parquet(
+                        scratch, override_num_blocks=n_blocks
+                    ).materialize()
+                    os.unlink(scratch)
+                else:
+                    step = -(-selected.num_rows // n_blocks)
+                    # take(), not slice(): a zero-copy slice serializes its
+                    # FULL parent buffers on ray.put — every "block" would
+                    # ship the whole frontier; take() copies only its rows.
+                    ds = rd.from_arrow(
+                        [
+                            selected.take(
+                                np.arange(
+                                    i * step, min((i + 1) * step, selected.num_rows)
+                                )
+                            )
+                            for i in range(n_blocks)
+                        ]
+                    )
+                t0 = _tick("slice_blocks", t0)
 
             # ONE fused execution per round: fetch → decode/parse → robots →
             # seen anti-join (see stages/process.py for the fusion
@@ -286,6 +337,7 @@ class CrawlDriver:
                 cfg.max_attempts,
                 cfg.synth_images,
                 self.ckpt.images_dir(rnd),  # direct image sink in-stage
+                filter_input,
             )
             if cfg.fetch_mode == "tasks":
                 # stateless tasks on pre-started workers, stage cached per
@@ -380,25 +432,32 @@ class CrawlDriver:
                 else pa.Table.from_pylist([], schema=schemas.FRONTIER)
             )
 
-            # --- metrics: pages by (host, kind) from the selected frontier
-            # (driver-side pyarrow over control data; no extra execution)
-            mdf = (
-                selected.select(["host", "kind"])
-                .to_pandas()
-                .assign(pages=1)
-                .groupby(["host", "kind"], sort=True)["pages"]
-                .sum()
-                .reset_index()
-            )
-            mdf["errors"] = 0
-            self.metrics[f"round_{rnd:04d}"] = mdf.to_dict(orient="list")
-            totals["pages"] += selected.num_rows
+            if selected is not None:
+                # --- metrics: pages by (host, kind) from the selected
+                # frontier (driver-side pyarrow; no extra execution)
+                mdf = (
+                    selected.select(["host", "kind"])
+                    .to_pandas()
+                    .assign(pages=1)
+                    .groupby(["host", "kind"], sort=True)["pages"]
+                    .sum()
+                    .reset_index()
+                )
+                mdf["errors"] = 0
+                self.metrics[f"round_{rnd:04d}"] = mdf.to_dict(orient="list")
+                n_pages = int(selected.num_rows)
+            else:
+                # big-seed streaming round: admitted-row accounting comes
+                # from the in-stage fetch_stat summary rows
+                n_pages = int(cdf["s"].get("fetch_stat", 0))
+                self.metrics[f"round_{rnd:04d}"] = {"big_seed_pages": n_pages}
+            totals["pages"] += n_pages
             totals["images"] += n_imgs
             totals["errors"] += n_dead
             self.metrics["_totals"] = dict(totals)
             self.lineage[f"round_{rnd:04d}"] = {
                 "in_frontier": int(frontier.num_rows),
-                "selected": int(selected.num_rows),
+                "selected": n_pages,
                 "backlog": int(backlog.num_rows),
                 "successors": int(survivors.num_rows),
                 "images": int(n_imgs),

@@ -129,18 +129,46 @@ class CrawlProcessStage:
 
     def __init__(self, pages_ref, politeness, seen, robots_txt: dict[str, str],
                  max_attempts: int = 3, synth_images: dict | None = None,
-                 images_dir: str | None = None):
+                 images_dir: str | None = None, filter_input: bool = False):
         self.fetch = SyntheticFetchStage(
             pages_ref, politeness, max_attempts, synth_images=synth_images
         )
         self.seen = seen
         self.robots = RobotsCache(lambda host: robots_txt.get(host))
+        self.has_robots_rules = bool(robots_txt)
         # direct image sink: when set, new-image rows are written to
         # parquet HERE (one deterministically-named part file per batch)
         # instead of being carried through the object store for a second
         # write pass — images are the bulk payload at scale, and this keeps
         # them out of the round's materialized control output entirely.
         self.images_dir = images_dir
+        # breadth-seed mode: the round-0 frontier streams straight from the
+        # seed file, so robots + seen dedup of the INPUT happens here instead
+        # of on the driver (the driver never materializes the seed list)
+        self.filter_input = filter_input
+
+    def _filter_input_batch(self, batch: pa.Table, out: list[dict]) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if self.has_robots_rules:
+            allowed = self.robots.allowed(urls)
+            if not allowed.all():
+                batch = batch.filter(pa.array(allowed))
+                urls = [u for u, a in zip(urls, allowed) if a]
+        if not urls:
+            return batch
+        seen_mask = self.seen.check_and_insert(urls)
+        if seen_mask.any():
+            batch = batch.filter(pa.array(~seen_mask))
+        # one accounting row per batch: rows actually admitted for fetching
+        out.append(
+            _row(
+                {"url": "", "host": "", "kind": "fetch",
+                 "depth": 0, "priority": 0.0, "seed_id": ""},
+                row_type="fetch_stat",
+                status=int((~seen_mask).sum()),
+            )
+        )
+        return batch
 
     def _process_images(self, fetched: pa.Table, out: list[dict]) -> None:
         """Vectorized image path: columnar in/out, per-row work is only the
@@ -244,9 +272,13 @@ class CrawlProcessStage:
                 )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fetched = self.fetch(batch)
         out: list[dict] = []
         succ_rows: list[dict] = []
+        if self.filter_input:
+            batch = self._filter_input_batch(batch, out)
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
+        fetched = self.fetch(batch)
 
         # vectorized image path (typically the bulk of a breadth round)
         self._process_images(fetched, out)
