@@ -275,6 +275,11 @@ class CrawlDriver:
                 ds = rd.read_parquet(seeds_path, override_num_blocks=target).map_batches(
                     _seed_batch_to_frontier, batch_format="pyarrow"
                 )
+                if cfg.fetch_mode != "tasks":
+                    # a FIXED actor pool inside the same execution as its
+                    # producer read can reserve every CPU and deadlock —
+                    # give the pool a materialized input instead
+                    ds = ds.materialize()
                 t0 = _tick("seed_stream", t0)
             else:
                 selected, backlog = split_selected(frontier, cfg.quota_per_host)
