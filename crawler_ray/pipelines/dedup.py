@@ -143,22 +143,28 @@ class MinHashStage:
         self.a, self.b = _perm_params(seed)
 
     def _signature(self, text: str) -> np.ndarray:
-        from crawler_ray.functions.text import char_ngrams
-
-        shingles = char_ngrams(text, self.ngram)
-        if not shingles:
-            return np.zeros(_N_PERM, dtype=np.uint64)
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
-        # one (m × 128) vectorized multiply-add in Z/2^64, min over shingles
+        """Fully vectorized: byte n-gram windows packed into uint64 (exact
+        shingle identity for n ≤ 8 bytes), distinct via np.unique, splitmix64
+        bit-mix, then one (m × 128) multiply-add in Z/2^64 with min over
+        shingles. Byte (not unicode-char) shingles — a faithful approximation
+        of char n-grams for candidate generation; the verifier uses exact
+        char n-gram Jaccard either way."""
+        raw = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+        n = min(self.ngram, 8)
+        if raw.size < n:
+            u = np.array([int.from_bytes(raw.tobytes(), "big")], dtype=np.uint64)
+        else:
+            w = raw[: raw.size - n + 1].astype(np.uint64)
+            for k in range(1, n):
+                w = (w << np.uint64(8)) | raw[k : raw.size - n + 1 + k]
+            u = np.unique(w)
         with np.errstate(over="ignore"):
-            vals = h[:, None] * self.a[None, :] + self.b[None, :]
+            # splitmix64 finalizer — packed windows are low-entropy ints
+            z = u + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            vals = z[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -295,12 +301,11 @@ def minhash_near_dup_pairs(
                      batch_format="pyarrow")
         .to_pandas()
     )
-    hot_ref = ray.put(set(hot["bucket"]))
+    hot_ref = ray.put(pa.array(sorted(hot["bucket"]), pa.string()))
 
     def only_hot(t: pa.Table) -> pa.Table:
         keys = ray.get(hot_ref)
-        mask = pa.array([b in keys for b in t["bucket"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pa.compute.is_in(t["bucket"], value_set=keys))
 
     candidates = (
         banded.map_batches(only_hot, batch_format="pyarrow")
