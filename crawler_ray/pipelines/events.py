@@ -18,9 +18,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from crawler_ray.functions.rounding import round_np
-
-
 def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
@@ -33,10 +30,15 @@ def hourly_event_counts(sf_dir: str) -> rd.Dataset:
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        # exact integer-cents partial sums (joins.py li_partial pattern): the
+        # value column has 2 decimals, so round(value*100) is an exact int64
+        # and the distributed sum is associative — no summation-order flips
+        # vs the oracle regardless of block split
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
         out = (
-            df.assign(hour=hour)
+            df.assign(hour=hour, cents=cents)
             .groupby(["hour", "event_type"], sort=True)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
             .reset_index()
         )
         # single composite shuffle key (single-key groupby is much cheaper
@@ -44,13 +46,13 @@ def hourly_event_counts(sf_dir: str) -> rd.Dataset:
         out["win_key"] = out["hour"] + "|" + out["event_type"]
         # Arrow out: feeds the window-key groupby shuffle
         return pa.Table.from_pandas(
-            out[["win_key", "n_events", "sum_value"]], preserve_index=False
+            out[["win_key", "n_events", "sum_cents"]], preserve_index=False
         )
 
     partial = ds.map_batches(bucket, batch_format="pandas")
     agg = partial.groupby("win_key").aggregate(
         Sum("n_events", alias_name="n_events_f"),
-        Sum("sum_value", alias_name="sum_value_f"),
+        Sum("sum_cents", alias_name="sum_cents_f"),
     )
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
@@ -60,7 +62,9 @@ def hourly_event_counts(sf_dir: str) -> rd.Dataset:
                 "hour": parts[0],
                 "event_type": parts[1],
                 "n_events": df["n_events_f"].astype("int64"),
-                "sum_value": round_np(df["sum_value_f"], 2),
+                # cents/100.0 is the nearest double to the 2-decimal value —
+                # identical to DuckDB's ROUND canonical representation
+                "sum_value": df["sum_cents_f"].astype("int64") / 100.0,
             }
         )
 
@@ -91,18 +95,22 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         if len(g) > 1:
             brk[1:] = (np.diff(ts) > gap).astype(np.int64)
         sid = np.cumsum(brk)
+        # integer-cents sums: exact, order-independent, and cents/100.0 is the
+        # nearest double to the 2-decimal value = DuckDB ROUND's canonical
+        # double (float sums + round_np do NOT snap 83.17999... to 83.18)
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
         out = (
-            g.assign(session_id=sid)
+            g.assign(session_id=sid, cents=cents)
             .groupby("session_id", sort=True)
             .agg(
                 user_id=("user_id", "first"),
                 n_events=("event_id", "size"),
-                sum_value=("value", "sum"),
+                sum_cents=("cents", "sum"),
                 session_start=("ts", "min"),
             )
             .reset_index()
         )
-        out["sum_value"] = round_np(out["sum_value"], 2)
+        out["sum_value"] = out["sum_cents"] / 100.0
         out["session_start_epoch"] = (
             out["session_start"].astype("datetime64[ns]").astype("int64") // 10**9
         )
@@ -126,7 +134,7 @@ sessions AS (
                           ROWS UNBOUNDED PRECEDING) AS session_id
     FROM marked
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS sum_value,
        (epoch_us(MIN(ts)) // 1000000)::BIGINT AS session_start_epoch
 FROM sessions
@@ -140,9 +148,23 @@ def props_key_sum(sf_dir: str) -> rd.Dataset:
     ds = _read_events(sf_dir, ["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
-        ks = df["props"].map(lambda s: json.loads(s).get("k", 0) if s else 0)
+        # vectorized extraction of the flat {"k": N} payload (tolerant like
+        # the reference's TryGetProperty: missing key / null props -> 0);
+        # fall back to per-row json.loads only for rows the regex misses
+        ks = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)(?![.\d])', expand=False),
+            errors="coerce",
+        )
+        # the regex is only sound for flat objects: nested JSON could match an
+        # inner "k" first — route any multi-object string to the JSON parser
+        nested = df["props"].str.count(r"\{") > 1
+        miss = (ks.isna() | nested) & df["props"].notna() & (df["props"] != "")
+        if miss.any():
+            ks[miss] = df.loc[miss, "props"].map(
+                lambda s: json.loads(s).get("k", 0)
+            )
         out = (
-            df.assign(k=ks.astype("int64"))
+            df.assign(k=ks.fillna(0).astype("int64"))
             .groupby("event_type", sort=True)["k"]
             .sum()
             .reset_index(name="k_sum")
@@ -162,7 +184,7 @@ def props_key_sum(sf_dir: str) -> rd.Dataset:
 
 PROPS_KEY_SUM_SQL = """
 SELECT event_type,
-       SUM(json_extract_string(props, '$.k')::BIGINT) AS k_sum
+       SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum
 FROM events
 GROUP BY event_type
 """
@@ -170,12 +192,17 @@ GROUP BY event_type
 
 def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Grouped sum → global top-k (pre-aggregate per batch, tiny sort)."""
-    from crawler_ray.functions.rounding import round_np
-
     ds = _read_events(sf_dir, ["user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        out = df.groupby("user_id", sort=False)["value"].agg(["sum", "size"]).reset_index()
+        # integer-cents partial sums: exact + order-independent (see sessions)
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        out = (
+            df.assign(cents=cents)
+            .groupby("user_id", sort=False)["cents"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
         out.columns = ["user_id", "sum_p", "n_p"]
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -188,7 +215,7 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
             lambda df: pd.DataFrame(
                 {
                     "user_id": df["user_id"].astype("int64"),
-                    "total_value": round_np(df["total_value_f"], 2),
+                    "total_value": df["total_value_f"].astype("int64") / 100.0,
                     "n_events": df["n_events_f"].astype("int64"),
                 }
             ),
