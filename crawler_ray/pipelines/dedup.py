@@ -133,10 +133,11 @@ def _perm_params(seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-class MinHashStage:
-    """doc → 128-perm MinHash over char n-gram shingles → one row per band:
-    (band_id, band_hash, doc_id). Stateful setup (perm params, regex) once
-    per actor."""
+class MinHashSignatures:
+    """doc → 128-perm MinHash signature (one fixed-width binary cell per doc),
+    carrying the text through so downstream verification can hash-partition
+    join on doc_id instead of broadcasting the corpus. Stateful setup (perm
+    params) once per actor."""
 
     def __init__(self, ngram: int = 3, seed: int = 13):
         self.ngram = ngram
@@ -167,30 +168,6 @@ class MinHashStage:
             vals = z[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows_per_band = _N_PERM // _N_BANDS
-        out_doc, out_bucket = [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self._signature(text)
-            for band in range(_N_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                # single composite bucket key (band prefix + band hash):
-                # single-key groupby shuffles are much cheaper than multi-key
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_doc.append(doc_id)
-                out_bucket.append(f"{band:02d}:{bh}")
-        # Arrow out: these rows feed a groupby shuffle, and sort-shuffles
-        # over Arrow blocks are ~10x faster than over pandas blocks
-        return pa.table(
-            {"bucket": pa.array(out_bucket, pa.string()),
-             "doc_id": pa.array(np.array(out_doc, dtype=np.int64), pa.int64())}
-        )
-
-
-class MinHashSignatures(MinHashStage):
-    """doc → raw 128-perm signature (one binary cell per doc). Split from
-    the banding so the signatures can ALSO drive the estimate prefilter."""
-
     def __call__(self, df: pd.DataFrame) -> pa.Table:
         sigs = [self._signature(t).tobytes() for t in df["text"]]
         return pa.table(
@@ -199,37 +176,152 @@ class MinHashSignatures(MinHashStage):
         )
 
 
+# per-worker stage cache for task-mode execution (same rationale as
+# stages/process.py:_PROC_CACHE: actor pools are spun up per execution,
+# pre-started task workers are not — and the MinHash state is just the
+# derived permutation params, cheap to build once per worker)
+_MINHASH_CACHE: dict[tuple, MinHashSignatures] = {}
+
+
+def make_minhash_fn(ngram: int = 3, seed: int = 13):
+    key = (ngram, seed)
+
+    def minhash_fn(df: pd.DataFrame) -> pa.Table:
+        stage = _MINHASH_CACHE.get(key)
+        if stage is None:
+            stage = _MINHASH_CACHE.setdefault(key, MinHashSignatures(ngram, seed))
+        return stage(df)
+
+    return minhash_fn
+
+
 def sig_to_bands(t: pa.Table) -> pa.Table:
-    """Signature rows → (bucket, doc_id) band rows (stateless, Arrow out)."""
+    """Signature rows → (bucket:int64, doc_id, sig) band rows. Fully
+    vectorized: the (n, 128) signature matrix is reshaped to (n, 16, 8) and
+    each band is folded lane-by-lane with an FNV-style multiply-xor +
+    splitmix64 finalizer — 128 vector ops total, no per-doc hashing loop
+    (the round-1 16×blake2b per doc loop was the bench's hottest spot). The
+    int64 bucket packs the band id (4 bits) above a 58-bit band hash;
+    collisions only create extra candidates, which verification removes.
+
+    Each band row CARRIES the full 1 KiB signature so the bucket groupby can
+    run the pairwise-estimate prefilter in place with no further exchange.
+    That duplicates the signature 16× in the banding shuffle — 16 KiB/doc,
+    independent of document size, i.e. well under one corpus shuffle for
+    typical multi-KiB training documents. (The slimmer alternative — slim
+    band rows + a count-join prune + a sig join on doc_id — trades that
+    volume for two more all-to-all stages; at petabyte scale with short
+    documents, switch to it.)"""
     rows_per_band = _N_PERM // _N_BANDS
-    out_doc, out_bucket = [], []
-    for doc_id, sig in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
-        arr = np.frombuffer(sig, dtype=np.uint64)
-        for band in range(_N_BANDS):
-            chunk = arr[band * rows_per_band : (band + 1) * rows_per_band]
-            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_doc.append(doc_id)
-            out_bucket.append(f"{band:02d}:{bh}")
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.binary())})
+    mat = np.frombuffer(
+        b"".join(t["sig"].to_pylist()), dtype=np.uint64
+    ).reshape(n, _N_BANDS, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.full((n, _N_BANDS), 0xCBF29CE484222325, dtype=np.uint64)
+        for k in range(rows_per_band):
+            h = (h ^ mat[:, :, k]) * np.uint64(0x100000001B3)
+        z = h + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        band = np.arange(_N_BANDS, dtype=np.uint64)[None, :]
+        bucket = ((band << np.uint64(58)) | (z >> np.uint64(6))).astype(np.int64)
+    idx = np.repeat(np.arange(n), _N_BANDS)
     return pa.table(
-        {"bucket": pa.array(out_bucket, pa.string()),
-         "doc_id": pa.array(np.array(out_doc, dtype=np.int64), pa.int64())}
+        {"bucket": pa.array(bucket.ravel(), pa.int64()),
+         "doc_id": t["doc_id"].take(pa.array(idx)),
+         "sig": t["sig"].take(pa.array(idx))}
     )
 
 
-class JaccardVerifier:
-    """Candidate-pair verification: a vectorized MinHash-estimate prefilter
-    (signature agreement fraction, broadcast signature matrix) drops pairs
-    whose estimated Jaccard is below ``threshold - margin`` (margin = 3σ of
-    the 128-perm estimator), then exact n-gram Jaccard confirms survivors.
-    Texts + signatures come from broadcast maps (``ray.put`` once). At corpus
-    scales where those can't broadcast, carry the signature through the
-    shuffle and hash-partition-join texts on doc_id instead."""
+_EST_MARGIN = 0.12  # ~3 * sqrt(j(1-j)/128) at j≈0.8
 
-    MARGIN = 0.12  # ~3 * sqrt(j(1-j)/128) at j≈0.8
 
-    def __init__(self, texts_ref, sigs_ref, ngram: int, threshold: float):
-        self.texts: dict = ray.get(texts_ref)
-        self.sig_ids, self.sig_mat = ray.get(sigs_ref)  # sorted ids, (n,128)
+def _estimate_pairs_multi(threshold: float):
+    """Candidate generation over a hash PARTITION of buckets (not one group
+    per call — Ray's per-group map_groups costs ~ms of pandas overhead per
+    group, ruinous for tens of thousands of mostly-singleton buckets; a
+    partition call costs that once and walks its bucket segments at numpy
+    speed).
+
+    Per bucket segment, the (m, 128) signature matrix is compared pairwise
+    (vectorized column-equality accumulation, row-chunked to bound memory)
+    and only pairs with estimated Jaccard ≥ threshold - 3σ leave — this is
+    what keeps mega-buckets (low-entropy band collisions) from exploding
+    into O(m²) shuffle rows.
+
+    Canonical-band dedup, shuffle-free: a pair whose signatures agree in k
+    bands lands in k buckets; each bucket knows its own band id and can
+    recompute ALL band matches from the sigs it already holds, so the pair
+    is emitted only from its FIRST matching band — global uniqueness
+    without a pair-dedup exchange. (Pairs bucketed only via a 58-bit
+    band-hash collision have no true matching band and are emitted as-is —
+    verification removes false ones.)"""
+    min_est_count = int(np.ceil((threshold - _EST_MARGIN) * _N_PERM))
+    rows_per_band = _N_PERM // _N_BANDS
+    chunk = 2048
+
+    def est_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        if n >= 2:
+            bkt = g["bucket"].to_numpy()
+            ids = g["doc_id"].to_numpy()
+            mat = np.frombuffer(
+                b"".join(g["sig"].to_pylist()), dtype=np.uint64
+            ).reshape(n, _N_PERM)
+            order = np.lexsort((ids, bkt))
+            bkt, ids, mat = bkt[order], ids[order], mat[order]
+            starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                m = e - s
+                if m < 2:
+                    continue
+                sig = mat[s:e]
+                sids = ids[s:e]
+                cur_band = int(bkt[s]) >> 58
+                for c0 in range(0, m, chunk):
+                    c1 = min(c0 + chunk, m)
+                    acc = np.zeros((c1 - c0, m), dtype=np.uint8)
+                    for k in range(_N_PERM):
+                        col = sig[:, k]
+                        acc += col[c0:c1, None] == col[None, :]
+                    # upper triangle only (global index ai < bi)
+                    mask = acc >= min_est_count
+                    mask &= (np.arange(c0, c1)[:, None] < np.arange(m)[None, :])
+                    ai, bi = np.nonzero(mask)
+                    if not len(ai):
+                        continue
+                    ai = ai + c0
+                    rb = sig.reshape(m, _N_BANDS, rows_per_band)
+                    band_eq = (rb[ai] == rb[bi]).all(axis=2)
+                    keep = (~band_eq.any(axis=1)) | (
+                        band_eq.argmax(axis=1) == cur_band
+                    )
+                    if keep.any():
+                        out_a.append(sids[ai[keep]])
+                        out_b.append(sids[bi[keep]])
+        da = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        db = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pa.table({"doc_a": pa.array(da, pa.int64()),
+                         "doc_b": pa.array(db, pa.int64())})
+
+    return est_pairs
+
+
+class PairVerifier:
+    """Exact char n-gram Jaccard over JOINED rows (doc_a, doc_b, text_a,
+    text_b). No broadcast state — texts arrive through the hash-partition
+    join, so the stage is corpus-size-independent."""
+
+    def __init__(self, ngram: int, threshold: float):
         self.ngram = ngram
         self.threshold = threshold
 
@@ -238,24 +330,23 @@ class JaccardVerifier:
 
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
         if len(df):
-            da = df["doc_a"].to_numpy(dtype=np.int64)
-            db = df["doc_b"].to_numpy(dtype=np.int64)
-            ia = np.searchsorted(self.sig_ids, da)
-            ib = np.searchsorted(self.sig_ids, db)
-            est = (self.sig_mat[ia] == self.sig_mat[ib]).mean(axis=1)
-            keep = est >= self.threshold - self.MARGIN
+            # shingle sets computed once per doc per batch (docs repeat
+            # across pairs within a bucket's candidate block)
             cache: dict[int, set] = {}
 
-            def sh(d):
+            def sh(d, text):
                 if d not in cache:
-                    cache[d] = char_ngrams(self.texts[d], self.ngram)
+                    cache[d] = char_ngrams(text, self.ngram)
                 return cache[d]
 
-            for a, b in zip(da[keep].tolist(), db[keep].tolist()):
-                j = jaccard(sh(a), sh(b))
+            da = df["doc_a"].to_numpy(dtype=np.int64)
+            db = df["doc_b"].to_numpy(dtype=np.int64)
+            ta, tb = df["text_a"], df["text_b"]
+            for i in range(len(df)):
+                j = jaccard(sh(da[i], ta.iloc[i]), sh(db[i], tb.iloc[i]))
                 if j >= self.threshold:
-                    out["doc_a"].append(a)
-                    out["doc_b"].append(b)
+                    out["doc_a"].append(da[i])
+                    out["doc_b"].append(db[i])
                     out["jaccard"].append(round(j, 6))
         return pd.DataFrame(
             {"doc_a": np.array(out["doc_a"], dtype=np.int64),
@@ -269,88 +360,70 @@ def minhash_near_dup_pairs(
 ) -> rd.Dataset:
     """MinHash→LSH candidate generation → exact-Jaccard verification.
     Rows-only driver check (LSH is probabilistic; recall vs brute force is
-    asserted in tests/test_dedup.py on a corpus with planted near-dups)."""
+    asserted in tests/test_dedup.py on a corpus with planted near-dups).
+
+    Scale shape — every stage distributed, NO driver-side state, NO
+    broadcasts (round-1 broadcast the whole corpus; VERDICT item #4):
+      docs → signatures (task-mode, worker-cached params) → vectorized
+      banding (band rows carry the sig; see sig_to_bands) → ONE bucket
+      groupby running the fused pairwise-estimate prefilter with
+      canonical-band dedup (pairs leave each bucket globally unique — no
+      pair-dedup exchange, and mega-buckets can't explode: the estimate
+      kills spurious collisions where the signatures already are) →
+      hash-partition join texts on doc_a, then doc_b (texts only move for
+      estimate-surviving pairs) → exact-Jaccard verify (task-mode)."""
+    from crawler_ray.pipelines.joins import partitioned_hash_join
+
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    # signatures once (actor pool), reused by BOTH the banding path and the
-    # estimate prefilter in verification
-    sigs = docs.map_batches(
-        MinHashSignatures,
-        fn_constructor_args=(ngram,),
-        batch_format="pandas",
-        concurrency=(1, 8),
-        num_cpus=1,
-    ).materialize()
-    banded = sigs.map_batches(sig_to_bands, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    # prune singleton buckets before the per-group UDF: the Count aggregate
-    # is a cheap single-key Arrow shuffle (one row per bucket); only buckets
-    # with >=2 members (rare) reach map_groups. At 5k docs this cuts the
-    # map_groups group count from ~80k to a few hundred.
-    hot = (
-        banded.groupby("bucket")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(lambda t: t.filter(pa.compute.greater_equal(t["n"], 2)),
-                     batch_format="pyarrow")
-        .to_pandas()
-    )
-    hot_ref = ray.put(pa.array(sorted(hot["bucket"]), pa.string()))
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        return t.filter(pa.compute.is_in(t["bucket"], value_set=keys))
-
-    candidates = (
-        banded.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
-    # broadcast the signature matrix for the estimate prefilter (n × 1 KiB)
-    sig_t = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
-    sig_ids = sig_t["doc_id"].to_numpy()
-    order = np.argsort(sig_ids)
-    sig_mat = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in sig_t["sig"].to_pylist()]
-    )[order]
-    sigs_ref = ray.put((sig_ids[order], sig_mat))
-    # verify BEFORE pair-dedup: verification is idempotent and candidate
-    # duplication across bands is small (~10%), so shuffling the huge
-    # candidate set just to dedupe it costs far more than re-verifying;
-    # the tiny verified output is deduped instead (packed int64 pair key,
-    # assumes doc_id < 2^31).
-    verified = candidates.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(texts_ref, sigs_ref, ngram, threshold),
-        batch_format="pandas",
-        concurrency=(1, 8),
-        num_cpus=1,
-    )
-    packed = verified.map_batches(
+    n_parts = 64  # coarse hash partitions for the bucket exchange
+    sigs = docs.map_batches(make_minhash_fn(ngram), batch_format="pandas")
+    banded = sigs.map_batches(sig_to_bands, batch_format="pyarrow").map_batches(
         lambda t: t.append_column(
-            "pair",
-            pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
+            "part",
+            pa.array((t["bucket"].to_numpy() % n_parts).astype(np.int64),
+                     pa.int64()),
         ),
         batch_format="pyarrow",
     )
-    return (
-        packed.groupby("pair")
-        .aggregate(
-            Min("doc_a", alias_name="doc_a"),
-            Min("doc_b", alias_name="doc_b"),
-            Min("jaccard", alias_name="jaccard"),
+    candidates = (
+        banded.groupby("part")
+        .map_groups(_estimate_pairs_multi(threshold), batch_format="pyarrow")
+    )
+
+    def rename_side(suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"doc_{suffix}", f"text_{suffix}"])
+
+        return fn
+
+    def side_schema(suffix: str) -> pa.Schema:
+        return pa.schema(
+            [(f"doc_{suffix}", pa.int64()), (f"text_{suffix}", pa.string())]
         )
-        .select_columns(["doc_a", "doc_b", "jaccard"])
+
+    side_a = docs.map_batches(rename_side("a"), batch_format="pyarrow")
+    side_b = docs.map_batches(rename_side("b"), batch_format="pyarrow")
+    j1 = partitioned_hash_join(
+        candidates,
+        side_a,
+        on="doc_a",
+        n_buckets=16,
+        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        right_schema=side_schema("a"),
+    )
+    joined = partitioned_hash_join(
+        j1,
+        side_b,
+        on="doc_b",
+        n_buckets=16,
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("text_a", pa.string())]
+        ),
+        right_schema=side_schema("b"),
+    )
+    return joined.map_batches(
+        PairVerifier(ngram, threshold), batch_format="pandas"
     )
 
 
@@ -358,112 +431,130 @@ def minhash_near_dup_pairs(
 # SimHash near-dup
 
 
-class SimHashStage:
-    def __init__(self):
-        from crawler_ray.functions.hashing import simhash64
-        from crawler_ray.functions.text import TOKEN_RE
+def simhash_batch(df: pd.DataFrame) -> pa.Table:
+    """Batch-vectorized 64-bit SimHash: tokens of the whole batch are
+    flattened, hashed ONCE with pandas' vectorized siphash
+    (``pd.util.hash_array``, deterministic fixed key), unpacked to a bit
+    matrix and majority-voted per doc with one ``np.add.reduceat`` — no
+    per-doc Python hashing loop."""
+    from crawler_ray.functions.text import TOKEN_RE
 
-        self.simhash = simhash64
-        self.token_re = TOKEN_RE
+    toks_per_doc = [TOKEN_RE.findall(t.lower()) for t in df["text"]]
+    counts = np.fromiter(map(len, toks_per_doc), np.int64, len(toks_per_doc))
+    out = np.zeros(len(counts), dtype=np.uint64)
+    nz = np.flatnonzero(counts)
+    if len(nz):
+        flat = np.array(
+            [tok for toks in toks_per_doc for tok in toks], dtype=object
+        )
+        hs = pd.util.hash_array(flat)
+        bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        sums = np.add.reduceat(bits, starts[nz], axis=0)
+        maj = (2 * sums >= counts[nz, None]).astype(np.uint8)
+        packed = np.packbits(maj, axis=1)
+        out[nz] = packed.view(np.uint64).reshape(-1)
+    return pa.table(
+        {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+         "simhash": pa.array(out.astype(np.int64), pa.int64())}
+    )
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = df["text"].map(
-            lambda t: self.simhash(self.token_re.findall(t.lower()))
-        ).astype("int64")
-        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sigs})
+
+def _hamming_pairs_multi(max_hamming: int):
+    """Per-partition candidate generation + Hamming verification, fused:
+    walks bucket segments at numpy speed (see _estimate_pairs_multi for why
+    per-group map_groups is avoided), computes the pairwise XOR-popcount
+    inside each segment, and emits a (doc_a, doc_b, hamming) row only from
+    the pair's FIRST matching quarter — globally unique output with no
+    pair-dedup exchange and no text/signature joins at all (Hamming
+    verification needs nothing beyond the signatures already present)."""
+    chunk = 2048
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1
+    ).astype(np.uint8)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_a, out_b, out_d = [], [], []
+        if n >= 2:
+            bkt = g["bucket"].to_numpy()
+            ids = g["doc_id"].to_numpy()
+            sh = g["simhash"].to_numpy().astype(np.uint64)
+            order = np.lexsort((ids, bkt))
+            bkt, ids, sh = bkt[order], ids[order], sh[order]
+            starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                m = e - s
+                if m < 2:
+                    continue
+                seg = sh[s:e]
+                sids = ids[s:e]
+                cur_q = int(bkt[s]) >> 16
+                for c0 in range(0, m, chunk):
+                    c1 = min(c0 + chunk, m)
+                    x = seg[c0:c1, None] ^ seg[None, :]
+                    d = _POP[x.view(np.uint8).reshape(c1 - c0, m, 8)].sum(
+                        axis=2
+                    ).astype(np.int64)
+                    mask = d <= max_hamming
+                    mask &= np.arange(c0, c1)[:, None] < np.arange(m)[None, :]
+                    ai, bi = np.nonzero(mask)
+                    if not len(ai):
+                        continue
+                    ai = ai + c0
+                    # canonical-quarter dedup: both quarters are derivable
+                    # from the two signatures, so emit only from the first
+                    # equal quarter
+                    xr = (seg[ai] ^ seg[bi])[:, None] >> (
+                        np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]
+                    )
+                    q_eq = (xr & np.uint64(0xFFFF)) == 0
+                    keep = q_eq.argmax(axis=1) == cur_q
+                    if keep.any():
+                        out_a.append(sids[ai[keep]])
+                        out_b.append(sids[bi[keep]])
+                        out_d.append(d[ai[keep] - c0, bi[keep]])
+        da = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        db = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        dd = np.concatenate(out_d) if out_d else np.array([], dtype=np.int64)
+        return pa.table({"doc_a": pa.array(da, pa.int64()),
+                         "doc_b": pa.array(db, pa.int64()),
+                         "hamming": pa.array(dd, pa.int64())})
+
+    return pairs
 
 
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """SimHash banding: 4×16-bit quarters — two signatures within Hamming
-    distance ≤ 4-1 share at least one exact quarter (pigeonhole) → groupby
-    quarter values → verify Hamming. Rows-only driver check."""
-    from crawler_ray.functions.hashing import hamming64_batch
-
+    distance ≤ 4-1 share at least one exact quarter (pigeonhole) → coarse
+    hash-partition groupby on the quarter buckets → fused in-segment
+    Hamming verify + canonical-quarter dedup. Two map stages and ONE
+    exchange total. Rows-only driver check."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    sigs = docs.map_batches(
-        SimHashStage, batch_format="pandas", concurrency=(1, 4), num_cpus=1
-    )
+    n_parts = 64
+    sigs = docs.map_batches(simhash_batch, batch_format="pandas")
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["simhash"].to_numpy().astype(np.uint64)
-        parts = []
-        for q in range(4):
-            quarter = ((s >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
-            # single int64 bucket key: band in the high bits, quarter value low
-            parts.append(pd.DataFrame({
-                "bucket": (np.int64(q) << np.int64(16)) | quarter,
-                "doc_id": df["doc_id"].to_numpy(),
-                "simhash": df["simhash"].to_numpy(),
-            }))
-        # Arrow out: feeds the bucket groupby shuffle
-        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                    preserve_index=False)
+    def explode(t: pa.Table) -> pa.Table:
+        s = t["simhash"].to_numpy().astype(np.uint64)
+        n = len(s)
+        q = np.arange(4, dtype=np.uint64)[None, :]
+        quarter = (s[:, None] >> (np.uint64(16) * q)) & np.uint64(0xFFFF)
+        # single int64 bucket key: quarter index in the high bits, value low
+        bucket = ((q << np.uint64(16)) | quarter).astype(np.int64)
+        idx = np.repeat(np.arange(n), 4)
+        bucket = bucket.ravel()
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "part": pa.array((bucket % n_parts).astype(np.int64), pa.int64()),
+            "doc_id": t["doc_id"].take(pa.array(idx)),
+            "simhash": t["simhash"].take(pa.array(idx)),
+        })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "sh_a": pd.Series([], dtype="int64"),
-                                 "sh_b": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(n, k=1)
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy()
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b], "sh_a": sh[a], "sh_b": sh[b]})
-
-    exploded = sigs.map_batches(explode, batch_format="pandas")
-    # prune singleton buckets (same pattern as MinHash-LSH above)
-    hot = (
-        exploded.groupby("bucket")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(lambda t: t.filter(pa.compute.greater_equal(t["n"], 2)),
-                     batch_format="pyarrow")
-        .to_pandas()
-    )
-    hot_ref = ray.put(set(hot["bucket"]))
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        import numpy as _np
-
-        mask = pa.array(_np.isin(t["bucket"].to_numpy(), list(keys)))
-        return t.filter(mask)
-
-    # candidate pairs carry both signatures; Hamming-verify per batch first
-    # (vectorized + idempotent), dedup only the small verified output
-    cands = (
-        exploded.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        d = hamming64_batch(df["sh_a"].to_numpy(), df["sh_b"].to_numpy())
-        out = df.assign(hamming=d.astype("int64"))
-        out = out[out["hamming"] <= max_hamming]
-        return out[["doc_a", "doc_b", "hamming"]]
-
-    verified = cands.map_batches(verify, batch_format="pandas")
-    packed = verified.map_batches(
-        lambda t: t.append_column(
-            "pair",
-            pa.compute.add(pa.compute.multiply(t["doc_a"], 4294967296), t["doc_b"]),
-        ),
-        batch_format="pyarrow",
-    )
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
     return (
-        packed.groupby("pair")
-        .aggregate(
-            Min("doc_a", alias_name="doc_a"),
-            Min("doc_b", alias_name="doc_b"),
-            Min("hamming", alias_name="hamming"),
-        )
-        .select_columns(["doc_a", "doc_b", "hamming"])
+        exploded.groupby("part")
+        .map_groups(_hamming_pairs_multi(max_hamming), batch_format="pyarrow")
     )
 
 

@@ -37,22 +37,40 @@ def partitioned_hash_join(
     on: str,
     n_buckets: int = 32,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Hash-partitioned join of two Datasets on an integer key column.
     Column sets of the two sides must be disjoint apart from ``on``.
     Union requires aligned schemas, so each side is padded with typed null
-    columns for the other side's fields before the bucket shuffle."""
-    lsch: pa.Schema = left.schema().base_schema
-    rsch: pa.Schema = right.schema().base_schema
-    lcols = [f.name for f in lsch]
-    rcols = [f.name for f in rsch]
-    l_extra = [f for f in rsch if f.name not in lcols]
-    r_extra = [f for f in lsch if f.name not in rcols]
+    columns for the other side's fields before the bucket shuffle. Output
+    blocks are Arrow tables with a FIXED schema (left fields then right
+    fields minus the key) so empty buckets can't drift dtypes.
+
+    Pass ``left_schema`` / ``right_schema`` when a side's block schema is
+    pandas-typed with object columns (bytes vs str is not inferrable)."""
+    def _fields(ds: rd.Dataset, given) -> list[tuple[str, pa.DataType]]:
+        if given is not None:
+            return [(f.name, f.type) for f in given]
+        # works for Arrow AND (numeric) pandas block schemas
+        sch = ds.schema()
+        out = []
+        for name, typ in zip(sch.names, sch.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(np.dtype(typ))
+            out.append((name, typ))
+        return out
+
+    lf, rf = _fields(left, left_schema), _fields(right, right_schema)
+    lcols = [n for n, _ in lf]
+    rcols = [n for n, _ in rf]
+    l_extra = [(n, t) for n, t in rf if n not in lcols]
+    r_extra = [(n, t) for n, t in lf if n not in rcols]
 
     def pad(extra):
         def fn(t: pa.Table) -> pa.Table:
-            for f in extra:
-                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            for name, typ in extra:
+                t = t.append_column(name, pa.nulls(t.num_rows, typ))
             # stable column order for union
             return t.select(sorted(t.column_names))
 
@@ -68,12 +86,16 @@ def partitioned_hash_join(
         )
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema(lf + [(n, t) for n, t in rf if n != on])
+
+    def merge(g: pd.DataFrame) -> pa.Table:
         lg = g.loc[g["_side"] == "L", lcols]
         rg = g.loc[g["_side"] == "R", rcols]
         if how == "inner" and (lg.empty or rg.empty):
-            return pd.DataFrame(columns=[c for c in lcols + rcols if c != on] + [on])
-        return lg.merge(rg, on=on, how=how)
+            df = pd.DataFrame(columns=[f.name for f in out_schema])
+        else:
+            df = lg.merge(rg, on=on, how=how)[[f.name for f in out_schema]]
+        return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
 
