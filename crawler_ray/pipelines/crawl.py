@@ -47,7 +47,6 @@ import ray.data as rd
 
 from crawler_ray import schemas
 from crawler_ray.functions.urls import normalize_url, url_host
-from crawler_ray.stages.frontier import RobotsFilterStage, SeenFilterStage, split_selected
 from crawler_ray.state.checkpoint import CheckpointManager
 from crawler_ray.state.politeness import PolitenessActor
 from crawler_ray.state.seen import SeenSet
@@ -155,41 +154,6 @@ class CrawlDriver:
         self.politeness = []
 
     # ------------------------------------------------------------------
-    def _seed_frontier(self) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        seeds = pq.read_table(os.path.join(self.cfg.fixture_dir, "seeds.parquet"))
-        # vectorized frontier build (seed lists can be large for breadth
-        # workloads): generator URLs are already in normalized form
-        df = seeds.to_pandas()
-        parts = df["url"].str.split("/", n=4, expand=True)
-        host = parts[2].str.lower()
-        is_img = parts[3].isin(["img", "private"]) if 3 in parts else False
-        out = pd.DataFrame(
-            {
-                "url": df["url"],
-                "host": host,
-                # image-URL seeds (breadth/ingest workloads) vs the
-                # category-tree entry points of the BFS site crawl
-                "kind": np.where(is_img, "image", "category_tree"),
-                "depth": np.int32(0),
-                "priority": df["priority"].astype("float64"),
-                "seed_id": df["seed_id"],
-                "caption": "",
-            }
-        ).sort_values(["priority", "url"], ascending=[False, True], kind="mergesort")
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schemas.FRONTIER)
-
-    def _filter_new(self, candidates: pa.Table) -> pa.Table:
-        """Robots filter then seen anti-join (driver-side for the seed round
-        and round boundaries; in-pipeline stages do the same per batch)."""
-        if candidates.num_rows == 0:
-            return candidates
-        if self.robots_txt:  # fast path: no robots rules → nothing to drop
-            candidates = RobotsFilterStage(self.robots_txt)(candidates)
-        return SeenFilterStage(self.seen)(candidates)
-
-    # ------------------------------------------------------------------
     def run(self, resume: bool = False, stop_after_round: int | None = None) -> CrawlResult:
         cfg = self.cfg
         _dbg = os.environ.get("CRAWLER_RAY_TIMING")
@@ -201,15 +165,19 @@ class CrawlDriver:
             return _t()
         start_round = 0
         pending_big_seed = False
-        empty_frontier = pa.Table.from_pylist([], schema=schemas.FRONTIER)
         seeds_path = os.path.join(cfg.fixture_dir, "seeds.parquet")
+        # the frontier NEVER lives on the driver: between rounds it is the
+        # checkpoint's per-round parquet dir (``frontier_source``); the
+        # driver holds only this path plus row counters (round-1 VERDICT #5)
+        frontier_source: str | None = None  # None → seed round pending
+        frontier_rows: int | None = None  # None → unknown (seed round)
 
         def _seed_round0():
             """Big seed lists stream straight into round 0 (frontier build,
             robots filter and seen anti-join all happen INSIDE the fused
             stage) — the driver never materializes the seed list. Requires
-            an unconstrained quota (breadth/ingest mode); the per-host-quota
-            path below stays driver-side."""
+            an unconstrained quota (breadth/ingest mode); the quota path
+            streams seeds through the fused select+process round instead."""
             import pyarrow.parquet as _pq
 
             n = _pq.read_metadata(seeds_path).num_rows
@@ -218,18 +186,20 @@ class CrawlDriver:
         if resume:
             latest = self.ckpt.latest_complete_round()
             if latest is not None:
-                frontier, snaps, self.metrics, self.lineage = self.ckpt.load_round(latest)
+                frontier_source, snaps, self.metrics, self.lineage = (
+                    self.ckpt.load_round(latest)
+                )
                 self.seen.restore(snaps)
                 self.ckpt.prune_rounds_after(latest)
                 start_round = latest + 1
+                lin = self.lineage.get(f"round_{latest:04d}", {})
+                frontier_rows = int(lin.get("successors", 0)) + int(
+                    lin.get("backlog", 0)
+                )
             elif _seed_round0():
-                frontier, pending_big_seed = empty_frontier, True
-            else:
-                frontier = self._filter_new(self._seed_frontier())
+                pending_big_seed = True
         elif _seed_round0():
-            frontier, pending_big_seed = empty_frontier, True
-        else:
-            frontier = self._filter_new(self._seed_frontier())
+            pending_big_seed = True
 
         totals = {"pages": 0, "images": 0, "errors": 0}
         for key in ("pages", "images", "errors"):
@@ -255,8 +225,30 @@ class CrawlDriver:
         else:
             pages_ref = None
 
+        from crawler_ray.stages.process import (
+            CrawlProcessStage,
+            make_process_fn,
+            make_round_fn,
+        )
+
+        # stable per-crawl stage args (shipped ONCE; per-round sink dirs are
+        # plain attrs on the worker-cached stage, so workers build the stage
+        # once for the whole crawl, not once per round)
+        base_args_ref = ray.put(
+            (
+                pages_ref,
+                self.politeness,
+                self.seen,
+                self.robots_txt,
+                cfg.max_attempts,
+                cfg.synth_images,
+            )
+        )
+
         rnd = start_round
-        while rnd < cfg.max_rounds and (frontier.num_rows > 0 or pending_big_seed):
+        while rnd < cfg.max_rounds and (
+            pending_big_seed or frontier_rows is None or frontier_rows > 0
+        ):
             t0 = _t()
             if cfg.fetch_mode == "tasks":
                 width = int(ray.cluster_resources().get("CPU", cfg.fetch_concurrency))
@@ -264,14 +256,29 @@ class CrawlDriver:
             else:
                 target = cfg.fetch_concurrency * 2
 
-            filter_input = False
+            big_seed_round = pending_big_seed
+            # every output class sinks IN-STAGE (images, entities, errors,
+            # successors+backlog): the round is ONE streaming execution whose
+            # visible output is a handful of summary-stat rows — no branch
+            # re-scans, no driver-side frontier/entity data, and the
+            # frontier parts land directly in the checkpoint staging dir
+            sink_dirs = {
+                "categories": os.path.join(
+                    cfg.out_dir, "tables", "categories", f"round_{rnd:04d}"
+                ),
+                "products": os.path.join(
+                    cfg.out_dir, "tables", "products", f"round_{rnd:04d}"
+                ),
+                "errors": os.path.join(cfg.out_dir, "errors", f"round_{rnd:04d}"),
+                "frontier": self.ckpt.begin_round(rnd),
+            }
+            images_dir = self.ckpt.images_dir(rnd)  # direct image sink
             if pending_big_seed:
-                # stream the seed list straight into the fused stage: the
-                # frontier build is a vectorized map; robots + seen dedup of
-                # the input happen IN-STAGE (filter_input below)
+                # unconstrained breadth ingest: stream the seed list straight
+                # into the fused stage — frontier build is a vectorized map;
+                # robots + seen dedup of the input happen IN-STAGE; no
+                # selection shuffle (quota is unconstrained by definition)
                 pending_big_seed = False
-                filter_input = True
-                selected, backlog = None, empty_frontier
                 ds = rd.read_parquet(seeds_path, override_num_blocks=target).map_batches(
                     _seed_batch_to_frontier, batch_format="pyarrow"
                 )
@@ -281,190 +288,123 @@ class CrawlDriver:
                     # give the pool a materialized input instead
                     ds = ds.materialize()
                 t0 = _tick("seed_stream", t0)
-            else:
-                selected, backlog = split_selected(frontier, cfg.quota_per_host)
-                if selected.num_rows == 0:
-                    break
-                t0 = _tick("split_selected", t0)
-                # from_arrow yields ONE block per table and map parallelism
-                # is per block — split the frontier so every fetch worker
-                # gets work (no repartition shuffle needed)
-                n_blocks = max(
-                    1, min(-(-selected.num_rows // cfg.batch_size), target)
-                )
-                if selected.num_rows >= 50_000:
-                    # large frontier: spill to a scratch parquet and read it
-                    # back with override_num_blocks — the block split happens
-                    # in PARALLEL read tasks instead of a serial driver loop
-                    import tempfile
-
-                    import pyarrow.parquet as pq
-
-                    scratch_root = (
-                        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+                if cfg.fetch_mode == "tasks":
+                    processed = ds.map_batches(
+                        make_process_fn(base_args_ref, images_dir, sink_dirs,
+                                        filter_input=True),
+                        batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
                     )
-                    scratch = os.path.join(
-                        scratch_root, f"crawler_ray_frontier_{os.getpid()}_{rnd}.parquet"
-                    )
-                    pq.write_table(selected, scratch, compression="none")
-                    ds = rd.read_parquet(
-                        scratch, override_num_blocks=n_blocks
-                    ).materialize()
-                    os.unlink(scratch)
                 else:
-                    step = -(-selected.num_rows // n_blocks)
-                    # take(), not slice(): a zero-copy slice serializes its
-                    # FULL parent buffers on ray.put — every "block" would
-                    # ship the whole frontier; take() copies only its rows.
-                    ds = rd.from_arrow(
-                        [
-                            selected.take(
-                                np.arange(
-                                    i * step, min((i + 1) * step, selected.num_rows)
-                                )
-                            )
-                            for i in range(n_blocks)
-                        ]
+                    processed = ds.map_batches(
+                        CrawlProcessStage,
+                        fn_constructor_args=(
+                            pages_ref, self.politeness, self.seen,
+                            self.robots_txt, cfg.max_attempts,
+                            cfg.synth_images, images_dir, True, sink_dirs,
+                        ),
+                        batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
+                        # fixed-size pool: Ray's autoscaling pool tends to
+                        # stay at its minimum for bursty per-round
+                        # executions; the input is pre-materialized so a
+                        # fixed pool cannot starve its producer
+                        concurrency=cfg.fetch_concurrency,
+                        num_cpus=1,
                     )
-                t0 = _tick("slice_blocks", t0)
-
-            # ONE fused execution per round: fetch → decode/parse → robots →
-            # seen anti-join (see stages/process.py for the fusion
-            # rationale). Branch extraction below is cheap filters over the
-            # materialized union-schema result.
-            from crawler_ray.stages.process import CrawlProcessStage, make_process_fn
-
-            init_args = (
-                pages_ref,
-                self.politeness,
-                self.seen,
-                self.robots_txt,
-                cfg.max_attempts,
-                cfg.synth_images,
-                self.ckpt.images_dir(rnd),  # direct image sink in-stage
-                filter_input,
-            )
-            if cfg.fetch_mode == "tasks":
-                # stateless tasks on pre-started workers, stage cached per
-                # worker — no per-round actor-pool spin-up (stages/process.py)
-                processed = ds.map_batches(
-                    make_process_fn(ray.put(init_args)),
-                    batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
-                ).materialize()
             else:
-                processed = ds.map_batches(
-                    CrawlProcessStage,
-                    fn_constructor_args=init_args,
-                    batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
-                    # fixed-size pool: Ray's autoscaling pool tends to stay at
-                    # its minimum for bursty per-round executions; the input
-                    # is pre-materialized so a fixed pool cannot starve its
-                    # producer
-                    concurrency=cfg.fetch_concurrency,
-                    num_cpus=1,
-                ).materialize()
+                # quota-constrained BFS round, fully distributed: frontier
+                # source (seed file for round 0, previous round's checkpoint
+                # parquet otherwise) → host-hash partition shuffle → fused
+                # per-partition SELECT (per-host quota) + PROCESS, with
+                # backlog rows passing through as data. The driver never
+                # touches a frontier row.
+                # partition count tracks the KNOWN frontier size (a driver
+                # counter): tiny frontiers get few partitions — fewer
+                # shuffle tasks and fewer (larger) frontier files per round
+                # — while big frontiers fan out to the full task target
+                if frontier_rows is not None:
+                    n_parts = max(
+                        2, min(target, -(-frontier_rows // max(64, cfg.batch_size)))
+                    )
+                else:
+                    n_parts = target
+                filter_input = False
+                if frontier_source is None:
+                    src = rd.read_parquet(
+                        seeds_path, override_num_blocks=n_parts
+                    ).map_batches(_seed_batch_to_frontier, batch_format="pyarrow")
+                    filter_input = True  # seed admission inside the round fn
+                else:
+                    src = rd.read_parquet(
+                        frontier_source, override_num_blocks=n_parts
+                    )
+
+                def _add_part(t: pa.Table) -> pa.Table:
+                    host = t["host"].to_numpy(zero_copy_only=False)
+                    part = (
+                        pd.util.hash_array(host.astype(object)) % n_parts
+                    ).astype(np.int64)
+                    return t.append_column("part", pa.array(part, pa.int64()))
+
+                processed = (
+                    src.map_batches(_add_part, batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(
+                        make_round_fn(
+                            base_args_ref,
+                            cfg.quota_per_host,
+                            cfg.batch_size,
+                            filter_input,
+                            images_dir,
+                            sink_dirs,
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
             t0 = _tick("process", t0)
 
-            # ONE counting pass over the (image-free, lightweight) control
-            # output decides which branch extractions are needed at all
-            def _count_types(t: pa.Table) -> pa.Table:
-                df = t.select(["row_type", "status"]).to_pandas()
-                g = (
-                    df.groupby("row_type")
-                    .agg(n=("row_type", "size"), s=("status", "sum"))
-                    .reset_index()
-                )
-                return pa.Table.from_pandas(g, preserve_index=False)
-
-            cdf = (
-                processed.map_batches(_count_types, batch_format="pyarrow")
-                .to_pandas()
-                .groupby("row_type")[["n", "s"]]
-                .sum()
-            )
-            counts = cdf["n"].to_dict()
-            # images arrive either as per-row markers or per-batch
-            # image_stat summaries (status = rows written in that batch)
-            n_imgs = int(counts.get("image", 0)) + int(
-                cdf["s"].get("image_stat", 0)
-            )
-            n_dead = int(counts.get("error", 0))
+            # the round output is ONLY summary-stat rows (every data class
+            # sank in-stage) — a single small collect drives the execution
+            stats = processed.select_columns(
+                ["row_type", "host", "kind", "status"]
+            ).to_pandas()
+            s = stats.groupby("row_type")["status"].sum()
+            n_imgs = int(s.get("image_stat", 0))
+            n_dead = int(s.get("error_stat", 0))
+            n_succ = int(s.get("succ_stat", 0))
+            n_backlog = int(s.get("backlog_stat", 0))
+            in_frontier = frontier_rows
+            frontier_rows = n_succ + n_backlog
             t0 = _tick("counts", t0)
 
-            def _branch(rt: str, columns: list[str] | None = None):
-                b = processed.map_batches(
-                    lambda t, rt=rt: t.filter(pc.equal(t["row_type"], rt)),
-                    batch_format="pyarrow",
-                )
-                if columns:
-                    b = b.select_columns(columns)
-                return b.materialize()
-
-            # --- entity sinks (S7): per-round partition dirs
-            for row_type, table_name in (("category", "categories"), ("product", "products")):
-                if counts.get(row_type, 0):
-                    _branch(row_type, ["url", "host", "kind", "seed_id", "record"]).write_parquet(
-                        os.path.join(cfg.out_dir, "tables", table_name, f"round_{rnd:04d}")
-                    )
-
-            # --- dead letters (S9)
-            if n_dead:
-                _branch(
-                    "error", ["url", "host", "kind", "seed_id", "status", "attempt"]
-                ).write_parquet(os.path.join(cfg.out_dir, "errors", f"round_{rnd:04d}"))
-
-            # --- next frontier: successors are control data (URLs only);
-            # already robots-filtered + seen-marked inside the fused stage
-            succ_tables = (
-                [
-                    t
-                    for t in ray.get(
-                        _branch(
-                            "succ",
-                            ["url", "host", "kind", "depth", "priority", "seed_id", "caption"],
-                        ).to_arrow_refs()
-                    )
-                    if t.num_rows
-                ]
-                if counts.get("succ", 0)
-                else []
-            )
-            survivors = (
-                pa.concat_tables(succ_tables).cast(schemas.FRONTIER)
-                if succ_tables
-                else pa.Table.from_pylist([], schema=schemas.FRONTIER)
-            )
-
-            if selected is not None:
-                # --- metrics: pages by (host, kind) from the selected
-                # frontier (driver-side pyarrow; no extra execution)
+            if not big_seed_round:
+                # --- metrics: pages by (host, kind) from the in-stage
+                # sel_stat summary rows (one per (host, kind) per partition)
                 mdf = (
-                    selected.select(["host", "kind"])
-                    .to_pandas()
-                    .assign(pages=1)
-                    .groupby(["host", "kind"], sort=True)["pages"]
+                    stats[stats["row_type"] == "sel_stat"]
+                    .groupby(["host", "kind"], sort=True)["status"]
                     .sum()
                     .reset_index()
+                    .rename(columns={"status": "pages"})
                 )
                 mdf["errors"] = 0
                 self.metrics[f"round_{rnd:04d}"] = mdf.to_dict(orient="list")
-                n_pages = int(selected.num_rows)
+                n_pages = int(mdf["pages"].sum())
             else:
                 # big-seed streaming round: admitted-row accounting comes
                 # from the in-stage fetch_stat summary rows
-                n_pages = int(cdf["s"].get("fetch_stat", 0))
+                n_pages = int(s.get("fetch_stat", 0))
                 self.metrics[f"round_{rnd:04d}"] = {"big_seed_pages": n_pages}
             totals["pages"] += n_pages
             totals["images"] += n_imgs
             totals["errors"] += n_dead
             self.metrics["_totals"] = dict(totals)
             self.lineage[f"round_{rnd:04d}"] = {
-                "in_frontier": int(frontier.num_rows),
+                "in_frontier": -1 if in_frontier is None else int(in_frontier),
                 "selected": n_pages,
-                "backlog": int(backlog.num_rows),
-                "successors": int(survivors.num_rows),
+                "backlog": n_backlog,
+                "successors": n_succ,
                 "images": int(n_imgs),
                 "errors": int(n_dead),
                 "prev_round": rnd - 1,
@@ -474,15 +414,11 @@ class CrawlDriver:
             for p in self.politeness:
                 p.advance_clock.remote(1.0)
 
-            frontier = (
-                pa.concat_tables([survivors, backlog]).cast(schemas.FRONTIER)
-                if backlog.num_rows
-                else survivors
-            )
             t0 = _t()
             self.ckpt.save_round(
-                rnd, frontier, self.seen.snapshot(), self.metrics, self.lineage
+                rnd, self.seen.snapshot(), self.metrics, self.lineage
             )
+            frontier_source = self.ckpt.frontier_dir(rnd)
             _tick("checkpoint", t0)
             if stop_after_round is not None and rnd >= stop_after_round:
                 rnd += 1

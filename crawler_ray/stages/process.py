@@ -98,7 +98,8 @@ def _row(base: dict, **over) -> dict:
 _PROC_CACHE: dict[str, "CrawlProcessStage"] = {}
 
 
-def make_process_fn(init_args_ref):
+def make_process_fn(init_args_ref, images_dir=None, sink_dirs=None,
+                    filter_input=False):
     """Task-mode wrapper around CrawlProcessStage.
 
     Ray Data actor pools are created per execution — a BFS crawl pays the
@@ -107,21 +108,131 @@ def make_process_fn(init_args_ref):
     processes; the stage state (seen/politeness actor HANDLES, robots rules,
     pages index ref — all small or shared) is built lazily once per worker
     and cached. The truly stateful components stay actors; only the fetch
-    session wrapper becomes elastic.
+    session wrapper becomes elastic. Per-ROUND settings (sink dirs, input
+    admission) are plain attrs set on the cached stage per call, so the
+    cache key — and the stage build — is stable across rounds.
     """
 
     def process_fn(batch: pa.Table) -> pa.Table:
-        import ray
-
-        key = init_args_ref.hex() if hasattr(init_args_ref, "hex") else str(init_args_ref)
-        stage = _PROC_CACHE.get(key)
-        if stage is None:
-            stage = CrawlProcessStage(*ray.get(init_args_ref))
-            _PROC_CACHE.clear()  # at most one live config per worker
-            _PROC_CACHE[key] = stage
-        return stage(batch)
+        return _cached_stage(init_args_ref, images_dir, sink_dirs,
+                             filter_input)(batch)
 
     return process_fn
+
+
+def _cached_stage(init_args_ref, images_dir=None, sink_dirs=None,
+                  filter_input=False) -> "CrawlProcessStage":
+    import ray
+
+    key = init_args_ref.hex() if hasattr(init_args_ref, "hex") else str(init_args_ref)
+    stage = _PROC_CACHE.get(key)
+    if stage is None:
+        stage = CrawlProcessStage(*ray.get(init_args_ref))
+        _PROC_CACHE.clear()  # at most one live config per worker
+        _PROC_CACHE[key] = stage
+    stage.images_dir = images_dir
+    stage.sink_dirs = sink_dirs or {}
+    stage.filter_input = filter_input
+    return stage
+
+
+_FRONTIER_COLS = ["url", "host", "kind", "depth", "priority", "seed_id", "caption"]
+
+
+def _passthrough_rows(df, row_type: str, status=None) -> pa.Table:
+    """Frontier rows → ROUND_SCHEMA rows (vectorized; used for backlog
+    passthrough and per-(host,kind) selection accounting)."""
+    n = len(df)
+    st = (np.asarray(status, dtype=np.int32) if status is not None
+          else np.full(n, 200, dtype=np.int32))
+    return pa.table(
+        {
+            "row_type": pa.array([row_type] * n, pa.string()),
+            "url": pa.array(df["url"], pa.string()),
+            "host": pa.array(df["host"], pa.string()),
+            "kind": pa.array(df["kind"], pa.string()),
+            "depth": pa.array(np.asarray(df["depth"], dtype=np.int32), pa.int32()),
+            "priority": pa.array(np.asarray(df["priority"], dtype=np.float64),
+                                 pa.float64()),
+            "seed_id": pa.array(df["seed_id"], pa.string()),
+            "caption": pa.array(df["caption"], pa.string()),
+            "record": pa.array([""] * n, pa.string()),
+            "status": pa.array(st, pa.int32()),
+            "attempt": pa.array(np.ones(n, dtype=np.int32), pa.int32()),
+            "bytes": pa.nulls(n, pa.binary()),
+            "image_id": pa.nulls(n, pa.string()),
+            "w": pa.nulls(n, pa.int32()),
+            "h": pa.nulls(n, pa.int32()),
+            "fmt": pa.nulls(n, pa.string()),
+            "phash": pa.nulls(n, pa.int64()),
+        }
+    ).cast(ROUND_SCHEMA)
+
+
+def make_round_fn(init_args_ref, quota: int, batch_size: int,
+                  filter_input: bool = False, images_dir=None,
+                  sink_dirs=None):
+    """Fused SELECT + PROCESS for one host-hash partition of the frontier
+    (``groupby('part').map_groups``): per-host top-``quota`` selection
+    (priority desc, url asc — deterministic, arrival-order-free) runs
+    vectorized where the partition's rows already are; unselected rows pass
+    through as ``row_type='backlog'`` ROUND_SCHEMA rows and selected rows
+    are processed in ``batch_size`` chunks by the cached CrawlProcessStage.
+    The frontier therefore never exists on the driver: selection, backlog
+    carry-over and fetching all happen inside one distributed execution
+    (VERDICT round-1 item #5). Per-(host,kind) ``sel_stat`` summary rows
+    replace the driver-side metrics pass."""
+
+    def round_fn(group: pa.Table) -> pa.Table:
+        stage = _cached_stage(init_args_ref, images_dir, sink_dirs)
+        outs: list[pa.Table] = []
+        acct: list[dict] = []
+        if filter_input:
+            # seed admission (robots + seen anti-join) BEFORE selection, as
+            # the driver-side seed round did: blocked/seen rows never take
+            # quota slots and never reach the backlog
+            group = stage._filter_input_batch(group.select(_FRONTIER_COLS), acct)
+        df = group.select(_FRONTIER_COLS).to_pandas()
+        df = df.sort_values(["host", "priority", "url"],
+                            ascending=[True, False, True], kind="mergesort")
+        sel = (df.groupby("host", sort=False).cumcount() < quota).to_numpy()
+        backlog = df[~sel]
+        if len(backlog):
+            frontier_root = stage.sink_dirs.get("frontier")
+            if frontier_root is not None:
+                # write backlog rows straight to the next-round frontier dir
+                # (same parquet layout as the in-stage successor sink)
+                stage._sink_write(
+                    pa.Table.from_pandas(backlog, preserve_index=False)
+                    .select(_FRONTIER_COLS),
+                    frontier_root,
+                    "backlog",
+                )
+                acct.append(
+                    _row({"url": "", "host": "", "kind": "backlog",
+                          "depth": 0, "priority": 0.0, "seed_id": ""},
+                         row_type="backlog_stat", status=len(backlog))
+                )
+            else:
+                outs.append(_passthrough_rows(backlog, "backlog"))
+        sdf = df[sel]
+        if len(sdf):
+            # per-(host,kind) selection accounting for driver metrics
+            cnt = (sdf.groupby(["host", "kind"], sort=True)
+                   .size().reset_index(name="n"))
+            cnt = cnt.assign(url="", depth=0, priority=0.0, seed_id="",
+                             caption="")
+            outs.append(_passthrough_rows(cnt, "sel_stat", status=cnt["n"]))
+            sel_t = pa.Table.from_pandas(sdf, preserve_index=False)
+            for c0 in range(0, len(sdf), batch_size):
+                outs.append(stage(sel_t.slice(c0, batch_size)))
+        if acct:
+            outs.append(pa.Table.from_pylist(acct, schema=ROUND_SCHEMA))
+        if not outs:
+            return pa.Table.from_pylist([], schema=ROUND_SCHEMA)
+        return pa.concat_tables(outs)
+
+    return round_fn
 
 
 class CrawlProcessStage:
@@ -129,7 +240,8 @@ class CrawlProcessStage:
 
     def __init__(self, pages_ref, politeness, seen, robots_txt: dict[str, str],
                  max_attempts: int = 3, synth_images: dict | None = None,
-                 images_dir: str | None = None, filter_input: bool = False):
+                 images_dir: str | None = None, filter_input: bool = False,
+                 sink_dirs: dict | None = None):
         self.fetch = SyntheticFetchStage(
             pages_ref, politeness, max_attempts, synth_images=synth_images
         )
@@ -146,6 +258,15 @@ class CrawlProcessStage:
         # seed file, so robots + seen dedup of the INPUT happens here instead
         # of on the driver (the driver never materializes the seed list)
         self.filter_input = filter_input
+        # in-stage sinks (same rationale as the image sink above, applied to
+        # EVERY output class): {"categories":…, "products":…, "errors":…,
+        # "frontier":…} per-round dirs. When set, entity/error/successor
+        # rows are written to parquet HERE (deterministically named parts —
+        # content-derived digests, so task retries are idempotent) and the
+        # stage emits one ``<type>_stat`` summary row per batch instead.
+        # The whole round then needs exactly ONE streaming execution whose
+        # output is a handful of stat rows.
+        self.sink_dirs = sink_dirs or {}
 
     def _filter_input_batch(self, batch: pa.Table, out: list[dict]) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -327,4 +448,59 @@ class CrawlProcessStage:
             seen_mask = self.seen.check_and_insert([r["url"] for r in succ_rows])
             out.extend(r for r, s in zip(succ_rows, seen_mask) if not s)
 
-        return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
+        result = pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
+        if self.sink_dirs:
+            result = self._drain_sinks(result)
+        return result
+
+    _SINK_SPECS = (
+        ("category", "categories", ["url", "host", "kind", "seed_id", "record"]),
+        ("product", "products", ["url", "host", "kind", "seed_id", "record"]),
+        ("error", "errors", ["url", "host", "kind", "seed_id", "status", "attempt"]),
+        ("succ", "frontier",
+         ["url", "host", "kind", "depth", "priority", "seed_id", "caption"]),
+    )
+
+    @staticmethod
+    def _sink_write(table: pa.Table, root: str, tag: str) -> None:
+        import hashlib as _hl
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(root, exist_ok=True)
+        digest = _hl.md5(
+            ("\x00".join(table["url"].to_pylist()) + tag).encode()
+        ).hexdigest()[:16]
+        _pq.write_table(table, f"{root}/part-{digest}.parquet",
+                        compression="none", use_dictionary=False)
+
+    def _drain_sinks(self, result: pa.Table) -> pa.Table:
+        """Write entity/error/successor rows to their per-round sinks and
+        replace them with one ``<type>_stat`` summary row each (status =
+        rows written)."""
+        stats: list[dict] = []
+        drained = []
+        for row_type, sink, columns in self._SINK_SPECS:
+            root = self.sink_dirs.get(sink)
+            if root is None:
+                continue
+            rows = result.filter(pa.compute.equal(result["row_type"], row_type))
+            if rows.num_rows:
+                self._sink_write(rows.select(columns), root, row_type)
+                stats.append(
+                    _row({"url": "", "host": "", "kind": row_type,
+                          "depth": 0, "priority": 0.0, "seed_id": ""},
+                         row_type=f"{row_type}_stat", status=rows.num_rows)
+                )
+            drained.append(row_type)
+        if drained:
+            keep = pa.compute.invert(
+                pa.compute.is_in(result["row_type"], value_set=pa.array(drained))
+            )
+            result = result.filter(keep)
+        if stats:
+            result = pa.concat_tables(
+                [result, pa.Table.from_pylist(stats, schema=ROUND_SCHEMA)]
+            )
+        return result

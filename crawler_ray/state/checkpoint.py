@@ -39,21 +39,36 @@ class CheckpointManager:
     def images_dir(self, rnd: int) -> str:
         return os.path.join(self.root, "images", f"round_{rnd:04d}")
 
+    def frontier_dir(self, rnd: int) -> str:
+        """Directory holding the frontier entering round ``rnd + 1``."""
+        return os.path.join(self._round_dir(rnd), "frontier")
+
+    def begin_round(self, rnd: int) -> str:
+        """Create the round's STAGING dir and return its frontier subdir.
+        The round's distributed stage tasks write successor/backlog parquet
+        parts straight into it (the frontier never lands on the driver;
+        VERDICT round-1 item #5); ``save_round`` then completes the staging
+        dir and atomically renames it."""
+        tmp = self._round_dir(rnd) + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        fdir = os.path.join(tmp, "frontier")
+        os.makedirs(fdir)
+        return fdir
+
     def save_round(
         self,
         rnd: int,
-        frontier: pa.Table,
         seen_snapshot: list[dict],
         metrics: dict,
         lineage: dict,
     ) -> None:
-        """Atomic: stage into a tmp dir, fsync-rename, then mark complete."""
+        """Atomic: completes the staging dir from ``begin_round`` (creating
+        it if the round had no begin call), then fsync-renames and marks
+        complete."""
         final = self._round_dir(rnd)
         tmp = final + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        pq.write_table(frontier, os.path.join(tmp, "frontier.parquet"))
+        os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
         with open(os.path.join(tmp, "seen_shards.pkl"), "wb") as f:
             pickle.dump(seen_snapshot, f, protocol=pickle.HIGHEST_PROTOCOL)
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
@@ -78,16 +93,17 @@ class CheckpointManager:
                     best = rnd if best is None else max(best, rnd)
         return best
 
-    def load_round(self, rnd: int) -> tuple[pa.Table, list[dict], dict, dict]:
+    def load_round(self, rnd: int) -> tuple[str, list[dict], dict, dict]:
+        """Returns (frontier_dir, seen snapshot, metrics, lineage). The
+        frontier stays on disk — callers read it as a Dataset."""
         d = self._round_dir(rnd)
-        frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
         with open(os.path.join(d, "seen_shards.pkl"), "rb") as f:
             snaps = pickle.load(f)
         with open(os.path.join(d, "metrics.json")) as f:
             metrics = json.load(f)
         with open(os.path.join(d, "lineage.json")) as f:
             lineage = json.load(f)
-        return frontier, snaps, metrics, lineage
+        return self.frontier_dir(rnd), snaps, metrics, lineage
 
     def prune_rounds_after(self, rnd: int) -> None:
         """Drop incomplete/later state so a resume is consistent (images from
@@ -100,9 +116,13 @@ class CheckpointManager:
                     continue
                 if r > rnd or name.endswith(".tmp"):
                     shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-        img_root = os.path.join(self.root, "images")
-        if os.path.isdir(img_root):
-            for name in list(os.listdir(img_root)):
-                r = int(name.split("_")[1])
-                if r > rnd:
-                    shutil.rmtree(os.path.join(img_root, name), ignore_errors=True)
+        roots = [os.path.join(self.root, "images"),
+                 os.path.join(self.root, "errors"),
+                 os.path.join(self.root, "tables", "categories"),
+                 os.path.join(self.root, "tables", "products")]
+        for root in roots:
+            if os.path.isdir(root):
+                for name in list(os.listdir(root)):
+                    r = int(name.split("_")[1])
+                    if r > rnd:
+                        shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -132,3 +132,30 @@ def test_entity_tables_written(crawl_once):
     for r in recs:
         if r["parent_id"] is not None:
             assert r["parent_id"] in ids
+
+
+def test_frontier_never_driver_resident(crawl_once):
+    """VERDICT round-1 #5: between rounds the frontier exists only as the
+    checkpoint's per-round parquet dir (plus object-store blocks inside an
+    execution); the driver holds paths + counters. Asserts (a) the crawl
+    module has no driver-side selection helper wired in, (b) every round's
+    checkpointed frontier row count equals lineage successors + backlog."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import crawl as crawl_mod
+
+    assert not hasattr(crawl_mod, "split_selected")
+    site, _, out, drv, res = crawl_once
+    for key, lin in drv.lineage.items():
+        if not key.startswith("round_"):
+            continue
+        rnd = int(key.split("_")[1])
+        fdir = drv.ckpt.frontier_dir(rnd)
+        rows = 0
+        if os.path.isdir(fdir):
+            for f in os.listdir(fdir):
+                if f.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(fdir, f)).num_rows
+        assert rows == lin["successors"] + lin["backlog"], key
