@@ -169,6 +169,59 @@ def sniff_fmt(data: bytes) -> str:
     return "bin"
 
 
+_TEXT_BOMS = (
+    # order matters: UTF-32 BOMs contain the UTF-16 ones as prefixes
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def sniff_text_encoding(data: bytes) -> str:
+    """BOM-first text-encoding detection (``FileHelper.cs:273-314``: the
+    reference checks UTF-8/Unicode/BigEndian BOMs, then falls back to a
+    default encoding). Without a BOM, a zero-byte parity heuristic catches
+    BOM-less UTF-16 (ASCII-heavy text has NULs in every other byte); the
+    final default is UTF-8."""
+    for bom, enc in _TEXT_BOMS:
+        if data[: len(bom)] == bom:
+            return enc
+    probe = data[:512]
+    if len(probe) >= 4 and probe.count(b"\x00"):
+        evens = probe[0::2].count(0)
+        odds = probe[1::2].count(0)
+        half = max(1, len(probe) // 2)
+        if odds / half > 0.7 and evens == 0:
+            return "utf-16-le"
+        if evens / half > 0.7 and odds == 0:
+            return "utf-16-be"
+    return "utf-8"
+
+
+def decode_text(data: bytes) -> str:
+    """bytes → str across the sniffed encoding; tolerant fallback chain
+    (utf-8 strict → gb18030 → latin-1, mirroring the reference's
+    Encoding.Default tolerance without platform dependence)."""
+    enc = sniff_text_encoding(data)
+    if enc != "utf-8-sig":  # the -sig codec strips its own BOM
+        for bom, benc in _TEXT_BOMS:
+            if benc == enc and data[: len(bom)] == bom:
+                data = data[len(bom):]
+                break
+    try:
+        return data.decode(enc)
+    except (UnicodeDecodeError, LookupError):
+        pass
+    for fallback in ("gb18030", "latin-1"):
+        try:
+            return data.decode(fallback)
+        except UnicodeDecodeError:  # pragma: no cover - latin-1 never fails
+            continue
+    return data.decode("latin-1", errors="replace")  # pragma: no cover
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

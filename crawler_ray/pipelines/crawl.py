@@ -74,6 +74,11 @@ class CrawlConfig:
     # with per-worker stage caching (no per-round actor-pool spin-up);
     # "actors": classic fixed actor pool (sized by fetch_concurrency)
     fetch_mode: str = "tasks"
+    # "synthetic": deterministic in-sandbox site stand-in; "http": real
+    # requests.Session fetching with redirect→frontier resolution
+    # (stages/fetch.py HttpFetchStage)
+    fetcher: str = "synthetic"
+    http_opts: dict | None = None
     use_politeness_actors: bool = True
     num_politeness_shards: int = 2
     seed: int = 7
@@ -242,6 +247,11 @@ class CrawlDriver:
                 self.robots_txt,
                 cfg.max_attempts,
                 cfg.synth_images,
+                None,  # images_dir (per-round attr)
+                False,  # filter_input (per-round attr)
+                None,  # sink_dirs (per-round attr)
+                cfg.fetcher,
+                cfg.http_opts,
             )
         )
 
@@ -268,6 +278,9 @@ class CrawlDriver:
                 ),
                 "products": os.path.join(
                     cfg.out_dir, "tables", "products", f"round_{rnd:04d}"
+                ),
+                "brands": os.path.join(
+                    cfg.out_dir, "tables", "brands", f"round_{rnd:04d}"
                 ),
                 "errors": os.path.join(cfg.out_dir, "errors", f"round_{rnd:04d}"),
                 "frontier": self.ckpt.begin_round(rnd),

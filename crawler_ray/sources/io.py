@@ -40,6 +40,32 @@ def read_table(uri: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(uri, columns=columns)
 
 
+def write_part(table: pa.Table, root: str, stem: str) -> str:
+    """ONE deterministically-named part of a table directory — the unit every
+    crawl sink writes (images, entities, errors, frontier). Lance fragment
+    append when ``lance`` is available (the north-rule table format for the
+    image+caption output); a parquet part file otherwise. Layout and
+    resumability semantics are identical either way: the content-derived
+    ``stem`` makes task retries idempotent. Returns the path written."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    if HAVE_LANCE:  # pragma: no cover - exercised via the mocked contract test
+        import lance as _lance
+
+        uri = os.path.join(root, "data.lance")
+        _lance.write_dataset(table, uri, mode="append")
+        return uri
+    import pyarrow.parquet as pq
+
+    # no dictionary encoding / compression: payloads are already-compressed
+    # image bytes; pyarrow's dictionary encoding of large binary values
+    # costs seconds per part file
+    path = os.path.join(root, f"part-{stem}.parquet")
+    pq.write_table(table, path, compression="none", use_dictionary=False)
+    return path
+
+
 def read_local_images(root: str) -> rd.Dataset:
     """Local image tree → (path, bytes, fmt) rows (S5). Decode/hash happens
     in the normal image stage downstream."""

@@ -124,6 +124,91 @@ class SyntheticFetchStage:
         )
 
 
+class HttpFetchStage:
+    """Real-HTTP ``frontier batch -> fetched batch`` stage behind the SAME
+    interface as SyntheticFetchStage — the reference's session-holding
+    client re-expressed as per-actor/per-worker state
+    (``HZ.Crawler.Common/Net/HttpClient.cs:36-172``: one long-lived client
+    with cookie container + default headers; ``Net/HttpResponse.cs:39-66``:
+    redirect resolution against the request URL).
+
+    - ``__init__`` builds ONE ``requests.Session`` (cookie jar, keep-alive
+      pool, default headers) per actor/worker — never per batch.
+    - Redirects are NOT followed in-line: a 3xx response records the
+      resolved absolute ``redirect_url`` (RFC 3986 join against the request
+      URL, as ``HttpResponse.cs`` does) and the crawl driver turns it into
+      a new frontier row — so redirect chains flow through the seen-set /
+      robots / politeness machinery like any discovered link.
+    - 5xx responses retry up to ``max_attempts`` (reference retry budget,
+      ``BaseSpider.cs:235-247``); network errors map to status 599.
+    - Per-batch fetches run on a small thread pool (I/O bound; the GIL is
+      released in the socket layer), bounded by ``max_parallel``.
+    """
+
+    def __init__(self, politeness=None, max_attempts: int = 3,
+                 timeout: float = 10.0, headers: dict | None = None,
+                 max_parallel: int = 8):
+        import requests
+
+        self.session = requests.Session()
+        self.session.headers.update(
+            {"User-Agent": "crawler-ray/0.2 (+ray-data)", **(headers or {})}
+        )
+        self.politeness = politeness or []
+        self.max_attempts = max_attempts
+        self.timeout = timeout
+        self.max_parallel = max_parallel
+
+    _grant_tokens = SyntheticFetchStage._grant_tokens
+
+    def _fetch_one(self, url: str) -> tuple[int, bytes, int, str]:
+        """-> (status, payload, attempts_spent, redirect_url)."""
+        from crawler_ray.functions.urls import url_join
+
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                resp = self.session.get(
+                    url, timeout=self.timeout, allow_redirects=False
+                )
+                status = int(resp.status_code)
+            except Exception:
+                status = 599  # network-level failure (DNS/conn/timeout)
+                resp = None
+            if 300 <= status < 400 and resp is not None:
+                loc = resp.headers.get("Location", "")
+                target = url_join(url, loc) if loc else ""
+                return status, b"", attempt, target
+            if status < 500:
+                return status, resp.content if resp is not None else b"", attempt, ""
+            if attempt >= self.max_attempts:
+                return status, b"", attempt, ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from concurrent.futures import ThreadPoolExecutor
+
+        urls = batch["url"].to_pylist()
+        self._grant_tokens(batch["host"].to_pylist())
+        if len(urls) > 1:
+            with ThreadPoolExecutor(
+                max_workers=min(self.max_parallel, len(urls))
+            ) as pool:
+                results = list(pool.map(self._fetch_one, urls))
+        else:
+            results = [self._fetch_one(u) for u in urls]
+        return (
+            batch.append_column(
+                "status", pa.array([r[0] for r in results], pa.int32())
+            )
+            .append_column("payload", pa.array([r[1] for r in results], pa.binary()))
+            .append_column("attempt", pa.array([r[2] for r in results], pa.int32()))
+            .append_column(
+                "redirect_url", pa.array([r[3] for r in results], pa.string())
+            )
+        )
+
+
 def split_fetched(fetched: pa.Table) -> dict[str, pa.Table]:
     """Partition one fetched batch into ok-pages / ok-images / dead letters."""
     ok = pc.equal(fetched["status"], 200)

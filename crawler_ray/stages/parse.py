@@ -93,9 +93,14 @@ def _parse_category_tree(doc: dict, parent: dict) -> list[dict]:
                 _succ(node["Img"], "image", parent, caption=node.get("ImgCaption", ""))
             )
         if not subs:  # leaf → seed its product-list chain (O2 leaf filter)
+            # resolve against the PARENT url (scheme+netloc preserved — works
+            # for the https synthetic site and real http hosts/ports alike)
+            from crawler_ray.functions.urls import url_join
+
             out.append(
                 _succ(
-                    f"https://{host}/api/QueryProductByPage?Category={cid}&PageIndex=1",
+                    url_join(parent["url"],
+                             f"/api/QueryProductByPage?Category={cid}&PageIndex=1"),
                     "product_list",
                     parent,
                 )
@@ -107,12 +112,13 @@ def _parse_category_tree(doc: dict, parent: dict) -> list[dict]:
 def _parse_product_list(doc: dict, parent: dict) -> list[dict]:
     """M3 + A2: detail successors for each row; one next-page successor while
     ``page_index < ceil(total / page_size)``."""
+    from crawler_ray.functions.urls import url_join
+
     data = doc.get("Data") or {}
     rows = data.get("Rows") or []
-    host = parent["host"]
     out = [
         _succ(
-            f"https://{host}/api/GetProductDetail?ProductId={r['ID']}",
+            url_join(parent["url"], f"/api/GetProductDetail?ProductId={r['ID']}"),
             "product_detail",
             parent,
         )
@@ -129,7 +135,10 @@ def _parse_product_list(doc: dict, parent: dict) -> list[dict]:
         cat = get_url_query_value(parent["url"], "Category")
         out.append(
             _succ(
-                f"https://{host}/api/QueryProductByPage?Category={cat}&PageIndex={page_index + 1}",
+                url_join(
+                    parent["url"],
+                    f"/api/QueryProductByPage?Category={cat}&PageIndex={page_index + 1}",
+                ),
                 "product_list",
                 parent,
             )
@@ -181,6 +190,42 @@ def _parse_product_detail(doc: dict, parent: dict) -> list[dict]:
     captions = d.get("ImgCaptions") or {}
     for img_url in list(main_imgs) + list(detail_imgs):
         out.append(_succ(img_url, "image", parent, caption=captions.get(img_url, "")))
+
+    # J1 brand lookup-or-insert (``ShiweijiaProduct.cs:228-240``): emit a
+    # brand entity row per product; the process stage first-wins-dedups it
+    # through the seen set (the Ray-native replacement for the reference's
+    # DB lookup-or-insert) and the brand image is re-hosted through the
+    # normal image pipeline. Row content is IDENTICAL for every discovering
+    # product (key derived from the name, no per-product fields), so the
+    # within-round race for "first" cannot affect the output bytes.
+    brand_name = d.get("Brand") or ""
+    if brand_name:
+        import hashlib
+
+        brand_img = d.get("BrandImg") or ""
+        brecord = {
+            "brand_key": hashlib.md5(brand_name.encode("utf-8")).hexdigest()[:12],
+            "brand_name": brand_name,
+            "brand_img": brand_img,
+            "host": parent["host"],
+        }
+        out.append(
+            {
+                "row_type": "brand",
+                "url": "",
+                "host": parent["host"],
+                "kind": "brand",
+                # no per-discovery fields (depth/priority/seed zeroed):
+                # every emission of a brand is byte-identical
+                "depth": 0,
+                "priority": 0.0,
+                "seed_id": "",
+                "caption": brand_name,
+                "record": json.dumps(brecord, ensure_ascii=False, sort_keys=True),
+            }
+        )
+        if brand_img:
+            out.append(_succ(brand_img, "image", parent, caption=brand_name))
     return out
 
 
@@ -203,7 +248,9 @@ def parse_pages_batch(batch: pa.Table) -> pa.Table:
     for row in cols:
         parent = row
         try:
-            doc = json.loads(row["payload"].decode("utf-8"))
+            from crawler_ray.functions.codecs import decode_text
+
+            doc = json.loads(decode_text(row["payload"]))
             ok = bool(doc.get("IsSuccess"))
         except (ValueError, UnicodeDecodeError):
             doc, ok = None, False

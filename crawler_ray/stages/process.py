@@ -241,10 +241,18 @@ class CrawlProcessStage:
     def __init__(self, pages_ref, politeness, seen, robots_txt: dict[str, str],
                  max_attempts: int = 3, synth_images: dict | None = None,
                  images_dir: str | None = None, filter_input: bool = False,
-                 sink_dirs: dict | None = None):
-        self.fetch = SyntheticFetchStage(
-            pages_ref, politeness, max_attempts, synth_images=synth_images
-        )
+                 sink_dirs: dict | None = None, fetcher: str = "synthetic",
+                 http_opts: dict | None = None):
+        if fetcher == "http":
+            from crawler_ray.stages.fetch import HttpFetchStage
+
+            self.fetch = HttpFetchStage(
+                politeness, max_attempts, **(http_opts or {})
+            )
+        else:
+            self.fetch = SyntheticFetchStage(
+                pages_ref, politeness, max_attempts, synth_images=synth_images
+            )
         self.seen = seen
         self.robots = RobotsCache(lambda host: robots_txt.get(host))
         self.has_robots_rules = bool(robots_txt)
@@ -351,21 +359,13 @@ class CrawlProcessStage:
         )
         if self.images_dir:
             import hashlib as _hl
-            import os as _os
 
-            import pyarrow.parquet as _pq
+            from crawler_ray.sources.io import write_part
 
-            _os.makedirs(self.images_dir, exist_ok=True)
             digest = _hl.md5("".join(ids[j] for j in new_idx).encode()).hexdigest()[:16]
-            # no dictionary encoding / compression: the payloads are already
-            # compressed images, and pyarrow's default dictionary encoding of
-            # large binary values costs seconds per part file
-            _pq.write_table(
-                table,
-                f"{self.images_dir}/part-{digest}.parquet",
-                compression="none",
-                use_dictionary=False,
-            )
+            # Lance fragment when available (north-rule image+caption
+            # table), deterministic parquet part otherwise (sources/io.py)
+            write_part(table, self.images_dir, digest)
             # one summary row per batch instead of 10^3 marker rows
             out.append(
                 _row(
@@ -395,11 +395,43 @@ class CrawlProcessStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[dict] = []
         succ_rows: list[dict] = []
+        brand_rows: list[dict] = []
         if self.filter_input:
             batch = self._filter_input_batch(batch, out)
             if batch.num_rows == 0:
                 return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
         fetched = self.fetch(batch)
+
+        # redirect chains become FRONTIER DATA (HttpResponse.cs:39-66
+        # semantics, Ray-Data-shaped): a 3xx row contributes a successor at
+        # the resolved absolute target — it then flows through the normal
+        # robots filter + seen anti-join + per-host quota like any link
+        if "redirect_url" in fetched.column_names:
+            is_redir = pa.compute.and_(
+                pa.compute.greater_equal(fetched["status"], 300),
+                pa.compute.less(fetched["status"], 400),
+            )
+            redirs = fetched.filter(is_redir)
+            if redirs.num_rows:
+                from crawler_ray.functions.urls import normalize_url, url_host
+
+                for r in redirs.to_pylist():
+                    target = r["redirect_url"]
+                    if not target:
+                        out.append(_row(r, row_type="error", status=r["status"],
+                                        attempt=r["attempt"]))
+                        continue
+                    target = normalize_url(target)
+                    succ_rows.append(_row(
+                        {"url": target, "host": url_host(target),
+                         "kind": r["kind"], "depth": r["depth"] + 1,
+                         "priority": r["priority"], "seed_id": r["seed_id"],
+                         "caption": r.get("caption", "")},
+                        row_type="succ",
+                    ))
+            fetched = fetched.filter(pa.compute.invert(is_redir)).drop_columns(
+                ["redirect_url"]
+            )
 
         # vectorized image path (typically the bulk of a breadth round)
         self._process_images(fetched, out)
@@ -421,7 +453,10 @@ class CrawlProcessStage:
                 continue  # handled above (only non-200 images reach here)
             # page: parse (M1 envelope + per-kind parser)
             try:
-                doc = json.loads(r["payload"].decode("utf-8"))
+                # charset/BOM-sniffed decode (FileHelper.cs:273-314 parity)
+                from crawler_ray.functions.codecs import decode_text
+
+                doc = json.loads(decode_text(r["payload"]))
                 ok = bool(doc.get("IsSuccess"))
             except (ValueError, UnicodeDecodeError):
                 doc, ok = None, False
@@ -436,6 +471,8 @@ class CrawlProcessStage:
                     succ_rows.append(_row(p, row_type="succ"))
                 elif p["row_type"] == "error":
                     out.append(_row(p, row_type="error", status=422))
+                elif p["row_type"] == "brand":
+                    brand_rows.append(_row(p, row_type="brand", record=p["record"]))
                 else:
                     out.append(_row(p, row_type=p["row_type"], record=p["record"]))
 
@@ -448,6 +485,16 @@ class CrawlProcessStage:
             seen_mask = self.seen.check_and_insert([r["url"] for r in succ_rows])
             out.extend(r for r, s in zip(succ_rows, seen_mask) if not s)
 
+        # brand first-wins upsert (J1, ShiweijiaProduct.cs:228-240): the
+        # seen set IS the lookup-or-insert — one brand row ever, globally,
+        # and row content is discovery-independent so the winner is
+        # byte-irrelevant
+        if brand_rows:
+            dupb = self.seen.check_and_insert(
+                ["brand:" + r["host"] + ":" + r["caption"] for r in brand_rows]
+            )
+            out.extend(r for r, dup in zip(brand_rows, dupb) if not dup)
+
         result = pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
         if self.sink_dirs:
             result = self._drain_sinks(result)
@@ -456,6 +503,7 @@ class CrawlProcessStage:
     _SINK_SPECS = (
         ("category", "categories", ["url", "host", "kind", "seed_id", "record"]),
         ("product", "products", ["url", "host", "kind", "seed_id", "record"]),
+        ("brand", "brands", ["host", "kind", "record"]),
         ("error", "errors", ["url", "host", "kind", "seed_id", "status", "attempt"]),
         ("succ", "frontier",
          ["url", "host", "kind", "depth", "priority", "seed_id", "caption"]),
@@ -464,16 +512,14 @@ class CrawlProcessStage:
     @staticmethod
     def _sink_write(table: pa.Table, root: str, tag: str) -> None:
         import hashlib as _hl
-        import os as _os
 
-        import pyarrow.parquet as _pq
+        from crawler_ray.sources.io import write_part
 
-        _os.makedirs(root, exist_ok=True)
+        key_col = "url" if "url" in table.column_names else "record"
         digest = _hl.md5(
-            ("\x00".join(table["url"].to_pylist()) + tag).encode()
+            ("\x00".join(table[key_col].to_pylist()) + tag).encode()
         ).hexdigest()[:16]
-        _pq.write_table(table, f"{root}/part-{digest}.parquet",
-                        compression="none", use_dictionary=False)
+        write_part(table, root, digest)
 
     def _drain_sinks(self, result: pa.Table) -> pa.Table:
         """Write entity/error/successor rows to their per-round sinks and

@@ -119,6 +119,7 @@ class CheckpointManager:
         roots = [os.path.join(self.root, "images"),
                  os.path.join(self.root, "errors"),
                  os.path.join(self.root, "tables", "categories"),
+                 os.path.join(self.root, "tables", "brands"),
                  os.path.join(self.root, "tables", "products")]
         for root in roots:
             if os.path.isdir(root):

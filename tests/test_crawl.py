@@ -57,6 +57,44 @@ def test_crawl_parallelism_invariant(ray_session, small_site, tmp_path_factory):
     assert res_a.pages_fetched == res_b.pages_fetched
     assert res_a.seen_size == res_b.seen_size
     assert read_images_table(str(out_a)).equals(read_images_table(str(out_b)))
+    # brand first-wins upsert is content-deterministic regardless of which
+    # parallel discoverer "wins" the seen-set race
+    assert _read_entity_records(out_a, "brands") == _read_entity_records(out_b, "brands")
+
+
+def _read_entity_records(out_dir, table: str) -> list[str]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(str(out_dir), "tables", table)
+    recs = []
+    if os.path.isdir(root):
+        for rdir in sorted(os.listdir(root)):
+            d = os.path.join(root, rdir)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    recs.extend(pq.read_table(os.path.join(d, f))["record"].to_pylist())
+    return sorted(recs)
+
+
+def test_brands_table_first_wins(crawl_once):
+    """J1 parity: one brand row per distinct (host, brand name), ever."""
+    import json
+
+    site, _, out, drv, res = crawl_once
+    brands = _read_entity_records(out, "brands")
+    assert brands, "site products carry brand names — brands table must exist"
+    recs = [json.loads(b) for b in brands]
+    keys = [(r["host"], r["brand_name"]) for r in recs]
+    assert len(keys) == len(set(keys))  # first-wins: no duplicate brand rows
+    # every product's brand appears in the brands table
+    prod_brands = {
+        (json.loads(p)["host"], json.loads(p)["brand_name"])
+        for p in _read_entity_records(out, "products")
+        if json.loads(p)["brand_name"]
+    }
+    assert prod_brands == set(keys)
 
 
 def test_crawl_quota_splits_hot_host(ray_session, small_site, tmp_path_factory):

@@ -157,3 +157,32 @@ def test_text_kernels():
     assert detect_lang("") == "unk"
     assert char_ngrams("abcd", 3) == {"abc", "bcd"}
     assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+
+
+def test_sniff_text_encoding_boms():
+    from crawler_ray.functions.codecs import decode_text, sniff_text_encoding
+
+    s = '{"IsSuccess": true, "名": "凤凰"}'
+    cases = {
+        "utf-8-sig": b"\xef\xbb\xbf" + s.encode("utf-8"),
+        "utf-16-le": s.encode("utf-16"),  # python prepends the LE BOM
+        "utf-16-be": b"\xfe\xff" + s.encode("utf-16-be"),
+        "utf-32-le": b"\xff\xfe\x00\x00" + s.encode("utf-32-le"),
+        "utf-8": s.encode("utf-8"),
+    }
+    for enc, data in cases.items():
+        assert sniff_text_encoding(data) == enc, enc
+        assert decode_text(data) == s, enc
+
+
+def test_sniff_text_encoding_bomless_utf16_and_gbk():
+    from crawler_ray.functions.codecs import decode_text, sniff_text_encoding
+
+    ascii_json = '{"IsSuccess": true, "k": 1}'
+    assert sniff_text_encoding(ascii_json.encode("utf-16-le")) == "utf-16-le"
+    assert decode_text(ascii_json.encode("utf-16-le")) == ascii_json
+    assert sniff_text_encoding(ascii_json.encode("utf-16-be")) == "utf-16-be"
+    assert decode_text(ascii_json.encode("utf-16-be")) == ascii_json
+    # legacy CN encoding (not valid utf-8) falls back through gb18030
+    gbk = "凤凰牌".encode("gb18030")
+    assert decode_text(gbk) == "凤凰牌"

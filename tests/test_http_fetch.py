@@ -1,0 +1,203 @@
+"""Real-HTTP fetch path (VERDICT round-1 missing #1): a local ``http.server``
+serves a tiny site speaking the reference's JSON envelope; the crawl runs with
+``fetcher="http"`` (requests.Session per worker, redirects NOT followed
+in-line) and must
+  - traverse category tree → product lists → details over real sockets,
+  - route a 301→302 redirect CHAIN through the frontier (each hop is a
+    successor row passing robots + seen + quota — HttpResponse.cs:39-66
+    semantics, Ray-Data-shaped),
+  - retry + dead-letter a persistent 500,
+  - land served PNG bytes bit-identically in the images table.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray.functions.codecs import encode_png
+from crawler_ray.functions.urls import normalize_url
+from crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver, read_images_table
+
+
+def _env(data) -> bytes:
+    return json.dumps({"IsSuccess": True, "Data": data}).encode()
+
+
+def _product(pid: int, base: str) -> bytes:
+    return _env(
+        {
+            "ID": pid,
+            "ProductCode": f"P{pid}",
+            "BrandId": 7,
+            "Brand": "acme",
+            "CategoryId": 1,
+            "Name": f"prod-{pid}",
+            "SalePrice": 9.99,
+            "BrandImg": f"{base}/img/brand_acme.png",
+            "MainImgs": [f"{base}/img/p{pid}.png"],
+            "DetailImgs": [],
+            "Paras": [],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def http_site(tmp_path_factory):
+    pngs = {
+        name: encode_png(
+            (np.arange(12 * 12 * 3, dtype=np.uint8).reshape(12, 12, 3) + salt)
+            % 255
+        )
+        for salt, name in enumerate(["cat1", "p112", "p12", "p13", "brand_acme"])
+    }
+    state = {"hits": [], "base": ""}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            base = state["base"]
+            s = urlsplit(self.path)
+            q = dict(parse_qsl(s.query))
+            state["hits"].append(self.path)
+
+            def send(code, body=b"", location=None):
+                self.send_response(code)
+                if location:
+                    self.send_header("Location", location)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            if s.path == "/api/GetCategoryTree":
+                # served as UTF-16 with BOM: exercises the charset-sniffed
+                # bytes→text parse boundary (FileHelper.cs:273-314 parity)
+                body = _env([
+                    {"ID": 1, "Name": "root", "Img": f"{base}/img/cat1.png",
+                     "Subs": []},
+                ]).decode("utf-8").encode("utf-16")
+                send(200, body)
+            elif s.path == "/api/QueryProductByPage":
+                page = int(q.get("PageIndex", "1"))
+                rows = {1: [{"ID": 11}, {"ID": 12}], 2: [{"ID": 13}, {"ID": 500}]}
+                send(200, json.dumps({
+                    "IsSuccess": True,
+                    "Data": {"Rows": rows[page], "Total": 4, "PageSize": 2,
+                             "PageIndex": page},
+                }).encode())
+            elif s.path == "/api/GetProductDetail":
+                pid = q.get("ProductId", "")
+                if pid == "11":  # redirect CHAIN: 11 --301--> 111 --302--> 112
+                    send(301, location="/api/GetProductDetail?ProductId=111")
+                elif pid == "111":
+                    send(302, location=f"{base}/api/GetProductDetail?ProductId=112")
+                elif pid == "500":
+                    send(500)  # persistent server error -> dead letter
+                elif pid in ("112", "12", "13"):
+                    send(200, _product(int(pid), base))
+                else:
+                    send(404)
+            elif s.path.startswith("/img/"):
+                name = s.path.split("/")[-1].removesuffix(".png")
+                if name in pngs:
+                    send(200, pngs[name])
+                else:
+                    send(404)
+            else:
+                send(404)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    state["base"] = f"http://127.0.0.1:{port}"
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    fix = tmp_path_factory.mktemp("http_site")
+    pq.write_table(
+        pa.table({
+            "url": [f"{state['base']}/api/GetCategoryTree"],
+            "priority": [1.0],
+            "seed_id": ["s0"],
+        }),
+        str(fix / "seeds.parquet"),
+    )
+    (fix / "robots.json").write_text("{}")
+    yield state, pngs, str(fix)
+    server.shutdown()
+
+
+def test_http_crawl_end_to_end(ray_session, http_site, tmp_path_factory):
+    state, pngs, fix_dir = http_site
+    out = tmp_path_factory.mktemp("http_out")
+    drv = CrawlDriver(CrawlConfig(
+        fixture_dir=fix_dir, out_dir=str(out), quota_per_host=50,
+        fetch_concurrency=2, num_seen_shards=2, max_attempts=2,
+        fetcher="http", http_opts={"timeout": 5.0},
+    ))
+    res = drv.run()
+    base = state["base"]
+
+    # redirect chain landed in the frontier: every hop is in the seen set
+    # (checked via idempotent re-insertion) and the FINAL target's product
+    # record was crawled
+    seen_hops = drv.seen.check_and_insert([
+        normalize_url(f"{base}/api/GetProductDetail?ProductId=111"),
+        normalize_url(f"{base}/api/GetProductDetail?ProductId=112"),
+    ])
+    drv.shutdown()
+    assert list(seen_hops) == [True, True]
+
+    import os
+
+    prods = []
+    root = os.path.join(str(out), "tables", "products")
+    for rdir in sorted(os.listdir(root)):
+        d = os.path.join(root, rdir)
+        for f in os.listdir(d):
+            prods.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    ids = sorted(json.loads(p["record"])["id"] for p in prods)
+    assert ids == [12, 13, 112]  # 11 -> 111 -> 112 via the redirect chain
+
+    # the redirect hops consumed real HTTP requests
+    assert any("ProductId=11" in h for h in state["hits"])
+    assert any("ProductId=111" in h for h in state["hits"])
+
+    # persistent 500: retried max_attempts times then dead-lettered
+    assert res.errors == 1
+    err_root = os.path.join(str(out), "errors")
+    errs = []
+    for rdir in sorted(os.listdir(err_root)):
+        d = os.path.join(err_root, rdir)
+        for f in os.listdir(d):
+            errs.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    assert len(errs) == 1 and errs[0]["status"] == 500 and errs[0]["attempt"] == 2
+    n500 = sum("ProductId=500" in h for h in state["hits"])
+    assert n500 == 2  # the retry budget was actually spent on the wire
+
+    # served PNG bytes land bit-identically in the images table (incl. the
+    # re-hosted brand image)
+    imgs = read_images_table(str(out))
+    assert imgs.num_rows == 5
+    got = set(imgs["bytes"].to_pylist())
+    assert got == set(pngs.values())
+
+    # brand lookup-or-insert: ONE brand row globally despite 3 products
+    brands = []
+    broot = os.path.join(str(out), "tables", "brands")
+    for rdir in sorted(os.listdir(broot)):
+        d = os.path.join(broot, rdir)
+        for f in os.listdir(d):
+            brands.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    assert len(brands) == 1
+    brec = json.loads(brands[0]["record"])
+    assert brec["brand_name"] == "acme"
+    assert brec["brand_img"].endswith("/img/brand_acme.png")

@@ -1,0 +1,83 @@
+"""Lance dispatch contract (VERDICT round-1 #8): this sandbox has no lance
+wheel, so the Lance branches are proven against a MOCK ``lance`` module —
+asserting that when lance IS available, (a) ``write_part`` appends a Lance
+fragment with exactly the table it was given, (b) ``write_table`` routes to
+``Dataset.write_lance``, (c) ``read_table`` routes ``*.lance`` URIs to
+``ray.data.read_lance`` with column pruning pushed down — and that the
+parquet fallback produces the identical logical layout."""
+
+import sys
+import types
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from crawler_ray.sources import io as io_mod
+
+
+@pytest.fixture
+def mock_lance(monkeypatch):
+    calls = {"write_dataset": [], "read_lance": [], "write_lance": []}
+    fake = types.ModuleType("lance")
+    fake.write_dataset = lambda table, uri, mode=None: calls["write_dataset"].append(
+        (table, uri, mode)
+    )
+    monkeypatch.setitem(sys.modules, "lance", fake)
+    monkeypatch.setattr(io_mod, "HAVE_LANCE", True)
+    return calls
+
+
+def test_write_part_lance_fragment(mock_lance, tmp_path):
+    t = pa.table({"image_id": ["a", "b"], "bytes": [b"x", b"y"],
+                  "caption": ["c1", "c2"]})
+    path = io_mod.write_part(t, str(tmp_path / "images" / "round_0000"), "d1g3st")
+    assert path.endswith("data.lance")
+    (written, uri, mode), = mock_lance["write_dataset"]
+    assert written is t and mode == "append"
+    assert "round_0000" in uri
+
+
+def test_write_table_routes_to_write_lance(mock_lance, ray_session, monkeypatch, tmp_path):
+    ds = rd.from_arrow(pa.table({"k": [1, 2]}))
+    seen = {}
+    monkeypatch.setattr(
+        type(ds), "write_lance",
+        lambda self, uri, **kw: seen.setdefault("uri", uri),
+        raising=False,
+    )
+    io_mod.write_table(ds, str(tmp_path / "t.lance"))
+    assert seen["uri"].endswith("t.lance")
+
+
+def test_read_table_routes_to_read_lance(mock_lance, monkeypatch, tmp_path):
+    sentinel = object()
+    seen = {}
+
+    def fake_read(uri, columns=None):
+        seen["args"] = (uri, columns)
+        return sentinel
+
+    monkeypatch.setattr(io_mod.rd, "read_lance", fake_read, raising=False)
+    out = io_mod.read_table(str(tmp_path / "imgs.lance"), columns=["image_id"])
+    assert out is sentinel
+    assert seen["args"][0].endswith("imgs.lance")
+    assert seen["args"][1] == ["image_id"]  # column pruning pushed down
+
+
+def test_parquet_fallback_same_layout(tmp_path):
+    """Without lance the SAME call produces the same logical table layout
+    (one dir per partition, deterministic part name)."""
+    assert not io_mod.HAVE_LANCE  # sandbox reality
+    t = pa.table({"image_id": ["a"], "bytes": [b"x"], "caption": ["c"]})
+    root = str(tmp_path / "images" / "round_0000")
+    path = io_mod.write_part(t, root, "d1g3st")
+    assert path.endswith("part-d1g3st.parquet")
+    assert pq.read_table(path).equals(t)
+    # retry idempotence: same content + stem overwrites the same file
+    io_mod.write_part(t, root, "d1g3st")
+    import os
+
+    assert os.listdir(root) == ["part-d1g3st.parquet"]
