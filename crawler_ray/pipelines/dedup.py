@@ -562,68 +562,118 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 # thresholded token-set Jaccard (bounded-vocabulary all-pairs)
 
 
-class TokenJaccardPairs:
-    """Blocked all-pairs word-level Jaccard against a broadcast boolean
-    doc-term matrix: ``inter = A_batch @ A_all.T`` (popcount via int matmul),
-    ``jaccard = inter / (na + nb - inter)``. Both operands are exact
-    integers, so the single division produces bit-identical doubles in Ray
-    and DuckDB — the threshold comparison is oracle-exact.
+def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
+    """All doc pairs with word-level Jaccard ≥ threshold (EXACT, matching
+    the SQL oracle bit-for-bit).
 
-    Applicability: bounded vocabulary (matrix is n_docs × V booleans). For
-    open vocabularies use the MinHash-LSH path above instead."""
+    Scale shape — Jaccard only sees DISTINCT token sets, so the quadratic
+    work runs over distinct sets, not documents:
+      docs → (set_key, doc_id) keyed rows (distributed map) →
+      distinct-set table (groupby; S rows, corpus-size-INDEPENDENT for a
+      bounded vocabulary — this is vocab-derived metadata like a token
+      dictionary, the only thing that ever leaves the data plane) →
+      qualifying SET pairs via one S×V boolean matmul (exact integer
+      intersection / union, so the single division is bit-identical to
+      DuckDB's) → doc-pair emission back in the data plane: two
+      hash-partition joins of the set-pair table against the keyed rows
+      (each output doc pair materializes exactly once; no driver-side
+      corpus read, no corpus-sized broadcast).
 
-    def __init__(self, matrix_ref, threshold: float):
-        self.ids, self.mat = ray.get(matrix_ref)  # sorted ids, (n, V) uint8
-        self.sizes = self.mat.sum(axis=1).astype(np.int64)
-        self.threshold = threshold
+    Applicability: bounded vocabulary (S ≤ 2^V). For open vocabularies use
+    the MinHash-LSH path above instead."""
+    from crawler_ray.pipelines.joins import partitioned_hash_join
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        idx = np.searchsorted(self.ids, ids)
-        sub = self.mat[idx]
-        inter = (sub.astype(np.int64) @ self.mat.T.astype(np.int64))
-        na = self.sizes[idx][:, None]
-        nb = self.sizes[None, :]
-        union = na + nb - inter
-        jac = inter / np.maximum(union, 1)
-        bi, ni = np.nonzero(jac >= self.threshold)
-        a = ids[bi]
-        b = self.ids[ni]
-        keep = a < b
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def key_stage(df: pd.DataFrame) -> pa.Table:
+        keys, canons = [], []
+        for t in df["text"]:
+            canon = "\x00".join(sorted(set(t.split())))
+            canons.append(canon)
+            h = hashlib.md5(canon.encode("utf-8")).digest()
+            keys.append(int.from_bytes(h[:8], "big") >> 1)  # int64 ≥ 0
         return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[bi, ni][keep], 6), pa.float64()),
-            }
+            {"set_id": pa.array(keys, pa.int64()),
+             "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+             "toks": pa.array(canons, pa.string())}
         )
 
-
-def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
-    """All doc pairs with word-level Jaccard ≥ threshold (exact)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t["doc_id"].to_numpy()
-    order = np.argsort(ids)
-    ids = ids[order]
-    texts = [t["text"].to_pylist()[i] for i in order]
-    token_sets = [set(x.split()) for x in texts]
-    vocab = sorted(set().union(*token_sets)) if token_sets else []
+    keyed = docs.map_batches(key_stage, batch_format="pandas").materialize()
+    # distinct sets: one representative row per set (groupby on the hash key)
+    distinct = (
+        keyed.groupby("set_id")
+        .map_groups(lambda g: g.head(1)[["set_id", "toks"]],
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    set_ids = distinct["set_id"].to_numpy()
+    tok_sets = [set(s.split("\x00")) if s else set() for s in distinct["toks"]]
+    vocab = sorted(set().union(*tok_sets)) if tok_sets else []
     v_index = {w: i for i, w in enumerate(vocab)}
-    mat = np.zeros((len(ids), len(vocab)), dtype=np.uint8)
-    for r, s in enumerate(token_sets):
+    mat = np.zeros((len(set_ids), len(vocab)), dtype=np.uint8)
+    for r, s in enumerate(tok_sets):
         for w in s:
             mat[r, v_index[w]] = 1
-    matrix_ref = ray.put((ids, mat))
-    return _read_docs(sf_dir, ["doc_id"]).map_batches(
-        TokenJaccardPairs,
-        fn_constructor_args=(matrix_ref, threshold),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 4),
-        num_cpus=1,
+    sizes = mat.sum(axis=1).astype(np.int64)
+    inter = mat.astype(np.int64) @ mat.T.astype(np.int64)
+    union = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
+    jac = inter / union
+    ai, bi = np.nonzero(np.triu(jac >= threshold, k=0))  # k=0: self pairs too
+    set_pairs = pa.table(
+        {"pair_id": pa.array(np.arange(len(ai)), pa.int64()),
+         "key_a": pa.array(set_ids[ai], pa.int64()),
+         "key_b": pa.array(set_ids[bi], pa.int64()),
+         "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
     )
+
+    members = keyed.select_columns(["set_id", "doc_id"])
+
+    def rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    side_a = members.map_batches(rename(["key_a", "doc_a"]), batch_format="pyarrow")
+    side_b = members.map_batches(rename(["key_b", "doc_b"]), batch_format="pyarrow")
+    j1 = partitioned_hash_join(
+        rd.from_arrow(set_pairs),
+        side_a,
+        on="key_a",
+        n_buckets=8,
+        left_schema=set_pairs.schema,
+        right_schema=pa.schema([("key_a", pa.int64()), ("doc_a", pa.int64())]),
+    )
+    j2 = partitioned_hash_join(
+        j1,
+        side_b,
+        on="key_b",
+        n_buckets=8,
+        left_schema=pa.schema(
+            [("pair_id", pa.int64()), ("key_a", pa.int64()),
+             ("key_b", pa.int64()), ("jaccard", pa.float64()),
+             ("doc_a", pa.int64())]
+        ),
+        right_schema=pa.schema([("key_b", pa.int64()), ("doc_b", pa.int64())]),
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        jc = t["jaccard"].to_numpy()
+        same = t["key_a"].to_numpy() == t["key_b"].to_numpy()
+        # same-set pairs enumerate twice ((x,y) and (y,x)); cross-set pairs
+        # once — order-normalize and keep doc_a < doc_b
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        keep = lo < hi
+        keep &= ~same | (da < db)
+        return pa.table(
+            {"doc_a": pa.array(lo[keep], pa.int64()),
+             "doc_b": pa.array(hi[keep], pa.int64()),
+             "jaccard": pa.array(jc[keep], pa.float64())}
+        )
+
+    return j2.map_batches(emit, batch_format="pyarrow")
 
 
 def token_jaccard_sql(threshold: float = 0.95) -> str:

@@ -88,16 +88,22 @@ def partitioned_hash_join(
 
     out_schema = pa.schema(lf + [(n, t) for n, t in rf if n != on])
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        lg = g.loc[g["_side"] == "L", lcols]
-        rg = g.loc[g["_side"] == "R", rcols]
+    def merge(g: pa.Table) -> pa.Table:
+        # split sides in ARROW before any pandas conversion: the padded
+        # null columns live only on the OTHER side's rows, so each split
+        # frame is null-free — pandas cannot degrade int64 keys to float64
+        # (which silently rounds keys wider than 53 bits and breaks the
+        # equi-join)
+        side = g["_side"]
+        lg = g.filter(pa.compute.equal(side, "L")).select(lcols).to_pandas()
+        rg = g.filter(pa.compute.equal(side, "R")).select(rcols).to_pandas()
         if how == "inner" and (lg.empty or rg.empty):
             df = pd.DataFrame(columns=[f.name for f in out_schema])
         else:
             df = lg.merge(rg, on=on, how=how)[[f.name for f in out_schema]]
         return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
 
-    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def order_lineitem_join_totals(sf_dir: str) -> rd.Dataset:

@@ -94,17 +94,17 @@ class SyntheticFetchStage:
             return
         from collections import Counter
 
-        import ray
-
         per_host = Counter(hosts)
-        # ONE RPC per politeness shard per batch (not per host)
+        # ONE RPC per politeness shard per batch (not per host), FIRE AND
+        # FORGET: the grant is token-bucket bookkeeping (the per-round
+        # per-host quota is the enforced budget), so blocking the fetch
+        # worker on the round-trip only serializes the pipeline — measured
+        # as a large chunk of the idle gap at high worker counts
         by_shard: dict[int, dict[str, int]] = {}
         for h, n in per_host.items():
             by_shard.setdefault(hash(h) % len(self.politeness), {})[h] = n
-        futs = [
-            self.politeness[s].grant_many.remote(req) for s, req in by_shard.items()
-        ]
-        ray.get(futs)  # bookkeeping grant (quota already enforced per round)
+        for s, req in by_shard.items():
+            self.politeness[s].grant_many.remote(req)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

@@ -393,14 +393,52 @@ class CrawlProcessStage:
                 )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import os as _os
+        import time as _tm
+        _prof = _os.environ.get("CRAWLER_RAY_STAGE_TIMING")
+        _T = {}
+        def _mark(k, t0):
+            if _prof:
+                _T[k] = _T.get(k, 0.0) + (_tm.monotonic() - t0)
+            return _tm.monotonic()
+        _t0 = _tm.monotonic()
         out: list[dict] = []
         succ_rows: list[dict] = []
         brand_rows: list[dict] = []
+        pending_admission = None
         if self.filter_input:
-            batch = self._filter_input_batch(batch, out)
-            if batch.num_rows == 0:
-                return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
+            # admission OVERLAP: robots-filter locally (cheap), issue the
+            # seen-set anti-join RPC asynchronously and let the fetch below
+            # hide its round-trip — the blocking variant measured as a large
+            # idle gap at high worker counts. Fetched rows for already-seen
+            # inputs are dropped after the gather (duplicate seeds are rare
+            # by construction, so the wasted fetch work is ~zero).
+            if hasattr(self.seen, "check_and_insert_async"):
+                urls = batch["url"].to_pylist()
+                if self.has_robots_rules:
+                    allowed = self.robots.allowed(urls)
+                    if not allowed.all():
+                        batch = batch.filter(pa.array(allowed))
+                        urls = [u for u, a in zip(urls, allowed) if a]
+                if not urls:
+                    return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
+                pending_admission = self.seen.check_and_insert_async(urls)
+            else:
+                batch = self._filter_input_batch(batch, out)
+                if batch.num_rows == 0:
+                    return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
+        _t0 = _mark("admission", _t0)
         fetched = self.fetch(batch)
+        if pending_admission is not None:
+            seen_mask = type(self.seen).gather(pending_admission)
+            if seen_mask.any():
+                fetched = fetched.filter(pa.array(~seen_mask))
+            out.append(
+                _row({"url": "", "host": "", "kind": "fetch",
+                      "depth": 0, "priority": 0.0, "seed_id": ""},
+                     row_type="fetch_stat", status=int((~seen_mask).sum()))
+            )
+        _t0 = _mark("fetch", _t0)
 
         # redirect chains become FRONTIER DATA (HttpResponse.cs:39-66
         # semantics, Ray-Data-shaped): a 3xx row contributes a successor at
@@ -435,6 +473,7 @@ class CrawlProcessStage:
 
         # vectorized image path (typically the bulk of a breadth round)
         self._process_images(fetched, out)
+        _t0 = _mark("images", _t0)
 
         # page + error rows: row-at-a-time is fine (control-plane volumes)
         rest = fetched.filter(
@@ -498,6 +537,11 @@ class CrawlProcessStage:
         result = pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
         if self.sink_dirs:
             result = self._drain_sinks(result)
+        _mark("rest", _t0)
+        if _prof:
+            import sys as _sys
+            print("STAGE_T " + " ".join(f"{k}={v:.4f}" for k, v in _T.items()),
+                  file=_sys.stderr, flush=True)
         return result
 
     _SINK_SPECS = (

@@ -97,3 +97,82 @@ def test_exact_dedup_counts(ray_session, planted_corpus, tmp_path):
     rep = out[out["n_copies"] == 3]["rep_doc_id"].iloc[0]
     assert rep == docs[0]["doc_id"]  # min doc_id wins
     assert len(out) == len({r["text"] for r in tripled})
+
+
+def test_minhash_pairs_sql_value_oracle(ray_session, planted_corpus):
+    """VERDICT round-1 #9: value-level gate for the rows-only minhash query.
+    Every emitted pair's jaccard must equal the exact char-3gram Jaccard
+    computed INDEPENDENTLY by DuckDB over the emitted pairs (subset check:
+    no false positives, exact values) — no LSH determinism required."""
+    import duckdb
+
+    from crawler_ray.pipelines.dedup import minhash_near_dup_pairs
+
+    sf_dir, docs, truth = planted_corpus
+    got = minhash_near_dup_pairs(sf_dir, ngram=3, threshold=0.8).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.register("pairs", got)
+    con.sql(
+        f"CREATE VIEW docs AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    max_len = max(len(d["text"]) for d in docs)
+    checked = con.sql(f"""
+        WITH idx AS (
+            SELECT i FROM generate_series(1, {max_len}) AS t(i)
+        ),
+        dg AS (
+            SELECT DISTINCT d.doc_id, substring(lower(d.text), idx.i, 3) AS gram
+            FROM docs d JOIN idx ON idx.i <= greatest(length(d.text) - 2, 1)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+            FROM pairs p
+            JOIN dg a ON a.doc_id = p.doc_a
+            JOIN dg b ON b.doc_id = p.doc_b AND a.gram = b.gram
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               ROUND(i.c / (na.n + nb.n - i.c)::DOUBLE, 6) AS exact_j
+        FROM pairs p
+        JOIN inter i USING (doc_a, doc_b)
+        JOIN sizes na ON na.doc_id = p.doc_a
+        JOIN sizes nb ON nb.doc_id = p.doc_b
+    """).df()
+    assert len(checked) == len(got)  # every emitted pair has shared grams
+    assert (checked["exact_j"] >= 0.8).all()  # no false positives
+    # emitted jaccard == independent exact jaccard, pairwise
+    assert np.allclose(checked["jaccard"], checked["exact_j"], atol=1e-6)
+
+
+def test_simhash_pairs_sql_hamming_oracle(ray_session, planted_corpus):
+    """VERDICT round-1 #9: DuckDB recomputes each emitted pair's Hamming
+    distance with a bit_count(xor) expression over the signature table and
+    must agree with the pipeline's emitted distance (and the threshold)."""
+    import duckdb
+    import ray.data as rd
+
+    from crawler_ray.pipelines.dedup import simhash_batch, simhash_near_dup_pairs
+
+    sf_dir, docs, truth = planted_corpus
+    got = simhash_near_dup_pairs(sf_dir, max_hamming=3).to_pandas()
+    assert len(got) > 0
+    sigs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(simhash_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("pairs", got)
+    con.register("sigs", sigs)
+    checked = con.sql("""
+        SELECT p.doc_a, p.doc_b, p.hamming,
+               bit_count(xor(a.simhash, b.simhash)) AS exact_h
+        FROM pairs p
+        JOIN sigs a ON a.doc_id = p.doc_a
+        JOIN sigs b ON b.doc_id = p.doc_b
+    """).df()
+    assert len(checked) == len(got)
+    assert (checked["hamming"] == checked["exact_h"]).all()
+    assert (checked["exact_h"] <= 3).all()
