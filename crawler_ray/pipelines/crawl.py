@@ -262,7 +262,10 @@ class CrawlDriver:
             t0 = _t()
             if cfg.fetch_mode == "tasks":
                 width = int(ray.cluster_resources().get("CPU", cfg.fetch_concurrency))
-                target = width * 3
+                # blocks per CPU: 1 → single wave of uniform tasks (best
+                # utilization for the uniform breadth workload); raise for
+                # skewed/straggler-prone inputs
+                target = width * int(os.environ.get("CRAWLER_RAY_BLOCKS_PER_CPU", "3"))
             else:
                 target = cfg.fetch_concurrency * 2
 

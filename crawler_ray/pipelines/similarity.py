@@ -93,48 +93,87 @@ LIMIT {k}
 """
 
 
-class NearDupPairs:
-    """Blocked all-pairs: each batch row-block is matmul'd against the full
-    broadcast matrix; emits (a < b) pairs above threshold. O(n²/p) work per
-    worker but no shuffle; the LSH variant below is the sub-quadratic path."""
+def embedding_near_dup_pairs(
+    sf_dir: str, threshold: float = 0.3, n_blocks: int = 8
+) -> rd.Dataset:
+    """All pairs with round(cosine, 3) ≥ threshold (round-then-threshold so
+    the DuckDB oracle sees the identical boundary).
 
-    def __init__(self, mat_ref, threshold: float):
-        ids, mat = ray.get(mat_ref)
-        self.all_ids = ids
-        self.all_mat = _normalize(mat)
-        self.threshold = threshold
+    EXACT all-pairs as a block-nested-loop SELF-JOIN: vectors hash into
+    ``n_blocks`` blocks; every unordered block pair (p ≤ q) becomes one
+    shuffle group holding both blocks' rows, where a single matmul scores
+    the cross product. Each vector ships to exactly ``n_blocks`` groups —
+    bounded replication instead of a full-corpus broadcast, no driver-side
+    read, per-task memory 2·n/B vectors. (O(n²) WORK is inherent to the
+    exact answer; ``ann_lsh_topk`` below is the sub-quadratic approximate
+    path.) Every unordered vector pair lands in exactly one group, so the
+    output needs no dedup exchange."""
+    ds = _read_emb(sf_dir)
+    B = n_blocks
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _stack(batch)
-        sims = _normalize(mat) @ self.all_mat.T  # (b, N)
-        sims = round_np(sims.ravel(), 3).reshape(sims.shape)
-        bi, ni = np.nonzero(sims >= self.threshold)
-        a = ids[bi]
-        b = self.all_ids[ni]
-        keep = a < b  # each unordered pair exactly once
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        blk = (ids % B).astype(np.int64)
+        # row with block b joins pair-groups (p=b, q>=b) and (p<b, q=b)
+        pair_ids, idx = [], []
+        for i, b in enumerate(blk.tolist()):
+            for q in range(b, B):
+                pair_ids.append(b * B + q)
+                idx.append(i)
+            for p in range(0, b):
+                pair_ids.append(p * B + b)
+                idx.append(i)
+        take = pa.array(np.asarray(idx, dtype=np.int64))
         return pa.table(
             {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cos_sim": pa.array(sims[bi, ni][keep], pa.float64()),
+                "pair": pa.array(np.asarray(pair_ids, dtype=np.int64), pa.int64()),
+                "vec_id": t["vec_id"].take(take),
+                "embedding": t["embedding"].take(take),
             }
         )
 
+    def score(g: pa.Table) -> pa.Table:
+        pair = int(g["pair"][0].as_py())
+        p, q = divmod(pair, B)
+        ids, mat = _stack(g)
+        mat = _normalize(mat)
+        blk = ids % B
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        if p == q:
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            if len(ids) < 2:
+                return empty
+            sims = round_np((mat @ mat.T).ravel(), 3).reshape(len(ids), len(ids))
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            return pa.table(
+                {"vec_a": pa.array(ids[ai], pa.int64()),
+                 "vec_b": pa.array(ids[bi], pa.int64()),
+                 "cos_sim": pa.array(sims[ai, bi], pa.float64())}
+            )
+        li, ri = blk == p, blk == q
+        if not li.any() or not ri.any():
+            return empty
+        la, lm = ids[li], mat[li]
+        ra, rm = ids[ri], mat[ri]
+        sims = round_np((lm @ rm.T).ravel(), 3).reshape(len(la), len(ra))
+        ai, bi = np.nonzero(sims >= threshold)
+        a, b = la[ai], ra[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"vec_a": pa.array(lo, pa.int64()),
+             "vec_b": pa.array(hi, pa.int64()),
+             "cos_sim": pa.array(sims[ai, bi], pa.float64())}
+        )
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
-    """All pairs with round(cosine, 3) ≥ threshold (round-then-threshold so
-    the DuckDB oracle sees the identical boundary)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    mat_ref = ray.put((ids, mat))
-    return _read_emb(sf_dir).map_batches(
-        NearDupPairs,
-        fn_constructor_args=(mat_ref, threshold),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 4),
-        num_cpus=1,
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(score, batch_format="pyarrow")
     )
 
 
