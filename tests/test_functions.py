@@ -186,3 +186,39 @@ def test_sniff_text_encoding_bomless_utf16_and_gbk():
     # legacy CN encoding (not valid utf-8) falls back through gb18030
     gbk = "凤凰牌".encode("gb18030")
     assert decode_text(gbk) == "凤凰牌"
+
+
+def test_multipart_encoder_reference_layout():
+    """S12 (MultiParts.cs): part framing, file content-type rule, terminator —
+    and round-trips through Python's own multipart parser."""
+    from crawler_ray.functions.multipart import (
+        DEFAULT_BOUNDARY,
+        FilePart,
+        TxtPart,
+        encode_multipart,
+    )
+
+    body, ctype = encode_multipart([
+        TxtPart("ParentId", "42"),
+        FilePart("file", "a.png", b"\x89PNG\x00binary"),
+        FilePart("notes", "readme.txt", b"hello"),
+    ])
+    assert ctype == f"multipart/form-data; boundary={DEFAULT_BOUNDARY}"
+    assert body.startswith(f"--{DEFAULT_BOUNDARY}\r\n".encode())
+    assert body.endswith(f"--{DEFAULT_BOUNDARY}--\r\n".encode())
+    assert b'Content-Disposition: form-data; name="ParentId"\r\n\r\n42' in body
+    assert b'filename="a.png"\r\nContent-Type: application/octet-stream' in body
+    assert b'filename="readme.txt"\r\nContent-Type: text/plain' in body
+
+    # round-trip through the stdlib parser (real-consumer check)
+    from email.parser import BytesParser
+    from email.policy import HTTP
+
+    msg = BytesParser(policy=HTTP).parsebytes(
+        b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
+    )
+    parts = list(msg.iter_parts())
+    assert len(parts) == 3
+    assert parts[0].get_payload(decode=True) == b"42"
+    assert parts[1].get_payload(decode=True) == b"\x89PNG\x00binary"
+    assert parts[2].get_content_type() == "text/plain"
