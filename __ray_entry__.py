@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
+        "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
     }
 
 

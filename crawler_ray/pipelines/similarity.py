@@ -211,6 +211,132 @@ class LshSignStage:
         )
 
 
+def build_ann_index(
+    sf_dir: str, index_dir: str, n_bits: int = 8, seed: int = 5
+) -> int:
+    """PERSISTED LSH index (the serving path `ann_lsh_topk` lacks: it
+    recomputes bucketing per query). One distributed pass signs every
+    embedding and writes a **bucket-partitioned parquet layout**
+    (`bucket=<sig>/...` via ``partition_cols``); queries then read ONLY the
+    probed partitions — sub-linear I/O per query with zero per-query
+    signature work on the corpus. Hyperplanes derive deterministically from
+    ``seed`` (data-independent), stored beside the data so any process can
+    probe. Returns the number of indexed vectors."""
+    import json
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # peek dim from one row-group footer, not a full read
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"]
+    )
+    d = len(first["embedding"][0])
+    planes = rng.standard_normal((n_bits, d))
+    planes_ref = ray.put(planes)
+    ds = _read_emb(sf_dir).map_batches(
+        LshSignStage,
+        fn_constructor_args=(planes_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    ds.write_parquet(index_dir, partition_cols=["bucket"])
+    np.save(os.path.join(index_dir, "planes.npy"), planes)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_bits": n_bits, "seed": seed, "dim": d}, f)
+    return int(_read_emb(sf_dir).count())
+
+
+def ann_query_indexed(
+    index_dir: str, query_vec: np.ndarray, k: int = 10, hamming_probe: int = 2
+) -> rd.Dataset:
+    """Serve a top-k query from a ``build_ann_index`` layout: compute the
+    query signature locally (n_bits dot products), enumerate the multi-probe
+    bucket set (Hamming ≤ ``hamming_probe``), and ``read_parquet`` ONLY
+    those partition directories — partition pruning at the read, nothing
+    else of the corpus is touched."""
+    import json
+    import os
+
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_bits = json.load(f)["n_bits"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    qsig = 0
+    for j in range(n_bits):
+        qsig = (qsig << 1) | int((planes[j] @ q) > 0)
+    probe = {qsig}
+    if hamming_probe >= 1:
+        probe |= {qsig ^ (1 << b) for b in range(n_bits)}
+    if hamming_probe >= 2:
+        probe |= {
+            qsig ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_bits)
+            for b2 in range(b1 + 1, n_bits)
+        }
+    # ray.data.read_parquet wants files when given a list — expand each
+    # probed partition dir
+    paths = []
+    for b in sorted(probe):
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
+        )
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        CosineTopK,
+        fn_constructor_args=(ray.put(q), k),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def ann_indexed_topk(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> rd.Dataset:
+    """Two-phase ANN serving: a persisted bucket-partitioned index (built
+    ONCE per corpus, cached under /tmp, reused across queries AND
+    processes) + partition-pruned probe reads per query. Rows-only driver
+    check (approximate); index layout, coverage and recall asserted in
+    tests/test_similarity.py::test_persisted_ann_index."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"crawler_ray_ann_{key}")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        stage = f"{idx}.tmp-{os.getpid()}"
+        build_ann_index(sf_dir, stage)
+        try:
+            os.rename(stage, idx)  # atomic publish; losers keep serving
+        except OSError:  # pragma: no cover - concurrent builder won
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", query_vec_id)],
+    )
+    q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+    res = ann_query_indexed(idx, q, k=k + 1)
+    return res.map_batches(
+        lambda tb: tb.filter(pa.compute.not_equal(tb["vec_id"], query_vec_id)),
+        batch_format="pyarrow",
+    ).limit(k)
+
+
 def ann_lsh_topk(
     sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8, seed: int = 5
 ) -> rd.Dataset:

@@ -121,3 +121,61 @@ def test_real_media_raises(ray_session):
         _decode_audio(b"RIFF....WAVE")
     with pytest.raises(NotImplementedError):
         _decode_video(b"\x00\x00\x00 ftypmp42")
+
+
+def test_persisted_ann_index(ray_session, tmp_path):
+    """build once → query many: partition-pruned reads must touch only the
+    probed bucket dirs and reach brute-force-comparable recall."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.similarity import (
+        ann_query_indexed,
+        build_ann_index,
+        knn_brute_force,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ann_index")
+    n = build_ann_index(sf, idx, n_bits=8, seed=5)
+    assert n > 0
+    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(buckets) > 4  # really partitioned by signature
+    # indexed rows cover the corpus exactly once
+    import pyarrow.dataset as pads
+
+    total = sum(
+        pads.dataset(os.path.join(idx, b)).count_rows() for b in buckets
+    )
+    assert total == n
+
+    # modest recall bar on RANDOM data (the adversarial worst case for LSH
+    # — same rationale as test_ann_lsh_recall)
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    by_id = dict(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
+    exact = set(knn_brute_force(sf, query_vec_id=0, k=10).to_pandas()["vec_id"])
+    got = set(
+        ann_query_indexed(idx, np.asarray(by_id[0]), k=11).to_pandas()["vec_id"]
+    ) - {0}
+    assert len(exact & got) / 10 >= 0.3
+
+    # planted near-identical vectors MUST be served from the index (cosine
+    # ≈ 1 ⇒ same signature ⇒ guaranteed bucket hit)
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((300, 32)).astype(np.float32)
+    mat[200] = mat[5] * 3.0
+    mat[201] = mat[6] + rng.standard_normal(32).astype(np.float32) * 0.005
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    pdir = tmp_path / "planted"
+    pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(pdir / "embeddings.parquet")
+    )
+    idx2 = str(tmp_path / "ann_index2")
+    build_ann_index(str(pdir), idx2, n_bits=8, seed=5)
+    for qid, twin in ((5, 200), (6, 201)):
+        served = ann_query_indexed(idx2, mat[qid], k=3).to_pandas()
+        assert twin in set(served["vec_id"]), (qid, twin)
+        assert served.iloc[0]["cos_sim"] >= 0.999
