@@ -1,33 +1,42 @@
 """Round-based BFS crawl driver — the Ray-Data-native restructuring of the
 reference's whole-crawl lifecycle (SURVEY.md §3).
 
-Each round is a Dataset pipeline over the current frontier:
+Each round is ONE distributed streaming execution; the frontier never
+exists on the driver:
 
-    frontier_k (Arrow table, quota-selected per host)
-      → map_batches(SyntheticFetchStage, concurrency=F)     actor pool (ST3)
-      → [materialize once per round]
-      → images:  map_batches(ImageStage(seen), ...)         → images/round_k/
-      → pages:   map_batches(parse_pages_batch)             stateless tasks
-          → successors → RobotsFilterStage → SeenFilterStage (anti-join, ST1)
-          → entity records → tables/{categories,products}/round_k/
-      → dead letters → errors/round_k/                      (S9 lineage)
-      → metrics: per-batch partial counts → tiny combine    (A1 pattern)
-    frontier_{k+1} = survivors ∪ backlog, per-host quota re-selected
+    frontier_k (previous round's checkpoint parquet dir; seeds for round 0)
+      → map_batches(add host-hash partition key)
+      → groupby(part).map_groups(make_round_fn)   # fused, per partition:
+            per-host top-quota SELECT (priority desc, url — deterministic)
+            → backlog rows → checkpoint frontier dir (in-stage sink)
+            → selected rows, chunked: fetch (synthetic | real HTTP w/
+              redirect→successor resolution) → image decode/hash/dedup →
+              parse → robots → seen anti-join → brand first-wins upsert
+            → images/entities/brands/errors/successors ALL written in-stage
+              (sources/io.write_part: Lance fragment or parquet part with
+              content-derived idempotent names)
+      → output = per-(host,kind) sel_stat + <type>_stat summary ROWS only
+    driver: one small collect for metrics/lineage/loop control, then
+    save_round (atomic rename of the staging dir) → frontier_{k+1} path
 
 The reference's do/while page loop (``BaseSpider.cs:115-141``) becomes
 successor *data* (next-page rows); its thread pool (``BaseSpider.cs:90-114``)
-becomes the fetch actor pool; its politeness sleeps become per-round per-host
-quotas + token-bucket bookkeeping. Determinism: frontier selection sorts by
-(priority desc, url) within hosts — never arrival order — so the final
-seen-set and images table are bit-identical across runs AND parallelism
-levels (north-rule reproducibility; verified in tests).
+becomes task-parallel fused stages on pre-started workers; its politeness
+sleeps become per-round per-host quotas + token-bucket bookkeeping (grants
+fire-and-forget — quota is the enforced budget). Determinism: frontier
+selection sorts by (priority desc, url) within hosts — never arrival order —
+so the final seen-set, images, and brands tables are bit-identical across
+runs AND parallelism levels (north-rule reproducibility; verified in tests,
+including mid-run SIGKILL + resume).
 
-Scale notes (10^10-URL design point): the frontier lives in the object store
-as Arrow blocks (spillable); per-round state on the driver is only actor
-handles + metrics. The pages index inside each fetch actor is a sandbox
-stand-in for HTTP (real fetchers hold sessions, not indexes). Seen-set =
-``num_shards`` cuckoo actors sized ~1.2e8 keys each (see state/filters.py
-sizing note). Checkpoints bound re-work to one round.
+Scale notes (10^10-URL design point): between rounds the frontier is
+partitioned parquet on shared storage (written/read by stage tasks, one
+partition per task); within a round it is object-store blocks (spillable).
+Driver state = paths, counters, actor handles (asserted in tests). The
+pages index inside each fetch worker is a sandbox stand-in for HTTP
+(``fetcher="http"`` holds real sessions instead). Seen-set = ``num_shards``
+cuckoo actors sized ~1.2e8 keys each (state/filters.py sizing note).
+Checkpoints bound re-work to one round.
 """
 
 from __future__ import annotations
@@ -46,7 +55,6 @@ import ray
 import ray.data as rd
 
 from crawler_ray import schemas
-from crawler_ray.functions.urls import normalize_url, url_host
 from crawler_ray.state.checkpoint import CheckpointManager
 from crawler_ray.state.politeness import PolitenessActor
 from crawler_ray.state.seen import SeenSet

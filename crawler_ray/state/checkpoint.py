@@ -25,7 +25,6 @@ import pickle
 import shutil
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 
 class CheckpointManager:
