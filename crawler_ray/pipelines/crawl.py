@@ -347,12 +347,15 @@ class CrawlDriver:
                 # counter): tiny frontiers get few partitions — fewer
                 # shuffle tasks and fewer (larger) frontier files per round
                 # — while big frontiers fan out to the full task target
-                if frontier_rows is not None:
-                    n_parts = max(
-                        2, min(target, -(-frontier_rows // max(64, cfg.batch_size)))
-                    )
-                else:
-                    n_parts = target
+                est_rows = frontier_rows
+                if est_rows is None:
+                    # seed round: row count from the parquet FOOTER only
+                    import pyarrow.parquet as _pq
+
+                    est_rows = _pq.read_metadata(seeds_path).num_rows
+                n_parts = max(
+                    2, min(target, -(-est_rows // max(64, cfg.batch_size)))
+                )
                 filter_input = False
                 if frontier_source is None:
                     src = rd.read_parquet(
