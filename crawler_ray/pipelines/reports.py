@@ -121,19 +121,32 @@ def submit_view(out_dir: str) -> pd.DataFrame:
 def images_phash_near_dups(
     images: rd.Dataset, max_hamming: int = 6
 ) -> rd.Dataset:
-    """Near-dup image pairs by phash Hamming distance ≤ ``max_hamming``:
-    band the 64-bit phash into 4×16-bit quarters (pigeonhole guarantees a
-    shared quarter for distance ≤ 3; wider distances need more bands —
-    documented recall/IO trade-off), bucket-group, verify exactly."""
+    """Near-dup image pairs by phash Hamming distance ≤ ``max_hamming``.
+
+    ADAPTIVE banding: the 64-bit phash splits into ``max_hamming + 1`` bands
+    (pigeonhole: two hashes within distance d share at least one of d+1
+    disjoint bands unchanged), so recall is GUARANTEED for the requested
+    threshold — the round-1 fixed 4×16 split silently guaranteed only
+    d ≤ 3 at the default d = 6. Narrower bands mean more spurious bucket
+    collisions; the exact Hamming verify removes them."""
     from crawler_ray.functions.hashing import hamming64_batch
+
+    n_bands = min(8, max(2, max_hamming + 1))
+    # band bit-boundaries, as even as 64/n_bands allows
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = np.cumsum([0] + widths[:-1]).tolist()
 
     def explode(t: pa.Table) -> pa.Table:
         ph = t["phash"].to_numpy().astype(np.uint64)
         ids = t["image_id"].to_pylist()
         rows_b, rows_i, rows_p = [], [], []
-        for q in range(4):
-            quarter = ((ph >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows_b.append((np.int64(q) << np.int64(16)) | quarter)
+        for q in range(n_bands):
+            band_val = (ph >> np.uint64(offsets[q])) & np.uint64(
+                (1 << widths[q]) - 1
+            )
+            rows_b.append(
+                (np.int64(q) << np.int64(48)) | band_val.astype(np.int64)
+            )
             rows_i.extend(ids)
             rows_p.append(ph.astype(np.int64))
         return pa.table(

@@ -134,3 +134,43 @@ def test_lance_gate_falls_back(ray_session, tmp_path):
     tio.write_table(ds, str(tmp_path / "t"))
     back = tio.read_table(str(tmp_path / "t"))
     assert back.count() == 3
+
+
+def test_phash_banding_guarantees_requested_distance(ray_session):
+    """The round-1 fixed 4x16 banding silently guaranteed only d<=3 at the
+    default d=6; adaptive max_hamming+1 bands must find EVERY pair within
+    the threshold (checked vs brute force on hashes crafted to differ in
+    exactly 4..6 spread-out bits — the old cliff zone)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.hashing import hamming64_batch
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 1 << 63, size=12, dtype=np.int64)
+    rows = [{"image_id": f"b{i}", "phash": int(base[i])} for i in range(12)]
+    # craft near-dups at distances 4, 5, 6 with bits flipped ACROSS quarters
+    # (each 16-bit quarter differs -> zero recall under the old 4x16 split)
+    for i, d in enumerate((4, 5, 6)):
+        v = int(base[i])
+        for b in range(d):
+            v ^= 1 << (b * 63 // max(d - 1, 1))
+        if v >= 1 << 63:  # two's-complement into signed int64
+            v -= 1 << 64
+        rows.append({"image_id": f"m{i}", "phash": v})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = images_phash_near_dups(ds, max_hamming=6).to_pandas()
+    pairs = {tuple(sorted((a, b))) for a, b in zip(got["img_a"], got["img_b"])}
+    # brute-force truth
+    ids = [r["image_id"] for r in rows]
+    ph = np.array([r["phash"] for r in rows], dtype=np.int64)
+    want = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        if hamming64_batch(ph[i : i + 1], ph[j : j + 1])[0] <= 6:
+            want.add(tuple(sorted((ids[i], ids[j]))))
+    assert {("b0", "m0"), ("b1", "m1"), ("b2", "m2")} <= want
+    assert pairs == want  # guaranteed recall + exact verify = exact result
