@@ -7,12 +7,14 @@ training-data pipeline needs over arbitrary media blobs:
 
 - ``ImageResizeStage`` — decode → resize → re-encode (REAL for the formats
   codecs.py supports; nearest-neighbour resample).
-- ``AudioFeatureStage`` / ``VideoFrameSampleStage`` — the Ray-side plumbing
-  (schema, batch sizing, actor signature, output layout) is real and tested;
-  the codec call is a clearly-marked stub (``NotImplementedError`` for real
-  media bytes; a deterministic fake path for fixture payloads) because this
-  container ships no audio/video libraries. Swap ``_decode_audio`` /
-  ``_decode_video`` for soundfile / PyAV on a real cluster.
+- ``AudioFeatureStage`` — REAL for WAV/RIFF PCM (stdlib ``wave``; 8/16/32
+  bit, multi-channel downmixed), plus the deterministic FAUD fixture
+  container; compressed formats raise with a clear message (soundfile /
+  ffmpeg absent here — swap ``_decode_audio`` on a real cluster).
+- ``VideoFrameSampleStage`` — the Ray-side plumbing (schema, batch sizing,
+  actor signature, flat-map output layout) is real and tested; the codec
+  call is a clearly-marked stub (PyAV/ffmpeg absent; deterministic FVID
+  fixture container).
 
 All stages take/return Arrow batches (``batch_format='pyarrow'``) and are
 meant for SMALL ``batch_size`` — rows carry media payloads (SURVEY.md §7.5
@@ -47,15 +49,40 @@ def make_fake_video(n_frames: int, w: int, h: int, seed: int = 0) -> bytes:
 
 
 def _decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """STUB: real audio decode needs soundfile/ffmpeg (absent here). The
-    deterministic fake container keeps the pipeline testable end-to-end."""
+    """Audio decode: REAL for WAV/RIFF (stdlib ``wave`` — PCM 8/16/32-bit,
+    mono or multi-channel downmixed to mono), plus the deterministic FAUD
+    fixture container. Compressed formats (mp3/ogg/flac) would need
+    soundfile/ffmpeg — absent in this sandbox — and raise with a clear
+    message."""
     if data[:4] == FAKE_AUDIO_MAGIC:
         n, rate100 = struct.unpack(">IH", data[4:10])
         samples = np.frombuffer(data[10 : 10 + 2 * n], dtype=np.int16)
         return samples, rate100 * 100
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        elif width == 1:  # unsigned 8-bit → centre on 0
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        elif width == 4:
+            samples = np.frombuffer(raw, dtype="<i4")
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width {width}")
+        if n_ch > 1:  # downmix to mono
+            samples = samples[: len(samples) - len(samples) % n_ch]
+            samples = samples.reshape(-1, n_ch).mean(axis=1).astype(np.int32)
+        return samples.astype(np.int16 if width <= 2 else np.int32), sr
     raise NotImplementedError(
-        "real audio decoding requires soundfile/ffmpeg — not available in this "
-        "environment; only the deterministic FAUD fixture container is supported"
+        "compressed audio decoding requires soundfile/ffmpeg — not available "
+        "in this environment; WAV (RIFF PCM) and the FAUD fixture container "
+        "are decoded natively"
     )
 
 

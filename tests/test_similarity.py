@@ -115,9 +115,16 @@ def test_audio_video_stages(ray_session):
 
 
 def test_real_media_raises(ray_session):
+    import wave
+
     from crawler_ray.pipelines.multimodal import _decode_audio, _decode_video
 
+    # compressed audio (mp3 frame header) is genuinely unsupported
     with pytest.raises(NotImplementedError):
+        _decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 16)
+    # WAV is now REAL — a truncated/malformed RIFF raises the codec's own
+    # error, not NotImplementedError
+    with pytest.raises(wave.Error):
         _decode_audio(b"RIFF....WAVE")
     with pytest.raises(NotImplementedError):
         _decode_video(b"\x00\x00\x00 ftypmp42")
@@ -179,3 +186,48 @@ def test_persisted_ann_index(ray_session, tmp_path):
         served = ann_query_indexed(idx2, mat[qid], k=3).to_pandas()
         assert twin in set(served["vec_id"]), (qid, twin)
         assert served.iloc[0]["cos_sim"] >= 0.999
+
+
+def test_audio_wav_real_decode(ray_session):
+    """WAV is decoded for REAL (stdlib wave): a synthesized 440 Hz sine at
+    8 kHz must round-trip through AudioFeatureStage with exact duration,
+    rate, and the analytically-known RMS (A/sqrt(2))."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import AudioFeatureStage
+
+    sr, secs, amp = 8000, 2, 10000
+    t = np.arange(sr * secs) / sr
+    sine = (amp * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(sine.tobytes())
+    wav_mono = buf.getvalue()
+    # stereo variant (same signal duplicated) must downmix to the same RMS
+    buf2 = io.BytesIO()
+    stereo = np.repeat(sine, 2)
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(stereo.tobytes())
+    ds = rd.from_arrow(pa.table({"audio_id": ["mono", "stereo"],
+                                 "audio": [wav_mono, buf2.getvalue()]}))
+    out = (
+        ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                       concurrency=1, batch_size=2)
+        .to_pandas()
+        .set_index("audio_id")
+    )
+    for name in ("mono", "stereo"):
+        assert out.loc[name, "duration_sec"] == 2.0
+        assert out.loc[name, "sample_rate"] == sr
+        assert abs(out.loc[name, "rms"] - amp / np.sqrt(2)) < amp * 0.01
