@@ -131,8 +131,8 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """audio bytes → (duration_sec, rms, sample_rate). Decode is the stub;
-    the feature math, schema and batch plumbing are real."""
+    """audio bytes → (duration_sec, rms, sample_rate). WAV/RIFF-PCM decode
+    is real (stdlib ``wave``); compressed formats need external codecs."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, rms, rate = [], [], []
