@@ -39,26 +39,29 @@ class BroadcastJoiner:
     each actor fetches it in ``__init__`` — never re-shipped per batch."""
 
     def __init__(self, small_ref, on: str | list[str], how: str = "inner"):
-        self.small: pd.DataFrame = ray.get(small_ref)
+        # task-mode instance: holds the broadcast REF (shipped in the
+        # pickled callable), resolves it lazily once per task from the
+        # local object store — no actor-pool spin-up per execution
+        self.ref = small_ref
         self.on = on
         self.how = how
+        self._small: pd.DataFrame | None = None
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        if self._small is None:
+            self._small = (
+                ray.get(self.ref) if isinstance(self.ref, ray.ObjectRef) else self.ref
+            )
         # Arrow out: broadcast-join results usually feed a groupby shuffle,
         # and sort-shuffles over Arrow blocks are much faster than pandas
         return pa.Table.from_pandas(
-            batch.merge(self.small, on=self.on, how=self.how), preserve_index=False
+            batch.merge(self._small, on=self.on, how=self.how), preserve_index=False
         )
 
 
-def _bjoin(ds: rd.Dataset, small: pd.DataFrame, on, how="inner", concurrency=(1, 4)):
-    ref = ray.put(small)
+def _bjoin(ds: rd.Dataset, small: pd.DataFrame, on, how="inner", concurrency=None):
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_args=(ref, on, how),
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=0.5,
+        BroadcastJoiner(ray.put(small), on, how), batch_format="pandas"
     )
 
 
@@ -85,9 +88,10 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "grp": pc.binary_join_element_wise(
                     t["l_returnflag"], t["l_linestatus"], "|"
                 ).to_pandas(),
-                "qty": t["l_quantity"].to_numpy(),
-                "price": t["l_extendedprice"].to_numpy(),
-                "disc": t["l_discount"].to_numpy(),
+                "qty": t["l_quantity"].to_numpy(),  # integer-valued: exact
+                # integer-cents: order-independent exact partial sums
+                "price": np.round(t["l_extendedprice"].to_numpy() * 100.0),
+                "disc": np.round(t["l_discount"].to_numpy() * 100.0),
                 # exact integer-cents product (see joins.py li_partial note)
                 "disc_price": np.round(t["l_extendedprice"].to_numpy() * 100.0)
                 * np.round((1.0 - t["l_discount"].to_numpy()) * 100.0),
@@ -123,10 +127,12 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "l_returnflag": parts[0],
                 "l_linestatus": parts[1],
                 "sum_qty": round_np(df["sum_qty"], 2),
-                "sum_base_price": round_np(df["sum_base_price"], 2),
+                "sum_base_price": df["sum_base_price"].astype("int64") / 100.0,
                 "sum_disc_price": round_np(df["sum_disc_price"] / 10000.0, 2),
                 "avg_qty": round_np(df["sum_qty"] / df["count_order"], 4),
-                "avg_disc": round_np(df["sum_disc"] / df["count_order"], 4),
+                "avg_disc": round_np(
+                    df["sum_disc"].astype("int64") / 100.0 / df["count_order"], 4
+                ),
                 "count_order": df["count_order"].astype("int64"),
             }
         )
@@ -159,17 +165,30 @@ def market_segment_revenue(sf_dir: str) -> rd.Dataset:
     cust = (
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     )  # small dimension side — materializing it is the point of a broadcast join
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        # exact integer-cents: 2-decimal money summed as int64 is
+        # associative — no accumulation-order flips vs the oracle whatever
+        # the block split (events.py / joins.py pattern)
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"],
+             "cents": pa.array(
+                 np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+                 pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
     joined = _bjoin(orders, cust.rename(columns={"c_custkey": "o_custkey"}), "o_custkey")
     agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
+        Sum("cents", alias_name="revenue_c"),
         Count(alias_name="n_orders"),
     )
     return agg.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("revenue"), "revenue", round_pa(t["revenue"], 2)
+        lambda df: pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"],
+             "revenue": df["revenue_c"].astype("int64") / 100.0,
+             "n_orders": df["n_orders"].astype("int64")}
         ),
-        batch_format="pyarrow",
+        batch_format="pandas",
     )
 
 
@@ -206,21 +225,30 @@ GROUP BY r_name
 
 def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        # integer-cents: order-independent exact sums (see market segment)
+        lambda t: pa.table(
+            {"s_nationkey": t["s_nationkey"],
+             "cents": pa.array(
+                 np.round(t["s_acctbal"].to_numpy() * 100.0).astype(np.int64),
+                 pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
     joined = _bjoin(
         supp, nation.rename(columns={"n_nationkey": "s_nationkey"}), "s_nationkey"
     )
     agg = joined.groupby("n_name").aggregate(
-        Sum("s_acctbal", alias_name="total_balance"),
+        Sum("cents", alias_name="balance_c"),
         Count(alias_name="n_suppliers"),
     )
     return agg.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("total_balance"),
-            "total_balance",
-            round_pa(t["total_balance"], 2),
+        lambda df: pd.DataFrame(
+            {"n_name": df["n_name"],
+             "total_balance": df["balance_c"].astype("int64") / 100.0,
+             "n_suppliers": df["n_suppliers"].astype("int64")}
         ),
-        batch_format="pyarrow",
+        batch_format="pandas",
     )
 
 
@@ -295,9 +323,13 @@ def filtered_revenue_rows(sf_dir: str) -> rd.Dataset:
             pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
         )
         t = t.filter(keep)
-        rev = round_pa(
-            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])), 2
-        )
+        # exact integer arithmetic in 1e-4 units: price and discount carry 2
+        # decimals, so the product is an exact integer (< 2^53) and one
+        # float division yields the identical double on both sides — no
+        # Arrow-vs-DuckDB rounding canonicalization gap per row
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100.0)
+        disc_c = np.round((1.0 - t["l_discount"].to_numpy()) * 100.0)
+        rev = pa.array(price_c * disc_c / 10000.0, pa.float64())
         return t.select(["l_orderkey", "l_linenumber"]).append_column("revenue", rev)
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -305,7 +337,8 @@ def filtered_revenue_rows(sf_dir: str) -> rd.Dataset:
 
 FILTERED_REVENUE_SQL = """
 SELECT l_orderkey, l_linenumber,
-       ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+       ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100) / 10000.0
+           AS revenue
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_shipdate < TIMESTAMP '1997-01-01'
 """

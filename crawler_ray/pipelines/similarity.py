@@ -37,11 +37,15 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 class CosineTopK:
-    """Per-batch exact cosine vs a broadcast query vector, emitting only the
-    batch-local top-k partial (the global top-k is a tiny final sort)."""
+    """Per-batch exact cosine vs the query vector, emitting only the
+    batch-local top-k partial (the global top-k is a tiny final sort).
+    Used as a task-mode INSTANCE: the state is one small unit vector, so
+    shipping it inside the pickled callable beats paying an actor-pool
+    spin-up per execution (measured: the pool start dominated these
+    sub-second scans)."""
 
-    def __init__(self, query_ref, k: int):
-        self.q = ray.get(query_ref)  # (d,) float64, unit norm
+    def __init__(self, query, k: int):
+        self.q = ray.get(query) if isinstance(query, ray.ObjectRef) else query
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -65,19 +69,12 @@ def knn_brute_force(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> rd.Datas
     )
     q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
     q = q / np.linalg.norm(q)
-    query_ref = ray.put(q)
 
     ds = _read_emb(sf_dir).map_batches(
         lambda tb: tb.filter(pa.compute.not_equal(tb["vec_id"], query_vec_id)),
         batch_format="pyarrow",
     )
-    partials = ds.map_batches(
-        CosineTopK,
-        fn_constructor_args=(query_ref, k),
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        num_cpus=1,
-    )
+    partials = ds.map_batches(CosineTopK(q, k), batch_format="pyarrow")
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -191,10 +188,12 @@ WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= {threshold}
 
 
 class LshSignStage:
-    """Random-hyperplane signature (b bits) per embedding — bucket key."""
+    """Random-hyperplane signature (b bits) per embedding — bucket key.
+    Task-mode instance: the plane matrix is (b, d) floats, small enough to
+    ship in the pickled callable."""
 
-    def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref)  # (b, d)
+    def __init__(self, planes):
+        self.planes = ray.get(planes) if isinstance(planes, ray.ObjectRef) else planes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _stack(batch)
@@ -232,13 +231,8 @@ def build_ann_index(
     )
     d = len(first["embedding"][0])
     planes = rng.standard_normal((n_bits, d))
-    planes_ref = ray.put(planes)
     ds = _read_emb(sf_dir).map_batches(
-        LshSignStage,
-        fn_constructor_args=(planes_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        num_cpus=1,
+        LshSignStage(planes), batch_format="pyarrow"
     )
     os.makedirs(index_dir, exist_ok=True)
     ds.write_parquet(index_dir, partition_cols=["bucket"])
@@ -292,13 +286,7 @@ def ann_query_indexed(
                       "cos_sim": pa.array([], pa.float64())})
         )
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
-    partials = ds.map_batches(
-        CosineTopK,
-        fn_constructor_args=(ray.put(q), k),
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        num_cpus=1,
-    )
+    partials = ds.map_batches(CosineTopK(q, k), batch_format="pyarrow")
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -347,7 +335,6 @@ def ann_lsh_topk(
     d = len(t["embedding"][0])
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_bits, d))
-    planes_ref = ray.put(planes)
 
     q = np.asarray(
         t.filter(pa.compute.equal(t["vec_id"], query_vec_id))["embedding"].to_pylist()[0],
@@ -367,27 +354,16 @@ def ann_lsh_topk(
         for b2 in range(b1 + 1, n_bits)
     }
     probe_arr = pa.array(sorted(probe), pa.int64())
-    query_ref = ray.put(q)
 
     ds = _read_emb(sf_dir).map_batches(
         lambda tb: tb.filter(pa.compute.not_equal(tb["vec_id"], query_vec_id)),
         batch_format="pyarrow",
     )
     bucketed = ds.map_batches(
-        LshSignStage,
-        fn_constructor_args=(planes_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        num_cpus=1,
+        LshSignStage(planes), batch_format="pyarrow"
     ).map_batches(
         lambda tb: tb.filter(pa.compute.is_in(tb["bucket"], value_set=probe_arr)),
         batch_format="pyarrow",
     )
-    partials = bucketed.map_batches(
-        CosineTopK,
-        fn_constructor_args=(query_ref, k),
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        num_cpus=1,
-    )
+    partials = bucketed.map_batches(CosineTopK(q, k), batch_format="pyarrow")
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)

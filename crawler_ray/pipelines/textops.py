@@ -40,7 +40,7 @@ class TokenStats:
 
 def doc_token_stats(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenStats, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+        TokenStats(), batch_format="pandas"
     )
 
 
@@ -75,7 +75,7 @@ def doc_punct_ratio(sf_dir: str) -> rd.Dataset:
     RE2's). The composite quality score (functions/text.py) is covered by the
     rows-only ``doc_quality_scores`` query + unit tests."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        PunctStats, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+        PunctStats(), batch_format="pandas"
     )
 
 
@@ -170,7 +170,7 @@ class LangIdStage:
 
 def doc_lang_id(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        LangIdStage, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+        LangIdStage(), batch_format="pandas"
     )
 
 
@@ -192,7 +192,7 @@ class QualityStage:
 def doc_quality_scores(sf_dir: str) -> rd.Dataset:
     """Composite quality score (rows-only: heuristic weights aren't SQL)."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityStage, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+        QualityStage(), batch_format="pandas"
     )
 
 
@@ -222,5 +222,5 @@ class FingerprintStage:
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """SimHash + winnowing fingerprint per doc (rows-only)."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        FingerprintStage, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
+        FingerprintStage(), batch_format="pandas"
     )
