@@ -27,28 +27,39 @@ def hourly_event_counts(sf_dir: str) -> rd.Dataset:
     batch) after the in-batch pre-aggregation."""
     ds = _read_events(sf_dir, ["ts", "event_type", "value"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    def bucket(t: pa.Table) -> pa.Table:
+        # hour bucket as an INTEGER (hours since epoch) — the human-readable
+        # hour string is formatted AFTER aggregation, on thousands of window
+        # rows instead of strftime over every event (the measured hot spot)
+        hour_i = t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
         # exact integer-cents partial sums (joins.py li_partial pattern): the
         # value column has 2 decimals, so round(value*100) is an exact int64
         # and the distributed sum is associative — no summation-order flips
         # vs the oracle regardless of block split
-        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
-        out = (
-            df.assign(hour=hour, cents=cents)
-            .groupby(["hour", "event_type"], sort=True)
-            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
-            .reset_index()
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        # factorize + bincount: a (hour, type) combine at numpy speed (the
+        # pandas multi-key groupby over every event measured ~1s/1M rows).
+        # bincount weights are float64 but cents stay < 2^53 — exact.
+        code_arr, uniq = pd.factorize(t["event_type"].to_pandas())
+        code_arr = code_arr.astype(np.int64)
+        comb = hour_i * np.int64(max(len(uniq), 1)) + code_arr
+        u, inv = np.unique(comb, return_inverse=True)
+        n_events = np.bincount(inv)
+        sum_cents = np.bincount(inv, weights=cents).astype(np.int64)
+        h = u // max(len(uniq), 1)
+        c = u % max(len(uniq), 1)
+        et = np.asarray(uniq, dtype=object)[c]
+        win_key = np.char.add(
+            np.char.add(et.astype(str), "|"), h.astype(str)
         )
-        # single composite shuffle key (single-key groupby is much cheaper
-        # than multi-key in this Ray version); split back after the aggregate
-        out["win_key"] = out["hour"] + "|" + out["event_type"]
         # Arrow out: feeds the window-key groupby shuffle
-        return pa.Table.from_pandas(
-            out[["win_key", "n_events", "sum_cents"]], preserve_index=False
+        return pa.table(
+            {"win_key": pa.array(win_key.tolist(), pa.string()),
+             "n_events": pa.array(n_events, pa.int64()),
+             "sum_cents": pa.array(sum_cents, pa.int64())}
         )
 
-    partial = ds.map_batches(bucket, batch_format="pandas")
+    partial = ds.map_batches(bucket, batch_format="pyarrow")
     agg = partial.groupby("win_key").aggregate(
         Sum("n_events", alias_name="n_events_f"),
         Sum("sum_cents", alias_name="sum_cents_f"),
@@ -56,10 +67,13 @@ def hourly_event_counts(sf_dir: str) -> rd.Dataset:
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
         parts = df["win_key"].str.split("|", expand=True, regex=False)
+        hour = pd.to_datetime(
+            parts[1].astype("int64"), unit="h"
+        ).dt.strftime("%Y-%m-%d %H:%M:%S")
         return pd.DataFrame(
             {
-                "hour": parts[0],
-                "event_type": parts[1],
+                "hour": hour,
+                "event_type": parts[0],
                 "n_events": df["n_events_f"].astype("int64"),
                 # cents/100.0 is the nearest double to the 2-decimal value —
                 # identical to DuckDB's ROUND canonical representation
@@ -83,39 +97,65 @@ GROUP BY 1, 2
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows: per-user, a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Partitioning contract: one user's
-    events co-locate in one group (hash-partition by user_id)."""
+    events co-locate (hash-partition by user), but users are processed per
+    coarse PARTITION with a numpy segment walk — Ray's per-group map_groups
+    costs ~ms of pandas overhead per user (the dedup pipelines' lesson);
+    sums use exact integer cents (order-independent, DuckDB-canonical)."""
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    gap_ns = np.int64(gap_minutes * 60) * np.int64(10**9)
+    n_parts = 64
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(brk)
-        # integer-cents sums: exact, order-independent, and cents/100.0 is the
-        # nearest double to the 2-decimal value = DuckDB ROUND's canonical
-        # double (float sums + round_np do NOT snap 83.17999... to 83.18)
-        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
-        out = (
-            g.assign(session_id=sid, cents=cents)
-            .groupby("session_id", sort=True)
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("event_id", "size"),
-                sum_cents=("cents", "sum"),
-                session_start=("ts", "min"),
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["user_id"].to_numpy() % n_parts).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def sessions(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "sum_value": pa.array([], pa.float64()),
+                 "session_start_epoch": pa.array([], pa.int64())}
             )
-            .reset_index()
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_ns]
+        gid = np.cumsum(brk)  # global session index, 1-based
+        sess_start = np.flatnonzero(brk)
+        # per-user session_id: global index minus the user's first, plus 1
+        user_start = np.flatnonzero(new_user)
+        # for each session start, the gid at its user's first session
+        user_of_sess = np.searchsorted(user_start, sess_start, side="right") - 1
+        first_gid = gid[user_start][user_of_sess]
+        sid = gid[sess_start] - first_gid + 1
+        sess_end = np.r_[sess_start[1:], n]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sess_start], pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(sess_end - sess_start, pa.int64()),
+                "sum_value": pa.array(
+                    np.add.reduceat(cents, sess_start) / 100.0, pa.float64()
+                ),
+                # sessions are ts-sorted, so the start row holds the min ts
+                "session_start_epoch": pa.array(
+                    ts[sess_start] // 10**9, pa.int64()
+                ),
+            }
         )
-        out["sum_value"] = out["sum_cents"] / 100.0
-        out["session_start_epoch"] = (
-            out["session_start"].astype("datetime64[ns]").astype("int64") // 10**9
-        )
-        return out[["user_id", "session_id", "n_events", "sum_value", "session_start_epoch"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
 
 
 SESSIONIZE_SQL = """

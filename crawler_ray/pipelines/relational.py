@@ -282,18 +282,39 @@ LIMIT 10
 
 
 def top3_orders_per_customer(sf_dir: str) -> rd.Dataset:
-    """Per-group top-k (O4 first-match generalized): hash-partition by
-    customer, per-group sort + head(3). No global sort."""
+    """Per-group top-k (O4 first-match generalized): coarse hash-partition +
+    numpy segment walk, rank computed positionally — no per-customer pandas
+    group calls and no global sort."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    n_parts = 64
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(3)
-        g = g.assign(rn=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["o_custkey"].to_numpy() % n_parts).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    def topk(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        okey = t["o_orderkey"].to_numpy()
+        price = t["o_totalprice"].to_numpy()
+        order = np.lexsort((okey, -price, cust))
+        cust, okey, price = cust[order], okey[order], price[order]
+        new = np.r_[True, cust[1:] != cust[:-1]]
+        starts = np.flatnonzero(new)
+        # positional rank within each customer segment
+        rn = np.arange(len(cust)) - np.repeat(starts, np.diff(np.r_[starts, len(cust)])) + 1
+        keep = rn <= 3
+        return pa.table(
+            {"o_custkey": pa.array(cust[keep], pa.int64()),
+             "o_orderkey": pa.array(okey[keep], pa.int64()),
+             "o_totalprice": pa.array(price[keep], pa.float64()),
+             "rn": pa.array(rn[keep], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pyarrow")
+    )
 
 
 TOP3_PER_CUSTOMER_SQL = """
@@ -346,20 +367,33 @@ WHERE l_discount >= 0.05 AND l_shipdate < TIMESTAMP '1997-01-01'
 
 def first_order_per_customer(sf_dir: str) -> rd.Dataset:
     """Exact dedup-by-key keeping the earliest row (J5 exists-check /
-    first-wins semantics): hash-partition by key + per-group first."""
+    first-wins semantics): coarse hash-partition + numpy segment walk —
+    per-key map_groups pays ~ms of pandas overhead per customer (the dedup
+    pipelines' lesson), a partition walk pays it once per partition."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    n_parts = 64
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort").head(1)
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["o_custkey"].to_numpy() % n_parts).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
 
-    out = ds.groupby("o_custkey").map_groups(first, batch_format="pandas")
-    return out.map_batches(
-        lambda df: df.assign(
-            first_order_epoch=(
-                df["o_orderdate"].astype("datetime64[ns]").astype("int64") // 10**9
-            ).astype("int64")
-        ).drop(columns=["o_orderdate"]),
-        batch_format="pandas",
+    def first(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        okey = t["o_orderkey"].to_numpy()
+        date = t["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((okey, date, cust))
+        cust, okey, date = cust[order], okey[order], date[order]
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        return pa.table(
+            {"o_custkey": pa.array(cust[starts], pa.int64()),
+             "o_orderkey": pa.array(okey[starts], pa.int64()),
+             "first_order_epoch": pa.array(date[starts] // 10**9, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(first, batch_format="pyarrow")
     )
 
 
