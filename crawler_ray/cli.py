@@ -70,6 +70,8 @@ def cmd_crawl(args) -> int:
         fetch_concurrency=args.fetch_concurrency,
         num_seen_shards=args.seen_shards,
         batch_size=args.batch_size,
+        fetcher=args.fetcher,
+        http_opts={"timeout": args.http_timeout} if args.fetcher == "http" else None,
     )
     driver = CrawlDriver(cfg)
     res = driver.run(resume=args.resume)
@@ -134,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--seen-shards", type=int, default=4)
     c.add_argument("--batch-size", type=int, default=128)
     c.add_argument("--cpus", type=int, default=None)
+    c.add_argument("--fetcher", choices=["synthetic", "http"], default="synthetic",
+                   help="synthetic site stand-in, or real HTTP fetching "
+                        "(requests.Session per worker, redirect→frontier)")
+    c.add_argument("--http-timeout", type=float, default=10.0)
     c.set_defaults(fn=cmd_crawl)
 
     r = sub.add_parser("report", help="post-crawl reports")
