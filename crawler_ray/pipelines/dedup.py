@@ -7,11 +7,19 @@ content-dedup operators a training-data pipeline needs. The scalable shapes:
 
 - exact dedup        = hash-partition on content hash + per-group first
 - token-set dedup    = same, on a canonicalized token-set hash
-- MinHash+LSH        = shingle→minhash per batch (actor pool) → explode to
-                       (band, band_hash, doc) rows → groupby band bucket →
-                       candidate pairs → exact-Jaccard verify
-- SimHash            = 64-bit signature → band by 16-bit quarters → candidate
-                       pairs → Hamming verify
+- MinHash+LSH        = vectorized signatures (task-mode, worker-cached
+                       params) → vectorized banding (sig carried in band
+                       rows) → ONE coarse-partition exchange running the
+                       fused pairwise-estimate prefilter + canonical-band
+                       dedup in numpy segment walks → hash-partition text
+                       joins → exact-Jaccard verify. No driver-side corpus
+                       state, no broadcasts, mega-bucket-safe.
+- SimHash            = batch-vectorized 64-bit signatures → 16-bit quarter
+                       banding → ONE exchange with fused XOR-popcount
+                       verification + canonical-quarter dedup
+- token-Jaccard      = quadratic work over DISTINCT token sets only
+                       (vocab-bounded metadata), doc-pair emission via
+                       hash-partition joins — exact vs the SQL oracle
 """
 
 from __future__ import annotations
