@@ -102,3 +102,38 @@ def test_url_join_absolute(base, link):
     out = url_join(base, link)
     assert out.startswith("https://")
     assert out.endswith(".png")
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 99), st.floats(0, 10)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_fused_selection_matches_library_selection(rows, quota):
+    """The fused round fn's vectorized per-host top-quota mask must select
+    exactly the same URL set as the library select_per_host, for any
+    frontier and quota (determinism + O1 semantics)."""
+    import pandas as pd
+
+    from crawler_ray.stages.frontier import select_per_host
+
+    df = pd.DataFrame(
+        {
+            "host": [f"h{h}.example" for h, _, _ in rows],
+            "url": [f"https://h{h}.example/p{p}" for h, p, _ in rows],
+            "priority": [pr for _, _, pr in rows],
+        }
+    ).drop_duplicates("url")
+    # fused-round mask (stages/process.py make_round_fn selection)
+    s = df.sort_values(["host", "priority", "url"],
+                       ascending=[True, False, True], kind="mergesort")
+    fused = set(s[ (s.groupby("host", sort=False).cumcount() < quota) ]["url"])
+    # library per-host selection
+    lib = set()
+    for _, g in df.groupby("host", sort=True):
+        marked = select_per_host(g, quota)
+        lib |= set(marked[marked["selected"]]["url"])
+    assert fused == lib
