@@ -90,6 +90,9 @@ class CrawlConfig:
     use_politeness_actors: bool = True
     num_politeness_shards: int = 2
     seed: int = 7
+    # seed lists at least this large stream straight into the fused stage
+    # (no selection shuffle; requires an unconstrained quota)
+    big_seed_threshold: int = 50_000
 
 
 @dataclass
@@ -194,7 +197,7 @@ class CrawlDriver:
             import pyarrow.parquet as _pq
 
             n = _pq.read_metadata(seeds_path).num_rows
-            return n >= 50_000 and cfg.quota_per_host >= n
+            return n >= cfg.big_seed_threshold and cfg.quota_per_host >= n
 
         if resume:
             latest = self.ckpt.latest_complete_round()

@@ -197,3 +197,37 @@ def test_frontier_never_driver_resident(crawl_once):
                 if f.endswith(".parquet"):
                     rows += pq.read_metadata(os.path.join(fdir, f)).num_rows
         assert rows == lin["successors"] + lin["backlog"], key
+
+
+def test_big_seed_streaming_path_equivalence(ray_session, tmp_path_factory):
+    """The big-seed streaming round (the ingest/scaling headline: seeds
+    stream straight into the fused stage, in-stage admission, no selection
+    shuffle) must produce the BIT-IDENTICAL images table as the
+    quota-selection path over the same seed list."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.sources.synthetic import generate_image_frontier
+
+    fix = tmp_path_factory.mktemp("bigseed_fix")
+    seeds = generate_image_frontier(400, n_hosts=8, img_sizes=(16,))
+    pq.write_table(seeds, str(fix / "seeds.parquet"))
+    (fix / "robots.json").write_text("{}")
+    synth = {"seed": 42, "img_sizes": [16], "robots_frac": 0.0}
+
+    out_a = tmp_path_factory.mktemp("bigseed_a")
+    _, res_a = _run(
+        str(fix), out_a, quota_per_host=10**9, synth_images=synth,
+        big_seed_threshold=100,  # forces the streaming path
+    )
+    out_b = tmp_path_factory.mktemp("bigseed_b")
+    _, res_b = _run(
+        str(fix), out_b, quota_per_host=10**9, synth_images=synth,
+        big_seed_threshold=10**9,  # forces the quota-selection path
+    )
+    n_distinct = len(set(seeds["url"].to_pylist()))  # dup_frac plants dup URLs
+    assert res_a.rounds == 1 and res_a.pages_fetched == n_distinct
+    assert res_a.pages_fetched == res_b.pages_fetched
+    assert res_a.images_written == res_b.images_written > 0
+    a = read_images_table(str(out_a))
+    b = read_images_table(str(out_b))
+    assert a.equals(b)
