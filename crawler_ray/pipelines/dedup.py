@@ -288,9 +288,28 @@ def _estimate_pairs_multi(threshold: float):
             bkt, ids, mat = bkt[order], ids[order], mat[order]
             starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
             ends = np.r_[starts[1:], n]
+            sizes = ends - starts
+            # two-member buckets (the overwhelmingly common hot case) are
+            # estimated for ALL segments in one vectorized pass — the
+            # per-segment loop below would pay 128 small python-level ops
+            # per bucket for 4 comparisons each
+            i2 = starts[sizes == 2]
+            if len(i2):
+                j2 = i2 + 1
+                eq = mat[i2] == mat[j2]  # (k, 128)
+                est_ok = eq.sum(axis=1) >= min_est_count
+                band_eq = eq.reshape(-1, _N_BANDS, rows_per_band).all(axis=2)
+                cur_bands = bkt[i2] >> 58
+                keep = est_ok & (
+                    (~band_eq.any(axis=1)) | (band_eq.argmax(axis=1) == cur_bands)
+                )
+                if keep.any():
+                    # ids are ascending within each bucket (lexsort)
+                    out_a.append(ids[i2[keep]])
+                    out_b.append(ids[j2[keep]])
             for s, e in zip(starts.tolist(), ends.tolist()):
                 m = e - s
-                if m < 2:
+                if m < 3:
                     continue
                 sig = mat[s:e]
                 sids = ids[s:e]
