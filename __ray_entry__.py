@@ -2,11 +2,14 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes every SQL-expressible operator over the driver testdata
-(one entry per SURVEY.md §2 family + the training-data suite); each has a
-DuckDB twin in ``oracle_sql()`` unless genuinely non-SQL-expressible (those
-get the weaker rows-only check: minhash/simhash LSH, lang-id heuristic,
-composite quality score, ANN probing).
+``queries()`` exposes 32 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 24 have a DuckDB twin in
+``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
+integer-cents partial sums, so results are independent of block split and
+accumulation order). The genuinely non-SQL-expressible eight get the weaker
+rows-only driver check (minhash/simhash LSH — value-oracled pairwise in
+DuckDB inside tests instead — lang-id heuristic, composite quality score,
+sketches, ANN probing incl. the persisted-index serving path).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
