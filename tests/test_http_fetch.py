@@ -201,3 +201,43 @@ def test_http_crawl_end_to_end(ray_session, http_site, tmp_path_factory):
     brec = json.loads(brands[0]["record"])
     assert brec["brand_name"] == "acme"
     assert brec["brand_img"].endswith("/img/brand_acme.png")
+
+
+def test_http_timeout_maps_to_599_with_retry_budget(ray_session):
+    """A hanging server must surface as status 599 after spending the full
+    retry budget on the wire — no exception, no infinite wait."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits = []
+
+    class Slow(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits.append(self.path)
+            _time.sleep(3.0)  # longer than the client timeout
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Slow)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/hang"
+
+    from crawler_ray.stages.fetch import HttpFetchStage
+
+    stage = HttpFetchStage(max_attempts=2, timeout=0.4)
+    batch = pa.table({
+        "url": [url], "host": ["127.0.0.1"], "kind": ["category_tree"],
+        "depth": pa.array([0], pa.int32()), "priority": [1.0],
+        "seed_id": ["s"], "caption": [""],
+    })
+    out = stage(batch)
+    srv.shutdown()
+    assert out["status"].to_pylist() == [599]
+    assert out["attempt"].to_pylist() == [2]  # budget spent
+    assert len(hits) == 2  # both attempts actually hit the socket
+    assert out["redirect_url"].to_pylist() == [""]
