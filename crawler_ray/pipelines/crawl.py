@@ -80,7 +80,11 @@ class CrawlConfig:
     synth_images: dict | None = None
     # "tasks": fused stage runs as stateless tasks on pre-started workers
     # with per-worker stage caching (no per-round actor-pool spin-up);
-    # "actors": classic fixed actor pool (sized by fetch_concurrency)
+    # "actors": classic fixed actor pool (sized by fetch_concurrency).
+    # NOTE: applies to big-seed STREAMING rounds only — quota rounds always
+    # run the fused groupby(part).map_groups task path (selection and
+    # processing are one fused function there; an actor pool cannot host a
+    # map_groups stage)
     fetch_mode: str = "tasks"
     # "synthetic": deterministic in-sandbox site stand-in; "http": real
     # requests.Session fetching with redirect→frontier resolution
@@ -329,6 +333,7 @@ class CrawlDriver:
                             pages_ref, self.politeness, self.seen,
                             self.robots_txt, cfg.max_attempts,
                             cfg.synth_images, images_dir, True, sink_dirs,
+                            cfg.fetcher, cfg.http_opts,
                         ),
                         batch_format="pyarrow",
                         batch_size=cfg.batch_size,
@@ -366,7 +371,11 @@ class CrawlDriver:
                     ).map_batches(_seed_batch_to_frontier, batch_format="pyarrow")
                     filter_input = True  # seed admission inside the round fn
                 else:
-                    src = rd.read_parquet(
+                    # Lance-aware: the frontier parts are whatever
+                    # sources/io.write_part produced (ADVICE round-2 high)
+                    from crawler_ray.sources.io import read_parts
+
+                    src = read_parts(
                         frontier_source, override_num_blocks=n_parts
                     )
 
@@ -467,25 +476,19 @@ class CrawlDriver:
 
     # ------------------------------------------------------------------
     def images_dataset(self) -> rd.Dataset:
+        from crawler_ray.sources.io import read_parts
+
         root = os.path.join(self.cfg.out_dir, "images")
         if not os.path.isdir(root) or not os.listdir(root):
             return rd.from_arrow(pa.Table.from_pylist([], schema=schemas.IMAGES))
-        return rd.read_parquet(root)
+        return read_parts(root)
 
 
 def read_images_table(out_dir: str) -> pa.Table:
     """All written image rows, sorted by image_id (the comparison order)."""
-    import pyarrow.parquet as pq
+    from crawler_ray.sources.io import read_parts_table
 
-    root = os.path.join(out_dir, "images")
-    tables = []
-    if os.path.isdir(root):
-        for rdir in sorted(os.listdir(root)):
-            d = os.path.join(root, rdir)
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    tables.append(pq.read_table(os.path.join(d, f)))
-    if not tables:
+    t = read_parts_table(os.path.join(out_dir, "images"))
+    if t is None:
         return pa.Table.from_pylist([], schema=schemas.IMAGES)
-    t = pa.concat_tables(tables).cast(schemas.IMAGES)
-    return t.sort_by("image_id")
+    return t.cast(schemas.IMAGES).sort_by("image_id")

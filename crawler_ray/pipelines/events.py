@@ -194,10 +194,18 @@ def props_key_sum(sf_dir: str) -> rd.Dataset:
             df["props"].str.extract(r'"k"\s*:\s*(-?\d+)(?![.\d])', expand=False),
             errors="coerce",
         )
-        # the regex is only sound for flat objects: nested JSON could match an
-        # inner "k" first — route any multi-object string to the JSON parser
-        nested = df["props"].str.count(r"\{") > 1
-        miss = (ks.isna() | nested) & df["props"].notna() & (df["props"] != "")
+        # the regex is only sound for flat objects with no quoting tricks:
+        # nested JSON could match an inner "k" first, and a '"k": N' sequence
+        # can hide inside an ESCAPED-QUOTE string value of a flat object
+        # (e.g. {"s": "\\"k\\": 5", "k": 7}) — route multi-object strings,
+        # strings containing escaped quotes, and multi-'"k"' strings to the
+        # JSON parser (round-2 advice)
+        unsafe = (
+            (df["props"].str.count(r"\{") > 1)
+            | df["props"].str.contains("\\\\", regex=False)
+            | (df["props"].str.count('"k"') > 1)
+        )
+        miss = (ks.isna() | unsafe) & df["props"].notna() & (df["props"] != "")
         if miss.any():
             ks[miss] = df.loc[miss, "props"].map(
                 lambda s: json.loads(s).get("k", 0)

@@ -30,18 +30,9 @@ from ray.data.aggregate import Count
 
 
 def _read_round_tables(out_dir: str, table: str) -> pa.Table | None:
-    import pyarrow.parquet as pq
+    from crawler_ray.sources.io import read_parts_table
 
-    root = os.path.join(out_dir, "tables", table)
-    if not os.path.isdir(root):
-        return None
-    tables = []
-    for rdir in sorted(os.listdir(root)):
-        d = os.path.join(root, rdir)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                tables.append(pq.read_table(os.path.join(d, f)))
-    return pa.concat_tables(tables) if tables else None
+    return read_parts_table(os.path.join(out_dir, "tables", table))
 
 
 def load_entity_df(out_dir: str, table: str) -> pd.DataFrame:

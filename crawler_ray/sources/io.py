@@ -13,6 +13,8 @@ identical, and flipping to Lance on a real cluster is this module only.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data as rd
 
@@ -42,19 +44,21 @@ def read_table(uri: str, columns: list[str] | None = None) -> rd.Dataset:
 
 def write_part(table: pa.Table, root: str, stem: str) -> str:
     """ONE deterministically-named part of a table directory — the unit every
-    crawl sink writes (images, entities, errors, frontier). Lance fragment
-    append when ``lance`` is available (the north-rule table format for the
-    image+caption output); a parquet part file otherwise. Layout and
-    resumability semantics are identical either way: the content-derived
-    ``stem`` makes task retries idempotent. Returns the path written."""
-    import os
-
+    crawl sink writes (images, entities, errors, frontier). When ``lance`` is
+    available each part is its OWN Lance dataset (``part-<stem>.lance``,
+    ``mode="overwrite"``): a Ray task retry re-running the same
+    content-derived ``stem`` replaces its own part rather than appending a
+    duplicate fragment, so retries stay idempotent — exactly like the parquet
+    fallback's same-name overwrite. Readers go through ``read_parts`` /
+    ``read_parts_table`` (Lance-aware); a post-crawl compaction
+    (``write_table(read_parts(root), uri)``) yields the single north-rule
+    Lance table when wanted. Returns the path written."""
     os.makedirs(root, exist_ok=True)
     if HAVE_LANCE:  # pragma: no cover - exercised via the mocked contract test
         import lance as _lance
 
-        uri = os.path.join(root, "data.lance")
-        _lance.write_dataset(table, uri, mode="append")
+        uri = os.path.join(root, f"part-{stem}.lance")
+        _lance.write_dataset(table, uri, mode="overwrite")
         return uri
     import pyarrow.parquet as pq
 
@@ -64,6 +68,61 @@ def write_part(table: pa.Table, root: str, stem: str) -> str:
     path = os.path.join(root, f"part-{stem}.parquet")
     pq.write_table(table, path, compression="none", use_dictionary=False)
     return path
+
+
+def _part_entries(root: str):
+    """Yield every part path under a ``write_part`` sink tree: parts directly
+    in ``root`` (the frontier layout) and parts one level down in
+    ``round_NNNN`` subdirs (the images / entity-table layout). Sorted for a
+    deterministic read order."""
+    if not os.path.isdir(root):
+        return
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if name.endswith((".lance", ".parquet")):
+            yield p
+        elif os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith((".lance", ".parquet")):
+                    yield os.path.join(p, f)
+
+
+def read_parts(
+    root: str,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
+    """Distributed read of a ``write_part`` sink tree, dispatching on what the
+    WRITER produced (round-1 advice: with lance installed the sinks are Lance
+    datasets but every consumer read parquet — the frontier silently vanished
+    between rounds). Lance parts → union of per-part ``read_lance`` (one
+    block per part; ``override_num_blocks`` is a parquet-only knob); parquet
+    parts → ``read_parquet`` with column pruning pushed down."""
+    lance_uris = [p for p in _part_entries(root) if p.endswith(".lance")]
+    if lance_uris:  # pragma: no cover - no lance wheel in sandbox; contract-tested
+        dsets = [rd.read_lance(u, columns=columns) for u in lance_uris]
+        return dsets[0].union(*dsets[1:]) if len(dsets) > 1 else dsets[0]
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(root, columns=columns, **kwargs)
+
+
+def read_parts_table(root: str, columns: list[str] | None = None) -> pa.Table | None:
+    """Driver-side read of a small ``write_part`` sink tree (entity tables,
+    test-scale image checks) → one concatenated Arrow table, Lance-aware like
+    ``read_parts``. Returns None when the tree is empty/absent."""
+    import pyarrow.parquet as pq
+
+    tables = []
+    for p in _part_entries(root):
+        if p.endswith(".lance"):  # pragma: no cover - contract-tested
+            import lance as _lance
+
+            tables.append(_lance.dataset(p).to_table(columns=columns))
+        else:
+            tables.append(pq.read_table(p, columns=columns))
+    return pa.concat_tables(tables) if tables else None
 
 
 def read_local_images(root: str) -> rd.Dataset:

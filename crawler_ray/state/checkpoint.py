@@ -120,9 +120,14 @@ class CheckpointManager:
                  os.path.join(self.root, "tables", "categories"),
                  os.path.join(self.root, "tables", "brands"),
                  os.path.join(self.root, "tables", "products")]
+        import re
+
+        round_re = re.compile(r"^round_(\d+)$")
         for root in roots:
             if os.path.isdir(root):
                 for name in list(os.listdir(root)):
-                    r = int(name.split("_")[1])
-                    if r > rnd:
+                    m = round_re.match(name)
+                    # skip stray files / .tmp leftovers — only round_NNNN
+                    # entries are ours to prune (round-2 advice)
+                    if m and int(m.group(1)) > rnd:
                         shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -75,3 +75,46 @@ def test_entry_smoke(ray_session):
     ds = entry_mod.entry()
     df = _to_pandas(ds.limit(5)) if hasattr(ds, "limit") else _to_pandas(ds)
     assert set(df.columns) == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+
+
+def test_props_key_sum_escaped_quote_adversarial(ray_session, tmp_path):
+    """Round-2 advice: a '"k": N' sequence hiding inside an ESCAPED-QUOTE
+    string value of a flat JSON object must not fool the regex fast path —
+    such rows route to the json.loads fallback and match the json_extract
+    oracle."""
+    import json as _json
+
+    import duckdb as _duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.events import props_key_sum
+
+    rows = [
+        ("click", _json.dumps({"s": '"k": 5', "k": 7})),   # escaped quote trap
+        ("click", _json.dumps({"k": 3})),                   # plain fast path
+        ("view", _json.dumps({"a": 1, "k": 11, "b": 2})),   # later key
+        ("view", '{"s": "\\"k\\": 99"}'),                    # trap, key absent -> 0
+        ("view", None),                                      # null props -> 0
+    ]
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "props": pa.array([r[1] for r in rows]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = (
+        props_key_sum(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.sql(
+        "SELECT event_type, COALESCE(SUM(json_extract_string(props, '$.k')::BIGINT), 0)::BIGINT"
+        " AS k_sum FROM events GROUP BY event_type ORDER BY event_type"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -31,13 +31,55 @@ def mock_lance(monkeypatch):
 
 
 def test_write_part_lance_fragment(mock_lance, tmp_path):
+    """Each part is its OWN Lance dataset keyed by the content-derived stem,
+    written with mode="overwrite" — a Ray task retry re-writes the same part
+    in place instead of appending a duplicate fragment (round-2 advice: the
+    old data.lance mode="append" was not retry-idempotent)."""
     t = pa.table({"image_id": ["a", "b"], "bytes": [b"x", b"y"],
                   "caption": ["c1", "c2"]})
     path = io_mod.write_part(t, str(tmp_path / "images" / "round_0000"), "d1g3st")
-    assert path.endswith("data.lance")
+    assert path.endswith("part-d1g3st.lance")
     (written, uri, mode), = mock_lance["write_dataset"]
-    assert written is t and mode == "append"
+    assert written is t and mode == "overwrite"
     assert "round_0000" in uri
+    # retry: same stem → same uri, overwrite again (no duplicate fragment)
+    io_mod.write_part(t, str(tmp_path / "images" / "round_0000"), "d1g3st")
+    assert [u for (_, u, _) in mock_lance["write_dataset"]] == [uri, uri]
+
+
+def test_read_parts_routes_lance_parts_to_read_lance(mock_lance, monkeypatch, tmp_path):
+    """ADVICE round-2 high: with lance installed the sinks are Lance parts —
+    the frontier/images/entity READERS must dispatch on what the writer
+    produced, not assume parquet."""
+    root = tmp_path / "ckpt" / "round_0000" / "frontier"
+    for stem in ("aaa", "bbb"):
+        (root / f"part-{stem}.lance").mkdir(parents=True)
+
+    read_uris = []
+    sentinel = type("DS", (), {"union": lambda self, *o: ("union", len(o) + 1)})()
+    monkeypatch.setattr(
+        io_mod.rd, "read_lance",
+        lambda uri, columns=None: read_uris.append((uri, columns)) or sentinel,
+        raising=False,
+    )
+    out = io_mod.read_parts(str(root), columns=["url"])
+    assert out == ("union", 2)
+    assert [u.split("/")[-1] for u, _ in read_uris] == ["part-aaa.lance", "part-bbb.lance"]
+    assert all(c == ["url"] for _, c in read_uris)
+
+
+def test_read_parts_table_lance_dispatch(mock_lance, monkeypatch, tmp_path):
+    """Driver-side table reader concatenates lance parts one ROUND level deep
+    (the images/entities layout)."""
+    root = tmp_path / "images"
+    (root / "round_0000" / "part-aaa.lance").mkdir(parents=True)
+    (root / "round_0001" / "part-bbb.lance").mkdir(parents=True)
+
+    expect = pa.table({"image_id": ["a"]})
+    fake_ds = type("LDS", (), {"to_table": lambda self, columns=None: expect})
+    sys.modules["lance"].dataset = lambda uri: fake_ds()
+    t = io_mod.read_parts_table(str(root))
+    assert t.num_rows == 2 and t.column_names == ["image_id"]
 
 
 def test_write_table_routes_to_write_lance(mock_lance, ray_session, monkeypatch, tmp_path):
