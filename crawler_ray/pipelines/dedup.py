@@ -35,7 +35,9 @@ from ray.data.aggregate import Count, Min
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from crawler_ray.sources.io import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -203,32 +205,78 @@ def make_minhash_fn(ngram: int = 3, seed: int = 13):
     return minhash_fn
 
 
-def sig_to_bands(t: pa.Table) -> pa.Table:
-    """Signature rows → (bucket:int64, doc_id, sig) band rows. Fully
-    vectorized: the (n, 128) signature matrix is reshaped to (n, 16, 8) and
-    each band is folded lane-by-lane with an FNV-style multiply-xor +
-    splitmix64 finalizer — 128 vector ops total, no per-doc hashing loop
-    (the round-1 16×blake2b per doc loop was the bench's hottest spot). The
-    int64 bucket packs the band id (4 bits) above a 58-bit band hash;
-    collisions only create extra candidates, which verification removes.
+def _binary_col_to_mat(
+    col, width_bytes: int, n: int, dtype=np.uint64
+) -> np.ndarray:
+    """(n, width/itemsize) matrix from a fixed-width binary column with NO
+    python-object round trip: each chunk's values buffer is sliced via its
+    offsets (zero-copy when the chunk is unsliced). Handles both
+    ``binary`` (variable offsets) and ``fixed_size_binary`` chunks. The old
+    ``b"".join(col.to_pylist())`` materialized every cell as a Python bytes
+    object — a measurable share of the estimate stage's serial time."""
+    width = width_bytes // np.dtype(dtype).itemsize
+    if n == 0:
+        return np.zeros((0, width), dtype=dtype)
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        if pa.types.is_fixed_size_binary(c.type):
+            data = np.frombuffer(c.buffers()[1], dtype=np.uint8)[
+                c.offset * width_bytes : (c.offset + len(c)) * width_bytes
+            ]
+        else:
+            off = np.frombuffer(c.buffers()[1], dtype=np.int32)[
+                c.offset : c.offset + len(c) + 1
+            ]
+            data = np.frombuffer(c.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        parts.append(data)
+    raw = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    return raw.view(dtype).reshape(n, width)
 
-    Each band row CARRIES the full 1 KiB signature so the bucket groupby can
-    run the pairwise-estimate prefilter in place with no further exchange.
-    That duplicates the signature 16× in the banding shuffle — 16 KiB/doc,
-    independent of document size, i.e. well under one corpus shuffle for
-    typical multi-KiB training documents. (The slimmer alternative — slim
-    band rows + a count-join prune + a sig join on doc_id — trades that
-    volume for two more all-to-all stages; at petabyte scale with short
-    documents, switch to it.)"""
+
+def _fixed_binary_from_mat(mat: np.ndarray, width_bytes: int) -> pa.Array:
+    """(n, width) contiguous matrix → fixed_size_binary(width) array sharing
+    the matrix's memory (no per-row Python bytes objects)."""
+    return pa.Array.from_buffers(
+        pa.binary(width_bytes),
+        mat.shape[0],
+        [None, pa.py_buffer(np.ascontiguousarray(mat).view(np.uint8))],
+    )
+
+
+def sig_to_bands(t: pa.Table) -> pa.Table:
+    """Signature rows → (bucket:int64, doc_id, bands, minisig) band rows.
+    Fully vectorized: the (n, 128) signature matrix is reshaped to
+    (n, 16, 8) and each band is folded lane-by-lane with an FNV-style
+    multiply-xor + splitmix64 finalizer — 128 vector ops total, no per-doc
+    hashing loop. The int64 bucket packs the band id (4 bits) above a 58-bit
+    band hash; collisions only create extra candidates, which verification
+    removes.
+
+    What each band row CARRIES (272 B total vs the full 1 KiB signature the
+    previous round shipped — the banding exchange was the measured bottleneck
+    once the estimate walk was vectorized):
+
+    - ``bands``: all 16 per-band 64-bit hashes (the same ``z`` the bucket
+      key is cut from). Canonical-band dedup compares THESE — band-hash
+      equality is exactly the relation that put the pair in a bucket, so
+      exactly-once emission stays exact (no truncation-induced misses).
+    - ``minisig``: the low byte of each of the 128 lanes. The pairwise
+      estimate counts equal mini-lanes; a differing lane collides on its low
+      byte w.p. 1/256, inflating the count by ≤ ~0.5 of the 128 lanes —
+      far inside the 3σ prefilter margin, and only ever ADDS candidates
+      (verification removes them). 8× less gather traffic in the estimate."""
     rows_per_band = _N_PERM // _N_BANDS
     n = t.num_rows
     if n == 0:
         return pa.table({"bucket": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
-                         "sig": pa.array([], pa.binary())})
-    mat = np.frombuffer(
-        b"".join(t["sig"].to_pylist()), dtype=np.uint64
-    ).reshape(n, _N_BANDS, rows_per_band)
+                         "bands": pa.array([], pa.binary(_N_BANDS * 8)),
+                         "minisig": pa.array([], pa.binary(_N_PERM))})
+    flat = _binary_col_to_mat(t["sig"], _N_PERM * 8, n)
+    mat = flat.reshape(n, _N_BANDS, rows_per_band)
     with np.errstate(over="ignore"):
         h = np.full((n, _N_BANDS), 0xCBF29CE484222325, dtype=np.uint64)
         for k in range(rows_per_band):
@@ -240,10 +288,12 @@ def sig_to_bands(t: pa.Table) -> pa.Table:
         band = np.arange(_N_BANDS, dtype=np.uint64)[None, :]
         bucket = ((band << np.uint64(58)) | (z >> np.uint64(6))).astype(np.int64)
     idx = np.repeat(np.arange(n), _N_BANDS)
+    mini = (flat & np.uint64(0xFF)).astype(np.uint8)  # (n, 128)
     return pa.table(
         {"bucket": pa.array(bucket.ravel(), pa.int64()),
          "doc_id": t["doc_id"].take(pa.array(idx)),
-         "sig": t["sig"].take(pa.array(idx))}
+         "bands": _fixed_binary_from_mat(z[idx], _N_BANDS * 8),
+         "minisig": _fixed_binary_from_mat(mini[idx], _N_PERM)}
     )
 
 
@@ -257,11 +307,15 @@ def _estimate_pairs_multi(threshold: float):
     partition call costs that once and walks its bucket segments at numpy
     speed).
 
-    Per bucket segment, the (m, 128) signature matrix is compared pairwise
-    (vectorized column-equality accumulation, row-chunked to bound memory)
-    and only pairs with estimated Jaccard ≥ threshold - 3σ leave — this is
-    what keeps mega-buckets (low-entropy band collisions) from exploding
-    into O(m²) shuffle rows.
+    All segments' candidate pairs are generated as ONE global (ai, bi)
+    index list (per-segment ``triu_indices``, cached by segment size, offset
+    to global rows) and compared in fixed-size pair CHUNKS:
+    ``mini[ai] == mini[bi]`` on a (chunk, 128) uint8 slab. Pair chunking
+    bounds memory for mega-buckets (low-entropy band collisions): a segment
+    of any size contributes pairs, never an (m, m) matrix.
+
+    Only pairs with estimated Jaccard ≥ threshold - 3σ leave — this keeps
+    mega-buckets from exploding into O(m²) shuffle rows.
 
     Canonical-band dedup, shuffle-free: a pair whose signatures agree in k
     bands lands in k buckets; each bucket knows its own band id and can
@@ -271,8 +325,46 @@ def _estimate_pairs_multi(threshold: float):
     band-hash collision have no true matching band and are emitted as-is —
     verification removes false ones.)"""
     min_est_count = int(np.ceil((threshold - _EST_MARGIN) * _N_PERM))
-    rows_per_band = _N_PERM // _N_BANDS
-    chunk = 2048
+    pair_chunk = 1 << 16  # (65536, 128) uint8 gathers ≈ 2×8 MiB per chunk
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def pair_index_chunks(starts: np.ndarray, sizes: np.ndarray):
+        """Yield (ai, bi) global-row index arrays covering every
+        within-segment pair exactly once, ~pair_chunk pairs each. Small
+        segments coalesce into shared chunks; mega-segments stream out in
+        row blocks so no O(m²) index array is ever materialized."""
+        buf_a: list[np.ndarray] = []
+        buf_b: list[np.ndarray] = []
+        buf_n = 0
+        for s, m in zip(starts.tolist(), sizes.tolist()):
+            if m < 2:
+                continue
+            if m <= 2048:
+                tri = triu_cache.get(m)
+                if tri is None:
+                    tri = np.triu_indices(m, k=1)
+                    if m <= 64:  # cache only small (common) sizes
+                        triu_cache[m] = tri
+                buf_a.append(tri[0] + s)
+                buf_b.append(tri[1] + s)
+                buf_n += len(tri[0])
+                if buf_n >= pair_chunk:
+                    yield np.concatenate(buf_a), np.concatenate(buf_b)
+                    buf_a, buf_b, buf_n = [], [], 0
+            else:
+                if buf_n:
+                    yield np.concatenate(buf_a), np.concatenate(buf_b)
+                    buf_a, buf_b, buf_n = [], [], 0
+                rb = max(1, pair_chunk // m)
+                for r0 in range(0, m - 1, rb):
+                    rows = np.arange(r0, min(r0 + rb, m - 1))
+                    counts = m - rows - 1
+                    ai = np.repeat(rows, counts)
+                    csum = np.cumsum(counts) - counts
+                    bi = np.arange(int(counts.sum())) - np.repeat(csum, counts) + ai + 1
+                    yield ai + s, bi + s
+        if buf_n:
+            yield np.concatenate(buf_a), np.concatenate(buf_b)
 
     def est_pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -281,60 +373,30 @@ def _estimate_pairs_multi(threshold: float):
         if n >= 2:
             bkt = g["bucket"].to_numpy()
             ids = g["doc_id"].to_numpy()
-            mat = np.frombuffer(
-                b"".join(g["sig"].to_pylist()), dtype=np.uint64
-            ).reshape(n, _N_PERM)
+            mini = _binary_col_to_mat(g["minisig"], _N_PERM, n, dtype=np.uint8)
+            bands = _binary_col_to_mat(g["bands"], _N_BANDS * 8, n)
             order = np.lexsort((ids, bkt))
-            bkt, ids, mat = bkt[order], ids[order], mat[order]
+            bkt, ids = bkt[order], ids[order]
+            mini, bands = mini[order], bands[order]
             starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
             ends = np.r_[starts[1:], n]
-            sizes = ends - starts
-            # two-member buckets (the overwhelmingly common hot case) are
-            # estimated for ALL segments in one vectorized pass — the
-            # per-segment loop below would pay 128 small python-level ops
-            # per bucket for 4 comparisons each
-            i2 = starts[sizes == 2]
-            if len(i2):
-                j2 = i2 + 1
-                eq = mat[i2] == mat[j2]  # (k, 128)
-                est_ok = eq.sum(axis=1) >= min_est_count
-                band_eq = eq.reshape(-1, _N_BANDS, rows_per_band).all(axis=2)
-                cur_bands = bkt[i2] >> 58
-                keep = est_ok & (
-                    (~band_eq.any(axis=1)) | (band_eq.argmax(axis=1) == cur_bands)
-                )
-                if keep.any():
-                    # ids are ascending within each bucket (lexsort)
-                    out_a.append(ids[i2[keep]])
-                    out_b.append(ids[j2[keep]])
-            for s, e in zip(starts.tolist(), ends.tolist()):
-                m = e - s
-                if m < 3:
+            for ai, bi in pair_index_chunks(starts, ends - starts):
+                # estimate from the uint8 mini-lanes (chance low-byte
+                # collisions only ever ADD candidates; see sig_to_bands)
+                est_ok = (mini[ai] == mini[bi]).sum(axis=1) >= min_est_count
+                if not est_ok.any():
                     continue
-                sig = mat[s:e]
-                sids = ids[s:e]
-                cur_band = int(bkt[s]) >> 58
-                for c0 in range(0, m, chunk):
-                    c1 = min(c0 + chunk, m)
-                    acc = np.zeros((c1 - c0, m), dtype=np.uint8)
-                    for k in range(_N_PERM):
-                        col = sig[:, k]
-                        acc += col[c0:c1, None] == col[None, :]
-                    # upper triangle only (global index ai < bi)
-                    mask = acc >= min_est_count
-                    mask &= (np.arange(c0, c1)[:, None] < np.arange(m)[None, :])
-                    ai, bi = np.nonzero(mask)
-                    if not len(ai):
-                        continue
-                    ai = ai + c0
-                    rb = sig.reshape(m, _N_BANDS, rows_per_band)
-                    band_eq = (rb[ai] == rb[bi]).all(axis=2)
-                    keep = (~band_eq.any(axis=1)) | (
-                        band_eq.argmax(axis=1) == cur_band
-                    )
-                    if keep.any():
-                        out_a.append(sids[ai[keep]])
-                        out_b.append(sids[bi[keep]])
+                sel = np.flatnonzero(est_ok)
+                # canonical-band dedup on the EXACT per-band hashes — the
+                # very relation that bucketed the pair
+                band_eq = bands[ai[sel]] == bands[bi[sel]]  # (k, 16)
+                cur = bkt[ai[sel]].astype(np.uint64) >> np.uint64(58)
+                keep = (~band_eq.any(axis=1)) | (band_eq.argmax(axis=1) == cur)
+                if keep.any():
+                    # ids are ascending within each bucket (lexsort),
+                    # so ids[ai] < ids[bi] already
+                    out_a.append(ids[ai[sel[keep]]])
+                    out_b.append(ids[bi[sel[keep]]])
         da = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
         db = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
         return pa.table({"doc_a": pa.array(da, pa.int64()),
@@ -402,7 +464,7 @@ def minhash_near_dup_pairs(
     from crawler_ray.pipelines.joins import partitioned_hash_join
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    n_parts = 64  # coarse hash partitions for the bucket exchange
+    n_parts = 16  # coarse hash partitions for the bucket exchange
     sigs = docs.map_batches(make_minhash_fn(ngram), batch_format="pandas")
     banded = sigs.map_batches(sig_to_bands, batch_format="pyarrow").map_batches(
         lambda t: t.append_column(

@@ -21,7 +21,11 @@ from crawler_ray.functions.rounding import round_np
 
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from crawler_ray.sources.io import read_parquet_sized
+
+    return read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
 
 def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

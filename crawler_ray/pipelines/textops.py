@@ -17,7 +17,9 @@ from crawler_ray.functions.rounding import round_np
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from crawler_ray.sources.io import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 class TokenStats:
