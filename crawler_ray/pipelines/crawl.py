@@ -419,7 +419,12 @@ class CrawlDriver:
 
             if not big_seed_round:
                 # --- metrics: pages by (host, kind) from the in-stage
-                # sel_stat summary rows (one per (host, kind) per partition)
+                # sel_stat summary rows (one per (host, kind) per partition).
+                # The per-host rows go to the round's CHECKPOINT dir, not the
+                # driver dict — at millions of hosts a dict accumulating
+                # hosts × rounds rows is driver state the de-drivered
+                # frontier otherwise avoids (round-2 VERDICT #5); the driver
+                # keeps scalar per-round totals only.
                 mdf = (
                     stats[stats["row_type"] == "sel_stat"]
                     .groupby(["host", "kind"], sort=True)["status"]
@@ -428,8 +433,14 @@ class CrawlDriver:
                     .rename(columns={"status": "pages"})
                 )
                 mdf["errors"] = 0
-                self.metrics[f"round_{rnd:04d}"] = mdf.to_dict(orient="list")
+                self.ckpt.write_host_metrics(
+                    rnd, pa.Table.from_pandas(mdf, preserve_index=False)
+                )
                 n_pages = int(mdf["pages"].sum())
+                self.metrics[f"round_{rnd:04d}"] = {
+                    "pages": n_pages,
+                    "hosts": int(mdf["host"].nunique()),
+                }
             else:
                 # big-seed streaming round: admitted-row accounting comes
                 # from the in-stage fetch_stat summary rows

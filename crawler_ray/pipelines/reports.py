@@ -110,81 +110,127 @@ def submit_view(out_dir: str) -> pd.DataFrame:
 
 
 def images_phash_near_dups(
-    images: rd.Dataset, max_hamming: int = 6
+    images: rd.Dataset, max_hamming: int = 6, n_parts: int = 16
 ) -> rd.Dataset:
     """Near-dup image pairs by phash Hamming distance ≤ ``max_hamming``.
 
     ADAPTIVE banding: the 64-bit phash splits into ``max_hamming + 1`` bands
     (pigeonhole: two hashes within distance d share at least one of d+1
-    disjoint bands unchanged), so recall is GUARANTEED for the requested
-    threshold — the round-1 fixed 4×16 split silently guaranteed only
-    d ≤ 3 at the default d = 6. Narrower bands mean more spurious bucket
-    collisions; the exact Hamming verify removes them."""
-    from crawler_ray.functions.hashing import hamming64_batch
+    disjoint bands unchanged), so recall is GUARANTEED for any requested
+    ``max_hamming ≤ 63`` — the former ``min(8, ...)`` cap silently made
+    d > 7 best-effort (round-2 advice). High radii still degrade: 1-bit
+    bands bucket half the corpus together, so the cost approaches all-pairs
+    — inherent to Hamming LSH, not a bug.
 
-    n_bands = min(8, max(2, max_hamming + 1))
+    Round-3 shape (the dedup.py segment-walk template, one exchange total):
+    band rows → coarse hash-partition groupby → per-partition numpy segment
+    walk generating pairs, verifying Hamming, and emitting each pair only
+    from its FIRST matching band (canonical-band dedup: the bucket IS the
+    exact band value, so every bucket holding the pair computes the same
+    first-match from the two phashes — globally unique output with no
+    trailing pair-dedup exchange)."""
+    n_bands = max(2, min(64, max_hamming + 1))
     # band bit-boundaries, as even as 64/n_bands allows
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = np.cumsum([0] + widths[:-1]).tolist()
+    off_arr = np.asarray(offsets, dtype=np.uint64)
+    mask_arr = np.asarray([(1 << w) - 1 for w in widths], dtype=np.uint64)
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.uint8)
 
     def explode(t: pa.Table) -> pa.Table:
         ph = t["phash"].to_numpy().astype(np.uint64)
-        ids = t["image_id"].to_pylist()
-        rows_b, rows_i, rows_p = [], [], []
-        for q in range(n_bands):
-            band_val = (ph >> np.uint64(offsets[q])) & np.uint64(
-                (1 << widths[q]) - 1
-            )
-            rows_b.append(
-                (np.int64(q) << np.int64(48)) | band_val.astype(np.int64)
-            )
-            rows_i.extend(ids)
-            rows_p.append(ph.astype(np.int64))
+        n = len(ph)
+        band_val = (ph[:, None] >> off_arr[None, :]) & mask_arr[None, :]  # (n, B)
+        q = np.arange(n_bands, dtype=np.int64)[None, :]
+        bucket = ((q << np.int64(48)) | band_val.astype(np.int64)).ravel()
+        idx = np.repeat(np.arange(n), n_bands)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(rows_b), pa.int64()),
-                "image_id": pa.array(rows_i, pa.string()),
-                "phash": pa.array(np.concatenate(rows_p), pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "part": pa.array(
+                    (bucket % np.int64(n_parts)).astype(np.int64), pa.int64()
+                ),
+                "image_id": t["image_id"].take(pa.array(idx)),
+                "phash": t["phash"].take(pa.array(idx)),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("image_id").sort_values("image_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {"img_a": pd.Series([], dtype="str"),
-                 "img_b": pd.Series([], dtype="str"),
-                 "ph_a": pd.Series([], dtype="int64"),
-                 "ph_b": pd.Series([], dtype="int64")}
-            )
-        a, b = np.triu_indices(n, k=1)
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy()
-        return pd.DataFrame(
-            {"img_a": ids[a], "img_b": ids[b], "ph_a": ph[a], "ph_b": ph[b]}
-        )
+    pair_chunk = 1 << 16
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {"img_a": pd.Series([], dtype="str"),
-                 "img_b": pd.Series([], dtype="str"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        d = hamming64_batch(df["ph_a"].to_numpy(), df["ph_b"].to_numpy())
-        out = df.assign(hamming=d.astype("int64"))
-        out = out[out["hamming"] <= max_hamming]
-        return out[["img_a", "img_b", "hamming"]].drop_duplicates(["img_a", "img_b"])
+    def walk_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        empty = pa.table(
+            {"img_a": pa.array([], pa.string()),
+             "img_b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        bkt = g["bucket"].to_numpy()
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, bkt))
+        bkt, ids, ph = bkt[order], ids[order], ph[order]
+        # drop (bucket, image_id) duplicates (defensive: duplicate image
+        # rows in the input would otherwise self-pair)
+        uniq = np.r_[True, (bkt[1:] != bkt[:-1]) | (ids[1:] != ids[:-1])]
+        bkt, ids, ph = bkt[uniq], ids[uniq], ph[uniq]
+        n = len(bkt)
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        sizes = np.r_[starts[1:], n] - starts
+        # global pair-index chunks over all segments (small triu lists;
+        # mega-segments only appear at extreme radii)
+        buf_a: list[np.ndarray] = []
+        buf_b: list[np.ndarray] = []
+        chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        buf_n = 0
+        for s, m in zip(starts.tolist(), sizes.tolist()):
+            if m < 2:
+                continue
+            tri = np.triu_indices(m, k=1)
+            buf_a.append(tri[0] + s)
+            buf_b.append(tri[1] + s)
+            buf_n += len(tri[0])
+            if buf_n >= pair_chunk:
+                chunks.append((np.concatenate(buf_a), np.concatenate(buf_b)))
+                buf_a, buf_b, buf_n = [], [], 0
+        if buf_n:
+            chunks.append((np.concatenate(buf_a), np.concatenate(buf_b)))
+        for ai, bi in chunks:
+            xr = ph[ai] ^ ph[bi]
+            d = _POP[xr.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+            ok = d <= max_hamming
+            if not ok.any():
+                continue
+            sel = np.flatnonzero(ok)
+            xs = xr[sel]
+            # canonical-band dedup: first band where the two phashes agree
+            band_eq = (xs[:, None] & (mask_arr << off_arr)[None, :]) == 0
+            cur = (bkt[ai[sel]] >> np.int64(48)).astype(np.int64)
+            keep = band_eq.argmax(axis=1) == cur
+            if keep.any():
+                ks = sel[keep]
+                out_a.append(ids[ai[ks]])
+                out_b.append(ids[bi[ks]])
+                out_d.append(d[ks])
+        if not out_a:
+            return empty
+        return pa.table(
+            {"img_a": pa.array(np.concatenate(out_a), pa.string()),
+             "img_b": pa.array(np.concatenate(out_b), pa.string()),
+             "hamming": pa.array(np.concatenate(out_d), pa.int64())}
+        )
 
     return (
         images.select_columns(["image_id", "phash"])
         .map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(verify, batch_format="pandas")
-        .groupby(["img_a", "img_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("part")
+        .map_groups(walk_pairs, batch_format="pyarrow")
     )
 
 

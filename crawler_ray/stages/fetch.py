@@ -143,11 +143,22 @@ class HttpFetchStage:
       ``BaseSpider.cs:235-247``); network errors map to status 599.
     - Per-batch fetches run on a small thread pool (I/O bound; the GIL is
       released in the socket layer), bounded by ``max_parallel``.
+    - SIGNED POST (round-2 VERDICT #4, reference parity for S1–S3): every
+      reference API fetch is a signed POST
+      (``ShiweijiaProduct.cs:72-103,208-225``, ``ShiweijiaCategory.cs:38-60``,
+      body assembly ``HZ.Crawler.Common/Net/HttpClient.cs:36-136``). The
+      frontier keeps LOGICAL GET-style URLs (the seen-set / ordering key —
+      ``/api/QueryProductByPage?Category=3&PageIndex=2``); when ``post``
+      config is given, matching URLs are fetched as POSTs: query params
+      become the request body (json / form / multipart via
+      functions/multipart.py) and the endpoint URL gains the reference's
+      signed query string (functions/signing.py, injected nonce + clock so
+      replays are bit-identical).
     """
 
     def __init__(self, politeness=None, max_attempts: int = 3,
                  timeout: float = 10.0, headers: dict | None = None,
-                 max_parallel: int = 8):
+                 max_parallel: int = 8, post: dict | None = None):
         import requests
 
         self.session = requests.Session()
@@ -158,8 +169,61 @@ class HttpFetchStage:
         self.max_attempts = max_attempts
         self.timeout = timeout
         self.max_parallel = max_parallel
+        # post config: {"path_prefixes": ["/api/"], "mode": "json"|"form"|
+        # "multipart", "secret": str, "nonce": str, "epoch_seconds": float}
+        self.post_cfg = post
 
     _grant_tokens = SyntheticFetchStage._grant_tokens
+
+    def _issue(self, url: str):
+        """One HTTP request for a logical frontier URL: GET, or the
+        reference's signed POST when the post config matches the path."""
+        cfg = self.post_cfg
+        if cfg:
+            from urllib.parse import parse_qsl, urlsplit
+
+            s = urlsplit(url)
+            prefixes = cfg.get("path_prefixes", ["/api/"])
+            if any(s.path.startswith(p) for p in prefixes):
+                import json as _json
+
+                from crawler_ray.functions.multipart import (
+                    TxtPart,
+                    encode_multipart,
+                )
+                from crawler_ray.functions.signing import (
+                    epoch_millis,
+                    signed_url,
+                )
+
+                params = dict(parse_qsl(s.query))
+                target = signed_url(
+                    f"{s.scheme}://{s.netloc}{s.path}",
+                    params,
+                    cfg.get("nonce", "0"),
+                    epoch_millis(cfg.get("epoch_seconds", 0.0)),
+                    cfg.get("secret", ""),
+                )
+                mode = cfg.get("mode", "json")
+                if mode == "multipart":
+                    body, ctype = encode_multipart(
+                        [TxtPart(k, v) for k, v in sorted(params.items())]
+                    )
+                elif mode == "form":
+                    from urllib.parse import urlencode
+
+                    body = urlencode(sorted(params.items())).encode()
+                    ctype = "application/x-www-form-urlencoded"
+                else:
+                    body = _json.dumps(
+                        dict(sorted(params.items())), ensure_ascii=False
+                    ).encode("utf-8")
+                    ctype = "application/json"
+                return self.session.post(
+                    target, data=body, headers={"Content-Type": ctype},
+                    timeout=self.timeout, allow_redirects=False,
+                )
+        return self.session.get(url, timeout=self.timeout, allow_redirects=False)
 
     def _fetch_one(self, url: str) -> tuple[int, bytes, int, str]:
         """-> (status, payload, attempts_spent, redirect_url)."""
@@ -169,9 +233,7 @@ class HttpFetchStage:
         while True:
             attempt += 1
             try:
-                resp = self.session.get(
-                    url, timeout=self.timeout, allow_redirects=False
-                )
+                resp = self._issue(url)
                 status = int(resp.status_code)
             except Exception:
                 status = 599  # network-level failure (DNS/conn/timeout)

@@ -55,6 +55,23 @@ class CheckpointManager:
         os.makedirs(fdir)
         return fdir
 
+    def write_host_metrics(self, rnd: int, table: pa.Table) -> None:
+        """Per-(host, kind) metric rows for the round → the round's STAGING
+        dir (published atomically by ``save_round``). Keeps the driver's
+        metrics dict O(rounds) instead of O(hosts × rounds); consumers read
+        them back per round with ``read_host_metrics``."""
+        import pyarrow.parquet as pq
+
+        tmp = self._round_dir(rnd) + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "host_metrics.parquet"))
+
+    def read_host_metrics(self, rnd: int) -> pa.Table | None:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(self._round_dir(rnd), "host_metrics.parquet")
+        return pq.read_table(p) if os.path.exists(p) else None
+
     def save_round(
         self,
         rnd: int,

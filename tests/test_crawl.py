@@ -231,3 +231,33 @@ def test_big_seed_streaming_path_equivalence(ray_session, tmp_path_factory):
     a = read_images_table(str(out_a))
     b = read_images_table(str(out_b))
     assert a.equals(b)
+
+
+def test_driver_metrics_scalar_per_round(ray_session, small_site, tmp_path_factory):
+    """Round-2 VERDICT #5: the driver's metrics dict must stay O(rounds) —
+    per-(host, kind) rows live in the round checkpoint, not driver memory."""
+    from crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver
+
+    site, fix_dir = small_site
+    out = tmp_path_factory.mktemp("metrics_out")
+    drv = CrawlDriver(CrawlConfig(
+        fixture_dir=fix_dir, out_dir=str(out), quota_per_host=50,
+        fetch_concurrency=2, num_seen_shards=2,
+    ))
+    res = drv.run()
+    try:
+        total_from_ckpt = 0
+        for key, val in drv.metrics.items():
+            if key == "_totals":
+                continue
+            # scalars only — no per-host lists on the driver
+            assert all(not isinstance(v, (list, dict)) for v in val.values()), (key, val)
+            rnd = int(key.split("_")[1])
+            t = drv.ckpt.read_host_metrics(rnd)
+            if t is not None:
+                assert set(t.column_names) == {"host", "kind", "pages", "errors"}
+                total_from_ckpt += sum(t["pages"].to_pylist())
+        # checkpointed per-host rows reconcile with the driver's scalar total
+        assert total_from_ckpt == res.pages_fetched
+    finally:
+        drv.shutdown()

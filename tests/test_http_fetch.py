@@ -241,3 +241,132 @@ def test_http_timeout_maps_to_599_with_retry_budget(ray_session):
     assert out["attempt"].to_pylist() == [2]  # budget spent
     assert len(hits) == 2  # both attempts actually hit the socket
     assert out["redirect_url"].to_pylist() == [""]
+
+
+@pytest.fixture(scope="module")
+def http_post_site(tmp_path_factory):
+    """A signed-POST API site (reference parity: every ShiweijiaProduct /
+    ShiweijiaCategory fetch is a POST whose URL carries the signed query
+    string — ShiweijiaProduct.cs:72-103,208-225, HttpClient.cs:36-136).
+    GET on an /api/ path answers 405, so a passing crawl PROVES the POST
+    path was used; a bad signature answers 403."""
+    from crawler_ray.functions.signing import sign_request
+
+    SECRET = "s3cr3t"
+    pngs = {
+        name: encode_png(
+            (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) + salt) % 255
+        )
+        for salt, name in enumerate(["p21", "p22", "p23", "p24", "brand_acme"])
+    }
+    state = {"hits": [], "base": "", "bad_sig": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body=b""):
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            s = urlsplit(self.path)
+            state["hits"].append(("GET", self.path))
+            if s.path.startswith("/api/"):
+                self._send(405)  # the reference API is POST-only
+            elif s.path.startswith("/img/"):
+                name = s.path.split("/")[-1].removesuffix(".png")
+                self._send(200, pngs[name]) if name in pngs else self._send(404)
+            else:
+                self._send(404)
+
+        def do_POST(self):
+            base = state["base"]
+            s = urlsplit(self.path)
+            state["hits"].append(("POST", self.path))
+            q = dict(parse_qsl(s.query))
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            nonce, t, sign = q.pop("nonce", ""), q.pop("t", "0"), q.pop("sign", "")
+            if sign != sign_request(q, nonce, int(t), SECRET):
+                state["bad_sig"] += 1
+                return self._send(403)
+            if json.loads(body or b"{}") != q:  # body mirrors signed params
+                return self._send(400)
+            if s.path == "/api/GetCategoryTree":
+                self._send(200, _env([{"ID": 1, "Name": "root", "Img": "",
+                                       "Subs": []}]))
+            elif s.path == "/api/QueryProductByPage":
+                page = int(q.get("PageIndex", "1"))
+                rows = {1: [{"ID": 21}, {"ID": 22}], 2: [{"ID": 23}, {"ID": 24}]}
+                self._send(200, json.dumps({
+                    "IsSuccess": True,
+                    "Data": {"Rows": rows[page], "Total": 4, "PageSize": 2,
+                             "PageIndex": page},
+                }).encode())
+            elif s.path == "/api/GetProductDetail":
+                self._send(200, _product(int(q["ProductId"]), base))
+            else:
+                self._send(404)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    state["base"] = f"http://127.0.0.1:{server.server_address[1]}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    fix = tmp_path_factory.mktemp("http_post_site")
+    pq.write_table(
+        pa.table({
+            "url": [f"{state['base']}/api/GetCategoryTree"],
+            "priority": [1.0],
+            "seed_id": ["s0"],
+        }),
+        str(fix / "seeds.parquet"),
+    )
+    (fix / "robots.json").write_text("{}")
+    yield state, pngs, str(fix), SECRET
+    server.shutdown()
+
+
+def test_http_signed_post_crawl_end_to_end(ray_session, http_post_site, tmp_path_factory):
+    """Round-2 VERDICT #4: a POST-paginated signed API is crawled end-to-end
+    through HttpFetchStage — frontier keeps logical GET-style URLs, the wire
+    carries signed POSTs."""
+    import os
+
+    state, pngs, fix_dir, secret = http_post_site
+    out = tmp_path_factory.mktemp("http_post_out")
+    drv = CrawlDriver(CrawlConfig(
+        fixture_dir=fix_dir, out_dir=str(out), quota_per_host=50,
+        fetch_concurrency=2, num_seen_shards=2, max_attempts=2,
+        fetcher="http",
+        http_opts={
+            "timeout": 5.0,
+            "post": {"path_prefixes": ["/api/"], "mode": "json",
+                     "secret": secret, "nonce": "n0nce",
+                     "epoch_seconds": 1700000000.0},
+        },
+    ))
+    res = drv.run()
+    drv.shutdown()
+
+    # all four products crawled across BOTH list pages (pagination over POST)
+    prods = []
+    root = os.path.join(str(out), "tables", "products")
+    for rdir in sorted(os.listdir(root)):
+        d = os.path.join(root, rdir)
+        for f in os.listdir(d):
+            prods.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    ids = sorted(json.loads(p["record"])["id"] for p in prods)
+    assert ids == [21, 22, 23, 24]
+
+    # every /api request went over POST (no GETs on the API) and every
+    # signature verified
+    api_gets = [p for (m, p) in state["hits"] if m == "GET" and p.startswith("/api/")]
+    assert api_gets == [] and state["bad_sig"] == 0
+    assert any(m == "POST" and "PageIndex=2" in p for (m, p) in state["hits"])
+
+    # image bytes (plain GET path) land bit-identically
+    imgs = read_images_table(str(out))
+    assert set(imgs["bytes"].to_pylist()) >= set(pngs.values())
+    assert res.errors == 0

@@ -174,3 +174,37 @@ def test_phash_banding_guarantees_requested_distance(ray_session):
             want.add(tuple(sorted((ids[i], ids[j]))))
     assert {("b0", "m0"), ("b1", "m1"), ("b2", "m2")} <= want
     assert pairs == want  # guaranteed recall + exact verify = exact result
+
+
+def test_phash_near_dups_single_exchange_and_partition_invariance(ray_session):
+    """Round-2 VERDICT #2: the segment-walk rewrite must (a) produce
+    identical, globally-unique pairs at different partition counts, and
+    (b) run ONE all-to-all exchange — no trailing pair-dedup groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 1 << 62, size=40, dtype=np.int64)
+    rows = [{"image_id": f"i{k:02d}", "phash": int(v)} for k, v in enumerate(base)]
+    for k in range(8):  # planted near-dups at distances 1..4
+        v = int(base[k]) ^ ((1 << (k % 4 + 1)) - 1)
+        rows.append({"image_id": f"d{k:02d}", "phash": v})
+
+    def run(n_parts):
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = images_phash_near_dups(ds, max_hamming=4, n_parts=n_parts)
+        df = out.to_pandas()
+        return out, sorted(zip(df["img_a"], df["img_b"], df["hamming"]))
+
+    out4, pairs4 = run(4)
+    _, pairs16 = run(16)
+    assert pairs4 == pairs16 and len(pairs4) >= 8
+    # globally unique without a pair-dedup exchange
+    assert len({(a, b) for a, b, _ in pairs4}) == len(pairs4)
+    stats = out4.stats()
+    import re
+
+    assert len(re.findall(r"Operator \d+ Sort", stats)) == 1, stats
