@@ -651,20 +651,24 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 # thresholded token-set Jaccard (bounded-vocabulary all-pairs)
 
 
-def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
+def token_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.95, n_blocks: int = 4
+) -> rd.Dataset:
     """All doc pairs with word-level Jaccard ≥ threshold (EXACT, matching
     the SQL oracle bit-for-bit).
 
     Scale shape — Jaccard only sees DISTINCT token sets, so the quadratic
     work runs over distinct sets, not documents:
       docs → (set_key, doc_id) keyed rows (distributed map) →
-      distinct-set table (groupby; S rows, corpus-size-INDEPENDENT for a
-      bounded vocabulary — this is vocab-derived metadata like a token
-      dictionary, the only thing that ever leaves the data plane) →
-      qualifying SET pairs via one S×V boolean matmul (exact integer
-      intersection / union, so the single division is bit-identical to
-      DuckDB's) → doc-pair emission back in the data plane: two
-      hash-partition joins of the set-pair table against the keyed rows
+      distinct-set rows (groupby; S rows, corpus-size-INDEPENDENT for a
+      bounded vocabulary) → qualifying SET pairs via a BLOCK-NESTED-LOOP
+      self-join (round-2 VERDICT #6: the S×V matmul previously ran on the
+      driver over a ``to_pandas()`` of the distinct-set table — now each
+      set ships to ``n_blocks`` pair groups, the exact same integer
+      intersection/union matmul runs per group where the rows already are,
+      and per-task memory is 2·S/B sets; the ``embedding_near_dup_pairs``
+      shape) → doc-pair emission back in the data plane: two
+      hash-partition joins of the set-pair rows against the keyed rows
       (each output doc pair materializes exactly once; no driver-side
       corpus read, no corpus-sized broadcast).
 
@@ -673,6 +677,7 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
     from crawler_ray.pipelines.joins import partitioned_hash_join
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
+    B = n_blocks
 
     def key_stage(df: pd.DataFrame) -> pa.Table:
         keys, canons = [], []
@@ -689,30 +694,81 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
 
     keyed = docs.map_batches(key_stage, batch_format="pandas").materialize()
     # distinct sets: one representative row per set (groupby on the hash key)
-    distinct = (
-        keyed.groupby("set_id")
-        .map_groups(lambda g: g.head(1)[["set_id", "toks"]],
-                    batch_format="pandas")
-        .to_pandas()
+    distinct = keyed.groupby("set_id").map_groups(
+        lambda g: g.head(1)[["set_id", "toks"]], batch_format="pandas"
     )
-    set_ids = distinct["set_id"].to_numpy()
-    tok_sets = [set(s.split("\x00")) if s else set() for s in distinct["toks"]]
-    vocab = sorted(set().union(*tok_sets)) if tok_sets else []
-    v_index = {w: i for i, w in enumerate(vocab)}
-    mat = np.zeros((len(set_ids), len(vocab)), dtype=np.uint8)
-    for r, s in enumerate(tok_sets):
-        for w in s:
-            mat[r, v_index[w]] = 1
-    sizes = mat.sum(axis=1).astype(np.int64)
-    inter = mat.astype(np.int64) @ mat.T.astype(np.int64)
-    union = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
-    jac = inter / union
-    ai, bi = np.nonzero(np.triu(jac >= threshold, k=0))  # k=0: self pairs too
-    set_pairs = pa.table(
-        {"pair_id": pa.array(np.arange(len(ai)), pa.int64()),
-         "key_a": pa.array(set_ids[ai], pa.int64()),
-         "key_b": pa.array(set_ids[bi], pa.int64()),
-         "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
+
+    def explode(t: pa.Table) -> pa.Table:
+        # each set joins every block pair containing its block (p ≤ q);
+        # same replication pattern as embedding_near_dup_pairs
+        ids = t["set_id"].to_numpy()
+        blk = (ids % B).astype(np.int64)
+        pair_ids, idx = [], []
+        for i, b in enumerate(blk.tolist()):
+            for q in range(b, B):
+                pair_ids.append(b * B + q)
+                idx.append(i)
+            for p in range(0, b):
+                pair_ids.append(p * B + b)
+                idx.append(i)
+        take = pa.array(np.asarray(idx, dtype=np.int64))
+        return pa.table(
+            {"pair": pa.array(np.asarray(pair_ids, dtype=np.int64), pa.int64()),
+             "set_id": t["set_id"].take(take),
+             "toks": t["toks"].take(take)}
+        )
+
+    def score(g: pa.Table) -> pa.Table:
+        pair = int(g["pair"][0].as_py())
+        p, q = divmod(pair, B)
+        ids = g["set_id"].to_numpy()
+        tok_sets = [set(s.split("\x00")) if s else set()
+                    for s in g["toks"].to_pylist()]
+        vocab = sorted(set().union(*tok_sets)) if tok_sets else []
+        v_index = {w: i for i, w in enumerate(vocab)}
+        mat = np.zeros((len(ids), max(len(vocab), 1)), dtype=np.uint8)
+        for r, s in enumerate(tok_sets):
+            for w in s:
+                mat[r, v_index[w]] = 1
+        sizes = mat.sum(axis=1).astype(np.int64)
+        empty = pa.table(
+            {"key_a": pa.array([], pa.int64()),
+             "key_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if p == q:
+            order = np.argsort(ids)
+            ids, mat, sizes = ids[order], mat[order], sizes[order]
+            inter = mat.astype(np.int64) @ mat.T.astype(np.int64)
+            union = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
+            jac = inter / union
+            ai, bi = np.nonzero(np.triu(jac >= threshold, k=0))  # self too
+        else:
+            blk = ids % B
+            li, ri = blk == p, blk == q
+            if not li.any() or not ri.any():
+                return empty
+            la, lm, ls = ids[li], mat[li], sizes[li]
+            ra, rm, rs = ids[ri], mat[ri], sizes[ri]
+            inter = lm.astype(np.int64) @ rm.T.astype(np.int64)
+            union = np.maximum(ls[:, None] + rs[None, :] - inter, 1)
+            jac = inter / union
+            ai, bi = np.nonzero(jac >= threshold)
+            return pa.table(
+                {"key_a": pa.array(la[ai], pa.int64()),
+                 "key_b": pa.array(ra[bi], pa.int64()),
+                 "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
+            )
+        return pa.table(
+            {"key_a": pa.array(ids[ai], pa.int64()),
+             "key_b": pa.array(ids[bi], pa.int64()),
+             "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
+        )
+
+    set_pairs = (
+        distinct.map_batches(explode, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(score, batch_format="pyarrow")
     )
 
     members = keyed.select_columns(["set_id", "doc_id"])
@@ -725,12 +781,15 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
 
     side_a = members.map_batches(rename(["key_a", "doc_a"]), batch_format="pyarrow")
     side_b = members.map_batches(rename(["key_b", "doc_b"]), batch_format="pyarrow")
+    pair_schema = pa.schema(
+        [("key_a", pa.int64()), ("key_b", pa.int64()), ("jaccard", pa.float64())]
+    )
     j1 = partitioned_hash_join(
-        rd.from_arrow(set_pairs),
+        set_pairs,
         side_a,
         on="key_a",
         n_buckets=8,
-        left_schema=set_pairs.schema,
+        left_schema=pair_schema,
         right_schema=pa.schema([("key_a", pa.int64()), ("doc_a", pa.int64())]),
     )
     j2 = partitioned_hash_join(
@@ -739,9 +798,8 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
         on="key_b",
         n_buckets=8,
         left_schema=pa.schema(
-            [("pair_id", pa.int64()), ("key_a", pa.int64()),
-             ("key_b", pa.int64()), ("jaccard", pa.float64()),
-             ("doc_a", pa.int64())]
+            [("key_a", pa.int64()), ("key_b", pa.int64()),
+             ("jaccard", pa.float64()), ("doc_a", pa.int64())]
         ),
         right_schema=pa.schema([("key_b", pa.int64()), ("doc_b", pa.int64())]),
     )
