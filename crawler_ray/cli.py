@@ -100,6 +100,22 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact a crawl sink's part tree into one serving table (the single
+    north-rule Lance table when lance is installed, parquet otherwise)."""
+    import os
+
+    _init_ray(args.cpus)
+    from crawler_ray.sources.io import compact_parts
+
+    root = os.path.join(args.out, args.table) if args.table == "images" else (
+        os.path.join(args.out, "tables", args.table)
+    )
+    n = compact_parts(root, args.dest)
+    print(json.dumps({"table": args.table, "rows": n, "dest": args.dest}))
+    return 0
+
+
 def cmd_bench_ingest(args) -> int:
     import os
 
@@ -145,6 +161,16 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report", help="post-crawl reports")
     r.add_argument("--out", required=True)
     r.set_defaults(fn=cmd_report)
+
+    k = sub.add_parser(
+        "compact", help="compact a crawl sink's parts into one serving table"
+    )
+    k.add_argument("--out", required=True, help="crawl out_dir")
+    k.add_argument("--table", default="images",
+                   choices=["images", "products", "categories", "brands"])
+    k.add_argument("--dest", required=True)
+    k.add_argument("--cpus", type=int, default=None)
+    k.set_defaults(fn=cmd_compact)
 
     b = sub.add_parser("bench-ingest", help="image-frontier ingest benchmark")
     b.add_argument("--images", type=int, default=100_000)

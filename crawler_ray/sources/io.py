@@ -154,6 +154,18 @@ def read_parquet_sized(
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
+def compact_parts(root: str, dest: str, columns: list[str] | None = None) -> int:
+    """Post-crawl compaction: the per-round part tree written by
+    ``write_part`` → ONE table at ``dest`` (the single north-rule Lance
+    table when lance is installed; a parquet dataset dir otherwise). The
+    part tree stays resumable/idempotent during the crawl; compaction is the
+    serving-layout step afterwards. Returns the number of rows compacted."""
+    ds = read_parts(root, columns=columns)
+    n = ds.count()
+    write_table(ds, dest)
+    return n
+
+
 def read_local_images(root: str) -> rd.Dataset:
     """Local image tree → (path, bytes, fmt) rows (S5). Decode/hash happens
     in the normal image stage downstream."""

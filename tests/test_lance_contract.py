@@ -123,3 +123,19 @@ def test_parquet_fallback_same_layout(tmp_path):
     import os
 
     assert os.listdir(root) == ["part-d1g3st.parquet"]
+
+
+def test_compact_parts_roundtrip(ray_session, tmp_path):
+    """compact_parts: the resumable part tree -> one serving table with the
+    same rows (parquet fallback executes for real; the Lance branch reuses
+    the same read_parts/write_table dispatch proven above)."""
+    t1 = pa.table({"image_id": ["a", "b"], "caption": ["c1", "c2"]})
+    t2 = pa.table({"image_id": ["c"], "caption": ["c3"]})
+    root = tmp_path / "images"
+    io_mod.write_part(t1, str(root / "round_0000"), "s1")
+    io_mod.write_part(t2, str(root / "round_0001"), "s2")
+    dest = str(tmp_path / "serving")
+    n = io_mod.compact_parts(str(root), dest)
+    assert n == 3
+    got = pq.read_table(dest).sort_by("image_id")
+    assert got.column("image_id").to_pylist() == ["a", "b", "c"]
