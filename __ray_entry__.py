@@ -3,13 +3,14 @@
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
 ``queries()`` exposes 32 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 24 have a DuckDB twin in
+SURVEY.md §2 family + the training-data suite); 26 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
-accumulation order). The genuinely non-SQL-expressible eight get the weaker
-rows-only driver check (minhash/simhash LSH — value-oracled pairwise in
-DuckDB inside tests instead — lang-id heuristic, composite quality score,
-sketches, ANN probing incl. the persisted-index serving path).
+accumulation order; round 3 added exact twins for the lang-id heuristic and
+the composite quality score). The genuinely non-SQL-expressible six get the
+weaker rows-only driver check (minhash/simhash LSH — value-oracled pairwise
+in DuckDB inside tests instead — HLL sketch, rolling-hash fingerprints, ANN
+probing incl. the persisted-index serving path).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
@@ -76,8 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": textops.doc_token_stats,
         "doc_punct_ratio": textops.doc_punct_ratio,
         "lang_distribution": textops.lang_distribution,
-        "doc_lang_id": textops.doc_lang_id,  # rows-only (heuristic)
-        "doc_quality_scores": textops.doc_quality_scores,  # rows-only
+        "doc_lang_id": textops.doc_lang_id,
+        "doc_quality_scores": textops.doc_quality_scores,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
@@ -123,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "doc_punct_ratio": textops.DOC_PUNCT_RATIO_SQL,
         "lang_distribution": textops.LANG_DISTRIBUTION_SQL,
+        "doc_lang_id": textops.doc_lang_id_sql(),
+        "doc_quality_scores": textops.doc_quality_sql(),
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),

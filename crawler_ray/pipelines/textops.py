@@ -151,9 +151,10 @@ GROUP BY w
 
 
 class LangIdStage:
-    """Marker-word language-ID heuristic (functions/text.py). No SQL oracle —
-    the heuristic is not SQL-expressible; verified by unit test + the
-    rows-only driver check."""
+    """Marker-word language-ID heuristic (functions/text.py). Round 3: the
+    heuristic IS SQL-expressible (unnest first-200 tokens → marker join →
+    argmax with alphabetical tie-break) — DOC_LANG_ID_SQL below upgrades
+    this query from rows-only to hash-oracled."""
 
     def __init__(self):
         from crawler_ray.functions.text import detect_lang
@@ -176,6 +177,49 @@ def doc_lang_id(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _lang_marker_values() -> str:
+    """The _LANG_MARKERS dict as a SQL VALUES list (single source of truth:
+    functions/text.py)."""
+    from crawler_ray.functions.text import _LANG_MARKERS
+
+    rows = [
+        f"('{w}', '{lang}')"
+        for lang in sorted(_LANG_MARKERS)
+        for w in sorted(_LANG_MARKERS[lang])
+    ]
+    return ", ".join(rows)
+
+
+def doc_lang_id_sql() -> str:
+    """DuckDB twin of detect_lang: first 200 whitespace tokens of the
+    lowercased text, marker-word hits per language, argmax with
+    alphabetical tie-break (python's strict `>` keeps the alphabetically
+    first max), 'unk' when nothing matches."""
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_slice(
+               string_split_regex(trim(lower(text)), '\s+'), 1, 200)) AS w
+    FROM documents
+    WHERE trim(text) != ''
+),
+markers(w, lang) AS (VALUES {_lang_marker_values()}),
+hits AS (
+    SELECT doc_id, lang, COUNT(*) AS h
+    FROM toks JOIN markers USING (w)
+    GROUP BY doc_id, lang
+),
+best AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+    FROM hits
+)
+SELECT d.doc_id, d.lang AS lang_true, COALESCE(b.lang, 'unk') AS lang_pred
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
 class QualityStage:
     def __init__(self):
         from crawler_ray.functions.text import quality_score
@@ -192,10 +236,49 @@ class QualityStage:
 
 
 def doc_quality_scores(sf_dir: str) -> rd.Dataset:
-    """Composite quality score (rows-only: heuristic weights aren't SQL)."""
+    """Composite quality score. Round 3: hash-oracled — the score is plain
+    IEEE-double arithmetic over three SQL-expressible features (token count,
+    ASCII punct ratio, stopword ratio), written in the same evaluation
+    order in DOC_QUALITY_SQL so DuckDB reproduces it bit-for-bit before the
+    shared 6-decimal round. (Caveat: python \\w is Unicode, RE2's is ASCII;
+    equivalent on this all-ASCII corpus.)"""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         QualityStage(), batch_format="pandas"
     )
+
+
+def _stopwords_en_list() -> str:
+    from crawler_ray.functions.text import STOPWORDS_EN
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+
+
+def doc_quality_sql() -> str:
+    """DuckDB twin of quality_score: same features, same clip bounds, same
+    left-to-right float evaluation order as the numpy expression."""
+    return rf"""
+WITH feats AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\s+')) END::BIGINT
+               AS n_tokens,
+           length(regexp_replace(text, '[\w\s]', '', 'g'))::BIGINT AS n_punct,
+           length(text)::BIGINT AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0 ELSE (
+               SELECT COUNT(*) FROM unnest(
+                   string_split_regex(trim(lower(text)), '\s+')) AS t(w)
+               WHERE t.w IN ({_stopwords_en_list()})
+           ) END::BIGINT AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(
+           0.4 * LEAST(n_tokens / 64.0, 1.0)
+         + 0.3 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1)::DOUBLE * 5.0, 1.0))
+         + 0.3 * LEAST(n_stop / GREATEST(n_tokens, 1)::DOUBLE * 4.0, 1.0),
+       6) AS quality
+FROM feats
+"""
 
 
 class FingerprintStage:
