@@ -408,31 +408,73 @@ def _estimate_pairs_multi(threshold: float):
 class PairVerifier:
     """Exact char n-gram Jaccard over JOINED rows (doc_a, doc_b, text_a,
     text_b). No broadcast state — texts arrive through the hash-partition
-    join, so the stage is corpus-size-independent."""
+    join, so the stage is corpus-size-independent.
+
+    Fast path (round-2 VERDICT wrong-#5, the last Python hot loop in the
+    bench's slowest query): for ASCII text and n ≤ 8, char n-grams pack
+    EXACTLY into uint64 windows (1 byte per char), so each doc becomes a
+    sorted unique uint64 array once (cached per batch) and each pair is one
+    ``np.intersect1d`` — C-speed set intersection with identical results.
+    Non-ASCII docs (where utf-8 bytes ≠ chars) fall back to the python
+    char-set computation pair-wise, preserving exactness."""
 
     def __init__(self, ngram: int, threshold: float):
         self.ngram = ngram
         self.threshold = threshold
+
+    def _packed(self, text: str):
+        """Sorted unique packed n-gram array, or None when the exact
+        byte==char equivalence doesn't hold."""
+        t = text.lower()
+        if not t.isascii() or self.ngram > 8:
+            return None
+        raw = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+        n = self.ngram
+        if raw.size == 0:
+            return np.empty(0, dtype=np.uint64)
+        if raw.size < n:
+            return np.array(
+                [int.from_bytes(raw.tobytes(), "big")], dtype=np.uint64
+            )
+        w = raw[: raw.size - n + 1].astype(np.uint64)
+        for k in range(1, n):
+            w = (w << np.uint64(8)) | raw[k : raw.size - n + 1 + k]
+        return np.unique(w)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from crawler_ray.functions.text import char_ngrams, jaccard
 
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
         if len(df):
-            # shingle sets computed once per doc per batch (docs repeat
-            # across pairs within a bucket's candidate block)
-            cache: dict[int, set] = {}
+            # shingle arrays/sets computed once per doc per batch (docs
+            # repeat across pairs within a bucket's candidate block)
+            packed: dict[int, np.ndarray | None] = {}
+            sets: dict[int, set] = {}
+
+            def pk(d, text):
+                if d not in packed:
+                    packed[d] = self._packed(text)
+                return packed[d]
 
             def sh(d, text):
-                if d not in cache:
-                    cache[d] = char_ngrams(text, self.ngram)
-                return cache[d]
+                if d not in sets:
+                    sets[d] = char_ngrams(text, self.ngram)
+                return sets[d]
 
             da = df["doc_a"].to_numpy(dtype=np.int64)
             db = df["doc_b"].to_numpy(dtype=np.int64)
             ta, tb = df["text_a"], df["text_b"]
             for i in range(len(df)):
-                j = jaccard(sh(da[i], ta.iloc[i]), sh(db[i], tb.iloc[i]))
+                a = pk(da[i], ta.iloc[i])
+                b = pk(db[i], tb.iloc[i])
+                if a is not None and b is not None:
+                    if not a.size and not b.size:
+                        j = 1.0
+                    else:
+                        inter = np.intersect1d(a, b, assume_unique=True).size
+                        j = inter / (a.size + b.size - inter)
+                else:  # exact fallback for non-ASCII text
+                    j = jaccard(sh(da[i], ta.iloc[i]), sh(db[i], tb.iloc[i]))
                 if j >= self.threshold:
                     out["doc_a"].append(da[i])
                     out["doc_b"].append(db[i])
