@@ -31,7 +31,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -44,26 +43,47 @@ def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
 # exact dedup (md5 of text)
 
 
-def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
-    """One representative (min doc_id) per distinct text + copy count."""
+def exact_dedup_docs(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """One representative (min doc_id) per distinct text + copy count.
+
+    Shape: md5 per batch → coarse hash-partition groupby → per-partition
+    pandas aggregate. (Ray's ``Aggregate`` operator on the raw string key
+    measured 1.4 s for 5 k rows at sf0.1 — the coarse-partition +
+    in-partition aggregate is the same one exchange with none of the
+    per-key machinery, ~4× faster; the same segment-walk template as the
+    near-dup pipelines.)"""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def hash_batch(df: pd.DataFrame) -> pa.Table:
-        # Arrow out: feeds the dedup groupby shuffle
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        # partition from the first 8 hex chars — md5 is already uniform
+        part = np.array([int(m[:8], 16) % n_parts for m in md5s], dtype=np.int64)
         return pa.table(
             {
-                "text_md5": pa.array(
-                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
-                    pa.string(),
-                ),
+                "text_md5": pa.array(md5s, pa.string()),
                 "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
-    hashed = ds.map_batches(hash_batch, batch_format="pandas")
-    return hashed.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="rep_doc_id"),
-        Count(alias_name="n_copies"),
+    def agg_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("text_md5", sort=False)["doc_id"]
+            .agg(rep_doc_id="min", n_copies="size")
+            .reset_index()
+        )
+        out["rep_doc_id"] = out["rep_doc_id"].astype("int64")
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pandas")
+        .groupby("part")
+        .map_groups(agg_part, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["text_md5", "rep_doc_id", "n_copies"]),
+            batch_format="pyarrow",
+        )
     )
 
 

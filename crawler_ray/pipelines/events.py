@@ -18,7 +18,11 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from crawler_ray.sources.io import read_parquet_sized
+
+    return read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=columns, target_rows_per_block=4096
+    )
 
 
 def hourly_event_counts(sf_dir: str) -> rd.Dataset:

@@ -29,7 +29,13 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from crawler_ray.sources.io import read_parquet_sized
+
+    # cheap columnar scans: coarser blocks than the doc/embedding readers —
+    # per-block scheduling dominates trivial per-row work long before CPU does
+    return read_parquet_sized(
+        f"{sf_dir}/{table}.parquet", columns=columns, target_rows_per_block=4096
+    )
 
 
 class BroadcastJoiner:
@@ -178,9 +184,24 @@ def market_segment_revenue(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     joined = _bjoin(orders, cust.rename(columns={"c_custkey": "o_custkey"}), "o_custkey")
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("cents", alias_name="revenue_c"),
-        Count(alias_name="n_orders"),
+
+    # combiner BEFORE the exchange: the aggregate sees one row per (segment,
+    # block) instead of one per order — int64-cents partials keep the
+    # distributed sum exact whatever the block split
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_mktsegment", sort=False)["cents"]
+            .agg(revenue_c="sum", n_orders_p="size")
+            .reset_index()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_orders_p", alias_name="n_orders"),
+        )
     )
     return agg.map_batches(
         lambda df: pd.DataFrame(
@@ -211,7 +232,19 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
     )[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = _bjoin(cust, dim, "c_nationkey")
-    return joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("r_name", sort=False).size().rename("n_p").reset_index()
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("n_p", alias_name="n_customers"))
+        .map_batches(
+            lambda df: df.assign(n_customers=df["n_customers"].astype("int64")),
+            batch_format="pandas",
+        )
+    )
 
 
 CUSTOMERS_PER_REGION_SQL = """
@@ -424,7 +457,7 @@ def part_type_stats(sf_dir: str) -> rd.Dataset:
 PART_TYPE_SQL = """
 SELECT p_type, COUNT(*) AS n_parts,
        ROUND(AVG(p_retailprice), 4) AS avg_price,
-       MAX(p_size) AS max_size, MIN(p_size) AS min_size
+       MAX(p_size)::BIGINT AS max_size, MIN(p_size)::BIGINT AS min_size
 FROM part
 GROUP BY p_type
 """
