@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)
     }
 
 

@@ -250,3 +250,43 @@ def test_ann_lsh_no_whole_corpus_driver_read(ray_session, monkeypatch):
     monkeypatch.setattr(sim.pq, "read_table", guarded)
     out = sim.ann_lsh_topk(SF_DIR, query_vec_id=0, k=10).to_pandas()
     assert len(out) == 10
+
+
+def test_ivf_index_layout_coverage_recall(ray_session, tmp_path):
+    """IVF ANN: posting-list partition layout covers every vector exactly
+    once, queries read only nprobe partitions, and recall@10 vs brute force
+    is high on the testdata corpus (clustered embeddings)."""
+    import os
+
+    from crawler_ray.pipelines.similarity import (
+        build_ivf_index,
+        ivf_query,
+        knn_brute_force,
+    )
+
+    idx = str(tmp_path / "ivf")
+    n = build_ivf_index(SF_DIR, idx, n_centroids=16)
+    # layout: every vector in exactly one posting list
+    lists = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(lists) >= 2
+    total = sum(
+        pq.read_table(os.path.join(idx, d)).num_rows for d in lists
+    )
+    assert total == n == pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+    got = ivf_query(idx, q, k=11, nprobe=6).to_pandas()
+    approx = set(got[got["vec_id"] != 0]["vec_id"].head(10))
+    exact = set(knn_brute_force(SF_DIR, query_vec_id=0, k=10).to_pandas()["vec_id"])
+    assert len(approx & exact) >= 7  # >=70% recall probing 6/16 lists
+
+
+def test_ann_ivf_topk_query_runs(ray_session):
+    from crawler_ray.pipelines.similarity import ann_ivf_topk
+
+    df = ann_ivf_topk(SF_DIR, query_vec_id=0, k=10).to_pandas()
+    assert len(df) == 10 and 0 not in set(df["vec_id"])
