@@ -2,15 +2,16 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 32 pipelines over the driver testdata (one entry per
+``queries()`` exposes 33 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 26 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic and
-the composite quality score). The genuinely non-SQL-expressible six get the
-weaker rows-only driver check (minhash/simhash LSH — value-oracled pairwise
-in DuckDB inside tests instead — HLL sketch, rolling-hash fingerprints, ANN
-probing incl. the persisted-index serving path).
+the composite quality score). The genuinely non-SQL-expressible seven get
+the weaker rows-only driver check (minhash/simhash LSH — value-oracled
+pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
+fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
+paths).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.

@@ -402,28 +402,45 @@ class CrawlDriver:
                         frontier_source, override_num_blocks=n_parts
                     )
 
-                def _add_part(t: pa.Table) -> pa.Table:
-                    host = t["host"].to_numpy(zero_copy_only=False)
-                    part = (
-                        pd.util.hash_array(host.astype(object)) % n_parts
-                    ).astype(np.int64)
-                    return t.append_column("part", pa.array(part, pa.int64()))
-
-                processed = (
-                    src.map_batches(_add_part, batch_format="pyarrow")
-                    .groupby("part")
-                    .map_groups(
-                        make_round_fn(
-                            base_args_ref,
-                            cfg.quota_per_host,
-                            cfg.batch_size,
-                            filter_input,
-                            images_dir,
-                            sink_dirs,
-                        ),
-                        batch_format="pyarrow",
-                    )
+                round_fn = make_round_fn(
+                    base_args_ref,
+                    cfg.quota_per_host,
+                    cfg.batch_size,
+                    filter_input,
+                    images_dir,
+                    sink_dirs,
                 )
+                if est_rows <= max(512, cfg.batch_size * 2):
+                    # small-round fast path: the whole frontier fits one
+                    # partition, so the host-hash sort exchange buys nothing
+                    # — run the fused round fn over the single block (same
+                    # global per-host selection, identical deterministic
+                    # output; tail rounds of a BFS crawl are mostly this
+                    # case and the sort floor was most of their wall time)
+                    if frontier_source is None:
+                        src = rd.read_parquet(
+                            seeds_path, override_num_blocks=1
+                        ).map_batches(_seed_batch_to_frontier, batch_format="pyarrow")
+                    else:
+                        from crawler_ray.sources.io import read_parts
+
+                        src = read_parts(frontier_source, override_num_blocks=1)
+                    processed = src.map_batches(
+                        round_fn, batch_format="pyarrow", batch_size=None
+                    )
+                else:
+                    def _add_part(t: pa.Table) -> pa.Table:
+                        host = t["host"].to_numpy(zero_copy_only=False)
+                        part = (
+                            pd.util.hash_array(host.astype(object)) % n_parts
+                        ).astype(np.int64)
+                        return t.append_column("part", pa.array(part, pa.int64()))
+
+                    processed = (
+                        src.map_batches(_add_part, batch_format="pyarrow")
+                        .groupby("part")
+                        .map_groups(round_fn, batch_format="pyarrow")
+                    )
             t0 = _tick("process", t0)
 
             # the round output is ONLY summary-stat rows (every data class

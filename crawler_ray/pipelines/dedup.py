@@ -521,12 +521,14 @@ def minhash_near_dup_pairs(
       canonical-band dedup (pairs leave each bucket globally unique — no
       pair-dedup exchange, and mega-buckets can't explode: the estimate
       kills spurious collisions where the signatures already are) →
-      hash-partition join texts on doc_a, then doc_b (texts only move for
-      estimate-surviving pairs) → exact-Jaccard verify (task-mode)."""
-    from crawler_ray.pipelines.joins import partitioned_hash_join
-
+      ONE fused text attach (round-3: the two per-side hash joins each
+      re-shuffled the corpus; candidate pairs now explode to (doc_id,
+      side) half-rows that union with the docs ONCE — corpus text crosses
+      the network exactly one time, and the second exchange moves only the
+      estimate-surviving pairs' texts) → exact-Jaccard verify (task-mode)."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_parts = 16  # coarse hash partitions for the bucket exchange
+    nb = 16  # text-attach / pair-regroup partitions
     sigs = docs.map_batches(make_minhash_fn(ngram), batch_format="pandas")
     banded = sigs.map_batches(sig_to_bands, batch_format="pyarrow").map_batches(
         lambda t: t.append_column(
@@ -541,41 +543,86 @@ def minhash_near_dup_pairs(
         .map_groups(_estimate_pairs_multi(threshold), batch_format="pyarrow")
     )
 
-    def rename_side(suffix: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns([f"doc_{suffix}", f"text_{suffix}"])
-
-        return fn
-
-    def side_schema(suffix: str) -> pa.Schema:
-        return pa.schema(
-            [(f"doc_{suffix}", pa.int64()), (f"text_{suffix}", pa.string())]
+    def halves(t: pa.Table) -> pa.Table:
+        # each candidate pair → two half-rows keyed by the doc whose text
+        # it needs; docs-side columns padded null
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        n = len(da)
+        jkey = np.concatenate([da, db])
+        return pa.table(
+            {
+                "jkey": pa.array(jkey, pa.int64()),
+                "jpart": pa.array((jkey % nb).astype(np.int64), pa.int64()),
+                "doc_a": pa.array(np.concatenate([da, da]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([db, db]), pa.int64()),
+                "side": pa.array(
+                    np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)], pa.int64()
+                ),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
         )
 
-    side_a = docs.map_batches(rename_side("a"), batch_format="pyarrow")
-    side_b = docs.map_batches(rename_side("b"), batch_format="pyarrow")
-    j1 = partitioned_hash_join(
-        candidates,
-        side_a,
-        on="doc_a",
-        n_buckets=16,
-        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
-        right_schema=side_schema("a"),
+    def doc_rows(t: pa.Table) -> pa.Table:
+        key = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "jkey": t["doc_id"],
+                "jpart": pa.array((key % nb).astype(np.int64), pa.int64()),
+                "doc_a": pa.nulls(t.num_rows, pa.int64()),
+                "doc_b": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.nulls(t.num_rows, pa.int64()),
+                "text": t["text"],
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_doc = pa.compute.is_valid(g["text"])
+        dt = g.filter(is_doc)
+        ht = g.filter(pa.compute.invert(is_doc))
+        if ht.num_rows == 0:
+            return pa.table(
+                {"vpart": pa.array([], pa.int64()),
+                 "doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        lookup = dict(zip(dt["jkey"].to_numpy(), dt["text"].to_pylist()))
+        jk = ht["jkey"].to_numpy()
+        da = ht["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = ht["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pair-regroup partition from the pair identity
+        vpart = ((da * np.int64(1000003) + db) % nb).astype(np.int64)
+        return pa.table(
+            {
+                "vpart": pa.array(vpart, pa.int64()),
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "side": ht["side"],
+                "text": pa.array([lookup[k] for k in jk], pa.string()),
+            }
+        )
+
+    verifier = PairVerifier(ngram, threshold)
+
+    def pair_up(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas()
+        a = df[df["side"] == 0][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        return verifier(a.merge(b, on=["doc_a", "doc_b"]))
+
+    attached = (
+        candidates.map_batches(halves, batch_format="pyarrow")
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+        .groupby("jpart")
+        .map_groups(attach, batch_format="pyarrow")
     )
-    joined = partitioned_hash_join(
-        j1,
-        side_b,
-        on="doc_b",
-        n_buckets=16,
-        left_schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
-             ("text_a", pa.string())]
-        ),
-        right_schema=side_schema("b"),
-    )
-    return joined.map_batches(
-        PairVerifier(ngram, threshold), batch_format="pandas"
-    )
+    return attached.groupby("vpart").map_groups(pair_up, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
