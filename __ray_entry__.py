@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 33 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 26 have a DuckDB twin in
+``queries()`` exposes 34 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 27 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic and
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textops.lang_distribution,
         "doc_lang_id": textops.doc_lang_id,
         "doc_quality_scores": textops.doc_quality_scores,
+        "doc_bpe_token_count": textops.doc_bpe_token_count,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": textops.LANG_DISTRIBUTION_SQL,
         "doc_lang_id": textops.doc_lang_id_sql(),
         "doc_quality_scores": textops.doc_quality_sql(),
+        "doc_bpe_token_count": textops.DOC_BPE_TOKENS_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),

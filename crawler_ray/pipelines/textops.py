@@ -55,6 +55,37 @@ FROM documents
 """
 
 
+class BpeTokenStats:
+    """BPE-ish subword token count (words | numbers | single symbols) —
+    the brief's 'token counting (whitespace + a BPE-ish regex)' second
+    half; hash-oracled via the identical RE2 pattern in DuckDB."""
+
+    def __init__(self):
+        from crawler_ray.functions.text import bpe_token_count
+
+        self.count = bpe_token_count
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "n_bpe_tokens": self.count(df["text"]).astype("int64")}
+        )
+
+
+def doc_bpe_token_count(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeTokenStats(), batch_format="pandas"
+    )
+
+
+DOC_BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))::BIGINT
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 class PunctStats:
     def __init__(self):
         import re
