@@ -2,12 +2,14 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 34 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 27 have a DuckDB twin in
+``queries()`` exposes 40 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 33 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
-accumulation order; round 3 added exact twins for the lang-id heuristic and
-the composite quality score). The genuinely non-SQL-expressible seven get
+accumulation order; round 3 added exact twins for the lang-id heuristic,
+the composite quality score, the as-of/range/anti join family, grouped
+exact quantiles, word-bigram shingle Jaccard and the deterministic
+stratified sample). The genuinely non-SQL-expressible seven get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
 pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -56,6 +58,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # both-sides-large partitioned hash join
         "order_lineitem_join_totals": joins.order_lineitem_join_totals,
+        # join family Ray Data has no native verb for: as-of (point-in-time),
+        # range/interval self-join, anti join (NOT EXISTS)
+        "events_asof_order_join": joins.events_asof_order_join,
+        "user_events_next_hour": joins.user_events_next_hour,
+        "customers_without_urgent_orders": joins.customers_without_urgent_orders,
         "top_users_by_value": events.top_users_by_value,
         "token_vocabulary": textops.token_vocabulary,
         # relational core (SURVEY.md §2.4-2.7 semantics over TPC-H-ish tables)
@@ -68,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue_rows": relational.filtered_revenue_rows,
         "first_order_per_customer": relational.first_order_per_customer,
         "part_type_stats": relational.part_type_stats,
+        "lineitem_price_quantiles": relational.lineitem_price_quantiles,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -82,10 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": textops.doc_quality_scores,
         "doc_bpe_token_count": textops.doc_bpe_token_count,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
+        "stratified_sample_docs": textops.stratified_sample_docs,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
         "token_jaccard_pairs": dedup.token_jaccard_pairs,
+        "bigram_jaccard_pairs": dedup.bigram_jaccard_pairs,
         "minhash_near_dup_pairs": dedup.minhash_near_dup_pairs,  # rows-only
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only
         # similarity search (embeddings)
@@ -109,6 +119,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "order_lineitem_join_totals": joins.ORDER_LINEITEM_JOIN_SQL,
+        "events_asof_order_join": joins.EVENTS_ASOF_SQL,
+        "user_events_next_hour": joins.USER_EVENTS_NEXT_HOUR_SQL,
+        "customers_without_urgent_orders": joins.CUSTOMERS_WITHOUT_URGENT_SQL,
         "top_users_by_value": events.TOP_USERS_SQL,
         "token_vocabulary": textops.TOKEN_VOCABULARY_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
@@ -130,9 +143,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textops.doc_lang_id_sql(),
         "doc_quality_scores": textops.doc_quality_sql(),
         "doc_bpe_token_count": textops.DOC_BPE_TOKENS_SQL,
+        "stratified_sample_docs": textops.stratified_sample_sql(),
+        "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),
+        "bigram_jaccard_pairs": dedup.bigram_jaccard_sql(),
         "knn_brute_force": similarity.knn_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
     }

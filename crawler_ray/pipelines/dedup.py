@@ -757,7 +757,20 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# thresholded token-set Jaccard (bounded-vocabulary all-pairs)
+# thresholded set-Jaccard over canonical shingle sets (bounded-universe
+# all-pairs; the exact-answer sibling of the MinHash-LSH path above)
+
+
+def _canon_token_set(text: str) -> str:
+    """Canonical form of a doc's DISTINCT word set (\\x00-joined, sorted)."""
+    return "\x00".join(sorted(set(text.split())))
+
+
+def _canon_bigram_set(text: str) -> str:
+    """Canonical form of a doc's DISTINCT word-bigram shingle set."""
+    toks = text.split()
+    return "\x00".join(sorted({toks[i] + " " + toks[i + 1]
+                               for i in range(len(toks) - 1)}))
 
 
 def token_jaccard_pairs(
@@ -783,15 +796,33 @@ def token_jaccard_pairs(
 
     Applicability: bounded vocabulary (S ≤ 2^V). For open vocabularies use
     the MinHash-LSH path above instead."""
-    from crawler_ray.pipelines.joins import partitioned_hash_join
-
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    B = n_blocks
+    return _set_jaccard_pairs(_keyed_sets(docs, _canon_token_set),
+                              threshold, n_blocks)
 
+
+def bigram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.9, n_blocks: int = 4
+) -> rd.Dataset:
+    """All doc pairs with word-BIGRAM shingle Jaccard ≥ threshold (EXACT,
+    SQL-oracled). The n-gram member of the dedup family: shingles carry
+    local word ORDER, so a shuffled bag of the same words (which token-set
+    Jaccard calls identical) scores low here — the standard n-gram
+    near-dup signal, computed exactly on the same block-nested-loop
+    distinct-set engine as :func:`token_jaccard_pairs`. Docs with fewer
+    than two tokens have no shingles and never pair (matches the SQL,
+    where they vanish from the exploded shingle relation)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return _set_jaccard_pairs(_keyed_sets(docs, _canon_bigram_set),
+                              threshold, n_blocks)
+
+
+def _keyed_sets(docs: rd.Dataset, canon_fn) -> rd.Dataset:
+    """docs(doc_id, text) → (set_id, doc_id, toks) keyed canonical-set rows."""
     def key_stage(df: pd.DataFrame) -> pa.Table:
         keys, canons = [], []
         for t in df["text"]:
-            canon = "\x00".join(sorted(set(t.split())))
+            canon = canon_fn(t)
             canons.append(canon)
             h = hashlib.md5(canon.encode("utf-8")).digest()
             keys.append(int.from_bytes(h[:8], "big") >> 1)  # int64 ≥ 0
@@ -801,7 +832,18 @@ def token_jaccard_pairs(
              "toks": pa.array(canons, pa.string())}
         )
 
-    keyed = docs.map_batches(key_stage, batch_format="pandas").materialize()
+    return docs.map_batches(key_stage, batch_format="pandas").materialize()
+
+
+def _set_jaccard_pairs(
+    keyed: rd.Dataset, threshold: float, n_blocks: int
+) -> rd.Dataset:
+    """Exact thresholded Jaccard over canonical element-set rows
+    (set_id, doc_id, toks): distinct sets → block-nested-loop set-pair
+    matmul → doc-pair emission via two hash-partition joins."""
+    from crawler_ray.pipelines.joins import partitioned_hash_join
+
+    B = n_blocks
     # distinct sets: one representative row per set (groupby on the hash key)
     distinct = keyed.groupby("set_id").map_groups(
         lambda g: g.head(1)[["set_id", "toks"]], batch_format="pandas"
@@ -942,6 +984,34 @@ cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
     FROM dtok a JOIN dtok b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (ca.n + cb.n - c)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE c / (ca.n + cb.n - c)::DOUBLE >= {threshold}
+"""
+
+
+def bigram_jaccard_sql(threshold: float = 0.9) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, w, pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents)
+),
+dtok AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM dtok a JOIN dtok b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -220,3 +220,270 @@ SELECT o_orderkey, o_totalprice,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, o_totalprice
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join (time-series point-in-time join) — an operator Ray Data has no
+# native verb for: ONE fused hash exchange on the equi-key, then a
+# vectorized per-partition backward merge_asof
+
+
+def events_asof_order_join(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """For each event, the most recent order of the same customer placed at
+    or before the event time (backward as-of join), inner semantics.
+
+    Shape: both sides hash-partition ONCE on the shared key
+    (user_id = o_custkey) via the same union-exchange trick as
+    ``order_lineitem_join_totals`` — every (key, time)-match is confined to
+    one partition, so the merge is embarrassingly parallel. Inside each
+    partition ``pd.merge_asof`` (vectorized C galloping search over both
+    sides sorted by time) resolves the point-in-time match. Ties on
+    o_orderdate break to the HIGHEST o_orderkey: the order side is sorted
+    by (o_orderdate, o_orderkey) and merge_asof takes the last row ≤ ts,
+    matching the oracle's ``ORDER BY o_orderdate DESC, o_orderkey DESC``
+    rank-1 row. Skewed keys: a hot user salts into sub-partitions by
+    time-range the same way the frontier salts hot hosts (documented knob;
+    uniform here)."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        target_rows_per_block=8192,
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        target_rows_per_block=8192,
+    )
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        key = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "key": t["user_id"],
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+                "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "key": t["o_custkey"],
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("asof_orderkey", pa.int64()), ("asof_totalprice", pa.float64())]
+    )
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        is_e = pa.compute.is_valid(g["event_id"])
+        eg = g.filter(is_e).select(["key", "event_id", "ts"]).to_pandas()
+        og = g.filter(pa.compute.invert(is_e)).select(
+            ["key", "o_orderkey", "o_orderdate", "o_totalprice"]
+        ).to_pandas()
+        if eg.empty or og.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        eg = eg.sort_values("ts", kind="stable")
+        og = og.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+        m = pd.merge_asof(
+            eg, og, left_on="ts", right_on="o_orderdate",
+            by="key", direction="backward",
+        )
+        m = m[m["o_orderkey"].notna()]  # inner: drop events with no prior order
+        return pa.table(
+            {
+                "event_id": pa.array(m["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(m["key"].to_numpy(), pa.int64()),
+                "asof_orderkey": pa.array(
+                    m["o_orderkey"].to_numpy().astype(np.int64), pa.int64()),
+                "asof_totalprice": pa.array(
+                    m["o_totalprice"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return (
+        events.map_batches(prep_events, batch_format="pyarrow")
+        .union(orders.map_batches(prep_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+       o_totalprice AS asof_totalprice
+FROM (
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC,
+                                       o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# range (interval) self-join — per-event count of the same user's events in
+# the following hour, without materializing the joined pairs
+
+
+def user_events_next_hour(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """For each event, how many LATER events the same user produced within
+    the next hour (range join ``b.ts > a.ts AND b.ts <= a.ts + 1h``
+    aggregated per left row).
+
+    The naive form materializes the pair blowup; here each partition
+    (hash(user) % P — one exchange, same key discipline as the other
+    joins) answers all its rows with two vectorized ``searchsorted`` calls
+    over ONE composite-sorted timestamp array: user segments are offset so
+    ranges never cross users, so counts for every row in the partition come
+    from upper-bound minus lower-bound positions — no pair rows exist at
+    any point."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        target_rows_per_block=8192,
+    )
+    hour_us = 3_600_000_000  # INTERVAL 1 HOUR in microseconds
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["user_id"].to_numpy() % n_parts).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def count_window(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        # collapse (user, ts) into one monotonic int64 axis: rebase ts and
+        # give each user a lane wide enough that a +1h probe cannot reach
+        # the next user's lane
+        ts0 = ts_s - ts_s.min()
+        span = int(ts0.max()) + 2 * hour_us + 1
+        lane = np.cumsum(np.r_[False, uid_s[1:] != uid_s[:-1]]).astype(np.int64)
+        composite = lane * span + ts0
+        lo = np.searchsorted(composite, composite, side="right")
+        hi = np.searchsorted(composite, composite + hour_us, side="right")
+        return pa.table(
+            {"event_id": pa.array(eid_s, pa.int64()),
+             "n_next_hour": pa.array((hi - lo).astype(np.int64), pa.int64())}
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_window, batch_format="pyarrow")
+    )
+
+
+USER_EVENTS_NEXT_HOUR_SQL = """
+SELECT a.event_id, COUNT(b.event_id) AS n_next_hour
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# partitioned anti join (NOT EXISTS)
+
+
+def customers_without_urgent_orders(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Customers with no '1-URGENT' order (anti join / NOT EXISTS).
+
+    The probe side collapses to DISTINCT keys inside ``map_batches``
+    BEFORE the exchange (semi/anti joins never need the probe rows, only
+    key presence — the same combiner-first discipline as the aggregates),
+    then one hash partition co-locates each customer with every evidence
+    key and a vectorized ``isin`` mask drops matches."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        target_rows_per_block=8192,
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        target_rows_per_block=8192,
+    )
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "key": t["c_custkey"],
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+
+    def prep_probe(t: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(t["o_orderpriority"], "1-URGENT")
+        keys = np.unique(t.filter(mask)["o_custkey"].to_numpy())
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "part": pa.array((keys % n_parts).astype(np.int64), pa.int64()),
+                "c_name": pa.nulls(n, pa.string()),
+                "c_acctbal": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("c_acctbal", pa.float64())]
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        is_cust = pa.compute.is_valid(g["c_name"])
+        cg = g.filter(is_cust)
+        probe = g.filter(pa.compute.invert(is_cust))["key"]
+        keep = pa.compute.invert(
+            pa.compute.is_in(cg["key"], value_set=probe.combine_chunks())
+        )
+        out = cg.filter(keep)
+        return pa.table(
+            {"c_custkey": out["key"], "c_name": out["c_name"],
+             "c_acctbal": out["c_acctbal"]},
+            schema=out_schema,
+        )
+
+    return (
+        cust.map_batches(prep_cust, batch_format="pyarrow")
+        .union(orders.map_batches(prep_probe, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+
+
+CUSTOMERS_WITHOUT_URGENT_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""

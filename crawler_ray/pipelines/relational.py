@@ -478,3 +478,95 @@ def distinct_event_types(sf_dir: str) -> rd.Dataset:
 
 
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def lineitem_price_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """EXACT per-group quantiles (``quantile_disc`` semantics: the data
+    value at 1-based rank ``ceil(q*n)``) of l_extendedprice per
+    l_returnflag — an order-statistic Ray Data has no native verb for.
+
+    Scale shape: order statistics need global order, but never the rows —
+    only the VALUE HISTOGRAM. Per-batch (group, value)→count partials
+    (combiner) collapse duplicates before any exchange; one hash partition
+    on the value bits merges partials; the per-group finish ranks a
+    distinct-value histogram whose size is bounded by the value domain
+    (prices have two decimals: the histogram stops growing once every
+    cent value is seen), not the row count — no full sort, no group ever
+    materializes its raw rows. Returned values are actual data values
+    (no interpolation arithmetic), so they hash-match the oracle
+    bit-for-bit."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    _HIST_SCHEMA = pa.schema(
+        [("l_returnflag", pa.string()), ("v", pa.float64()),
+         ("c", pa.int64()), ("part", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"l_returnflag": t["l_returnflag"].to_pandas(),
+             "v": t["l_extendedprice"].to_numpy()}
+        )
+        g = df.groupby(["l_returnflag", "v"], sort=False).size().reset_index(name="c")
+        part = g["v"].to_numpy().view(np.uint64) % np.uint64(n_parts)
+        g["part"] = part.astype(np.int64)
+        return pa.Table.from_pandas(g, schema=_HIST_SCHEMA, preserve_index=False)
+
+    def merge_hist(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.groupby(["l_returnflag", "v"], sort=False)["c"].sum().reset_index()
+        )
+        out["part"] = df["part"].iloc[0] if len(df) else 0
+        return pa.Table.from_pandas(out, schema=_HIST_SCHEMA, preserve_index=False)
+
+    def finish(g: pa.Table) -> pa.Table:
+        flag = g["l_returnflag"][0].as_py()
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        # quantile_disc pick: 1-based rank ceil(q*n), float64 multiply
+        # mirroring the oracle's arithmetic
+        vals = {}
+        for q in qs:
+            rank = int(np.ceil(np.float64(q) * n))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            vals[f"p{int(round(q * 100)):02d}"] = v[idx]
+        cols = {"l_returnflag": pa.array([flag], pa.string())}
+        for name, val in vals.items():
+            cols[name] = pa.array([float(val)], pa.float64())
+        cols["n_rows"] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_hist, batch_format="pyarrow")
+    )
+    # the merged histogram is tiny (distinct values, not rows) but spread
+    # over n_parts blocks; coalesce to ~one block per flag group so the
+    # final groupby doesn't fan out empty-range tasks
+    return (
+        hist.repartition(3)
+        .groupby("l_returnflag")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+LINEITEM_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       quantile_disc(l_extendedprice, 0.90) AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""

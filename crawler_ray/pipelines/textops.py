@@ -340,3 +340,51 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         FingerprintStage(), batch_format="pandas"
     )
+
+
+def stratified_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Deterministic per-language sample: the k docs with the smallest
+    md5(doc_id) per lang stratum (ties → doc_id). The standard
+    reproducible-downsampling op for training-data pipelines: the sample
+    is a pure function of the keys, so re-runs, resumes and the SQL oracle
+    all pick the SAME rows — no RNG state to checkpoint.
+
+    Scale shape: per-batch partial top-k per stratum (combiner) BEFORE the
+    exchange, so the groupby moves at most k rows per (batch, stratum) —
+    never the corpus — then a final per-stratum top-k assigns ranks."""
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "lang"]].copy()
+        out["h"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in out["doc_id"]
+        ]
+        out = out.sort_values(["lang", "h", "doc_id"], kind="stable")
+        return out.groupby("lang", sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="stable").head(k)
+        df = df.reset_index(drop=True)
+        df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "lang", "sample_rank"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def stratified_sample_sql(k: int = 20) -> str:
+    return f"""
+SELECT doc_id, lang, rn AS sample_rank
+FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM documents
+) WHERE rn <= {k}
+"""

@@ -1,0 +1,158 @@
+"""Edge-case tests for the round-3 join/order-statistic operators, on
+crafted fixtures the driver testdata can't exercise (its events all
+post-date every order, so the as-of search is degenerate there):
+
+- as-of join: interleaved event/order times, date TIES (tie-break must be
+  the highest o_orderkey), events before any order (dropped, inner), and
+  parallelism invariance (n_parts must not change the answer).
+- interval self-join: window boundary semantics (b.ts == a.ts excluded,
+  b.ts == a.ts + 1h included), cross-user isolation.
+- grouped quantiles: duplicate-heavy values (the histogram path's rank
+  arithmetic) vs DuckDB quantile_disc.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray.pipelines import joins, relational
+
+US = 1_000_000
+
+
+def _write(dirpath, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{dirpath}/{name}.parquet")
+
+
+@pytest.fixture(scope="module")
+def asof_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("asof")
+    base = pd.Timestamp("2024-01-01")
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 2, 2, 3, 3, 9], dtype=np.int64),
+            "ts": [
+                base + pd.Timedelta(days=0, hours=1),   # after u1 order 10
+                base + pd.Timedelta(days=5),            # after orders 10,11
+                base - pd.Timedelta(days=1),            # BEFORE any u1 order
+                base + pd.Timedelta(days=2),            # u2: tie date → max key
+                base + pd.Timedelta(days=2, seconds=1),
+                base,                                    # u3: exactly AT order ts
+                base + pd.Timedelta(days=9),
+                base + pd.Timedelta(days=1),            # u9: no orders at all
+            ],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([10, 11, 20, 21, 30], dtype=np.int64),
+            "o_custkey": np.array([1, 1, 2, 2, 3], dtype=np.int64),
+            "o_orderdate": [
+                base,
+                base + pd.Timedelta(days=3),
+                base + pd.Timedelta(days=1),  # u2 TIE: two orders same date
+                base + pd.Timedelta(days=1),
+                base,
+            ],
+            "o_totalprice": [100.0, 110.0, 200.0, 210.0, 300.0],
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    _write(d, "events", events)
+    _write(d, "orders", orders)
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    return str(d), con
+
+
+def _run_sorted(ds, keys):
+    return ds.to_pandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_asof_join_interleaved_and_ties(ray_session, asof_fixture):
+    d, con = asof_fixture
+    got = _run_sorted(joins.events_asof_order_join(d, n_parts=4), ["event_id"])
+    exp = con.sql(joins.EVENTS_ASOF_SQL).df().sort_values("event_id").reset_index(drop=True)
+    exp = exp[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by_event = got.set_index("event_id")
+    # inner semantics: the pre-first-order event and the orderless user drop
+    assert 2 not in by_event.index and 7 not in by_event.index
+    # tie on o_orderdate resolves to the HIGHEST o_orderkey
+    assert by_event.loc[3, "asof_orderkey"] == 21
+    # an event exactly AT the order timestamp matches it (<=, backward)
+    assert by_event.loc[5, "asof_orderkey"] == 30
+    # a later order supersedes an earlier one only once its date passes
+    assert by_event.loc[0, "asof_orderkey"] == 10
+    assert by_event.loc[1, "asof_orderkey"] == 11
+
+
+def test_asof_join_parallelism_invariant(ray_session, asof_fixture):
+    d, _ = asof_fixture
+    a = _run_sorted(joins.events_asof_order_join(d, n_parts=1), ["event_id"])
+    b = _run_sorted(joins.events_asof_order_join(d, n_parts=7), ["event_id"])
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def window_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("window")
+    base = pd.Timestamp("2024-06-01").value // 1000  # us
+    rows = [
+        # user 1: probe row 0 at t0; rows at t0 (dup ts, excluded), t0+1h
+        # (included, boundary), t0+1h+1us (excluded)
+        (0, 1, base),
+        (1, 1, base),
+        (2, 1, base + 3600 * US),
+        (3, 1, base + 3600 * US + 1),
+        # user 2 inside user 1's window range: must not leak across users
+        (4, 2, base + 60 * US),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    _write(d, "events", df)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    return str(d), con
+
+
+def test_interval_join_boundaries(ray_session, window_fixture):
+    d, con = window_fixture
+    got = _run_sorted(joins.user_events_next_hour(d, n_parts=3), ["event_id"])
+    exp = con.sql(joins.USER_EVENTS_NEXT_HOUR_SQL).df().sort_values(
+        "event_id").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    n = got.set_index("event_id")["n_next_hour"]
+    # same-instant row excluded, boundary row included, +1us beyond excluded,
+    # other user's row never counted
+    assert n.loc[0] == 1
+    assert n.loc[2] == 1  # row 3 sits 1us after row 2 → inside row 2's window
+    assert n.loc[4] == 0
+
+
+def test_quantiles_duplicate_heavy(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "l_returnflag": rng.choice(["A", "N", "R"], size=5000),
+            "l_extendedprice": rng.integers(1, 40, size=5000) / 2.0,
+        }
+    )
+    _write(tmp_path, "lineitem", df)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    got = _run_sorted(relational.lineitem_price_quantiles(str(tmp_path)),
+                      ["l_returnflag"])
+    exp = con.sql(relational.LINEITEM_QUANTILES_SQL).df().sort_values(
+        "l_returnflag").reset_index(drop=True)[got.columns]
+    # quantile_disc returns actual data values: compare EXACTLY
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=0, rtol=0)
