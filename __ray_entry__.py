@@ -2,14 +2,15 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 40 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 33 have a DuckDB twin in
+``queries()`` exposes 41 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 34 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
 the composite quality score, the as-of/range/anti join family, grouped
-exact quantiles, word-bigram shingle Jaccard and the deterministic
-stratified sample). The genuinely non-SQL-expressible seven get
+exact quantiles, word-bigram shingle Jaccard, the deterministic
+stratified sample, and duplicate-cluster connected components — the
+latter oracled by a DuckDB recursive-CTE transitive closure). The genuinely non-SQL-expressible seven get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
 pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -47,6 +48,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines import (
+        clusters,
         dedup,
         events,
         joins,
@@ -98,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_jaccard_pairs": dedup.bigram_jaccard_pairs,
         "minhash_near_dup_pairs": dedup.minhash_near_dup_pairs,  # rows-only
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only
+        # distributed connected components over the near-dup pair graph
+        # (set-quotient contraction → union-find / BSP hash-to-min rounds)
+        "near_dup_clusters": clusters.near_dup_clusters,
         # similarity search (embeddings)
         "knn_brute_force": similarity.knn_brute_force,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
@@ -109,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from crawler_ray.pipelines import (
+        clusters,
         dedup,
         events,
         joins,
@@ -149,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),
         "bigram_jaccard_pairs": dedup.bigram_jaccard_sql(),
+        "near_dup_clusters": clusters.near_dup_clusters_sql(),
         "knn_brute_force": similarity.knn_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
     }

@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "token_set_dup_pairs",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
+    "near_dup_clusters",
     "knn_brute_force",
     "embedding_near_dup_pairs",
 ]

@@ -835,14 +835,14 @@ def _keyed_sets(docs: rd.Dataset, canon_fn) -> rd.Dataset:
     return docs.map_batches(key_stage, batch_format="pandas").materialize()
 
 
-def _set_jaccard_pairs(
+def _distinct_set_pairs(
     keyed: rd.Dataset, threshold: float, n_blocks: int
 ) -> rd.Dataset:
-    """Exact thresholded Jaccard over canonical element-set rows
-    (set_id, doc_id, toks): distinct sets → block-nested-loop set-pair
-    matmul → doc-pair emission via two hash-partition joins."""
-    from crawler_ray.pipelines.joins import partitioned_hash_join
-
+    """SET-level thresholded Jaccard pairs (key_a, key_b, jaccard) over the
+    distinct canonical sets of ``keyed`` (set_id, doc_id, toks) — the
+    quotient of the doc relation by exact-set equality. Includes the
+    key_a == key_b self pair (jaccard 1), which the doc-pair emission uses
+    to pair same-set docs and the cluster pipeline uses as a node row."""
     B = n_blocks
     # distinct sets: one representative row per set (groupby on the hash key)
     distinct = keyed.groupby("set_id").map_groups(
@@ -916,12 +916,22 @@ def _set_jaccard_pairs(
              "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
         )
 
-    set_pairs = (
+    return (
         distinct.map_batches(explode, batch_format="pyarrow")
         .groupby("pair")
         .map_groups(score, batch_format="pyarrow")
     )
 
+
+def _set_jaccard_pairs(
+    keyed: rd.Dataset, threshold: float, n_blocks: int
+) -> rd.Dataset:
+    """Exact thresholded Jaccard over canonical element-set rows
+    (set_id, doc_id, toks): distinct sets → block-nested-loop set-pair
+    matmul → doc-pair emission via two hash-partition joins."""
+    from crawler_ray.pipelines.joins import partitioned_hash_join
+
+    set_pairs = _distinct_set_pairs(keyed, threshold, n_blocks)
     members = keyed.select_columns(["set_id", "doc_id"])
 
     def rename(cols):

@@ -484,6 +484,7 @@ def lineitem_price_quantiles(
     sf_dir: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
     n_parts: int = 32,
+    merge_threshold: int = 20_000_000,
 ) -> rd.Dataset:
     """EXACT per-group quantiles (``quantile_disc`` semantics: the data
     value at 1-based rank ``ceil(q*n)``) of l_extendedprice per
@@ -491,14 +492,20 @@ def lineitem_price_quantiles(
 
     Scale shape: order statistics need global order, but never the rows —
     only the VALUE HISTOGRAM. Per-batch (group, value)→count partials
-    (combiner) collapse duplicates before any exchange; one hash partition
-    on the value bits merges partials; the per-group finish ranks a
-    distinct-value histogram whose size is bounded by the value domain
-    (prices have two decimals: the histogram stops growing once every
-    cent value is seen), not the row count — no full sort, no group ever
-    materializes its raw rows. Returned values are actual data values
+    (combiner) collapse duplicates before any exchange. Below
+    ``merge_threshold`` input rows the unmerged partials go straight to the
+    per-group finish in ONE exchange — the finish's stable sort + cumsum
+    sums duplicate (group, value) partials exactly as a merge would, since
+    equal values land adjacent. Above it, a value-hash partition merges
+    partials first, bounding the per-group finish input by the VALUE DOMAIN
+    (prices have two decimals: the merged histogram stops growing once
+    every cent value is seen), not the row count — no full sort, no group
+    ever materializes its raw rows. Returned values are actual data values
     (no interpolation arithmetic), so they hash-match the oracle
     bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    n_total = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
     _HIST_SCHEMA = pa.schema(
         [("l_returnflag", pa.string()), ("v", pa.float64()),
@@ -544,11 +551,12 @@ def lineitem_price_quantiles(
         cols["n_rows"] = pa.array([n], pa.int64())
         return pa.table(cols)
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(merge_hist, batch_format="pyarrow")
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if n_total <= merge_threshold:
+        return partials.groupby("l_returnflag").map_groups(
+            finish, batch_format="pyarrow"
+        )
+    hist = partials.groupby("part").map_groups(merge_hist, batch_format="pyarrow")
     # the merged histogram is tiny (distinct values, not rows) but spread
     # over n_parts blocks; coalesce to ~one block per flag group so the
     # final groupby doesn't fan out empty-range tasks

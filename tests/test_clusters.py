@@ -1,0 +1,118 @@
+"""Connected components / duplicate clusters.
+
+- union-find fast path vs BSP hash-to-min rounds: identical labels on the
+  same graphs (chains force multi-round convergence in the BSP path).
+- parallelism invariance: n_buckets must not change the answer.
+- near_dup_clusters vs the DuckDB recursive-CTE oracle: value-EXACT,
+  including the membership rule (singleton docs with no near-dup vanish;
+  exact-duplicate docs cluster even with no cross-set edge).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from crawler_ray.pipelines.clusters import (
+    connected_components,
+    near_dup_clusters,
+    near_dup_clusters_sql,
+)
+
+
+def _labels(ds):
+    return (
+        ds.to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+
+GRAPHS = {
+    "chain+pair": ([1, 2, 3, 4, 5, 6, 7, 10], [2, 3, 4, 5, 6, 7, 8, 11]),
+    "star+selfloop": ([5, 5, 5, 9], [1, 2, 3, 9]),
+    "two-triangles": ([1, 2, 3, 7, 8, 9], [2, 3, 1, 8, 9, 7]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_cc_paths_agree(ray_session, name):
+    a, b = GRAPHS[name]
+    edges = rd.from_pandas(pd.DataFrame({"doc_a": a, "doc_b": b}))
+    fast = _labels(connected_components(edges))
+    bsp = _labels(connected_components(edges, small_edges=0))
+    pd.testing.assert_frame_equal(fast, bsp)
+    # ground truth by brute force
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    exp = pd.DataFrame(
+        sorted((n, find(n)) for n in parent), columns=["node", "lab"]
+    )
+    pd.testing.assert_frame_equal(fast, exp)
+
+
+def test_cc_bucket_invariance(ray_session):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 300, size=400)
+    b = rng.integers(0, 300, size=400)
+    edges = rd.from_pandas(pd.DataFrame({"doc_a": a, "doc_b": b}))
+    l4 = _labels(connected_components(edges, n_buckets=4, small_edges=0))
+    l16 = _labels(connected_components(edges, n_buckets=16, small_edges=0))
+    luf = _labels(connected_components(edges))
+    pd.testing.assert_frame_equal(l4, l16)
+    pd.testing.assert_frame_equal(l4, luf)
+
+
+def test_near_dup_clusters_oracle(ray_session, tmp_path):
+    # sliding near-dup chain (A~B~C transitively one cluster), an exact
+    # duplicate pair with no cross-set edge, and isolated singletons
+    base = [f"w{i}" for i in range(40)]
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[1:] + ["x1"]),          # ~0.95 vs doc 1
+        3: " ".join(base[2:] + ["x1", "x2"]),    # chains via doc 2
+        4: "dup dup alpha beta gamma delta epsilon zeta eta theta",
+        5: "dup dup alpha beta gamma delta epsilon zeta eta theta",
+        6: "lonely words that match nothing else at all here",
+        7: "another completely unrelated singleton document text",
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = (
+        near_dup_clusters(str(tmp_path), threshold=0.9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.sql(near_dup_clusters_sql(threshold=0.9))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=True)
+    # semantic spot checks: singletons 6/7 gone, 4/5 cluster at min id 4
+    assert set(got["doc_id"]) == {1, 2, 3, 4, 5}
+    assert set(got.loc[got["cluster_id"] == 4, "doc_id"]) == {4, 5}
+    assert (got.loc[got["doc_id"].isin([1, 2, 3]), "cluster_id"] == 1).all()
+    assert (got.loc[got["doc_id"].isin([1, 2, 3]), "cluster_size"] == 3).all()

@@ -137,7 +137,11 @@ def test_interval_join_boundaries(ray_session, window_fixture):
     assert n.loc[4] == 0
 
 
-def test_quantiles_duplicate_heavy(ray_session, tmp_path):
+@pytest.mark.parametrize("merge_threshold", [20_000_000, 0])
+def test_quantiles_duplicate_heavy(ray_session, tmp_path, merge_threshold):
+    # merge_threshold=0 forces the large-n two-phase value-hash merge path;
+    # the default takes the single-exchange unmerged-histogram fast path —
+    # both must rank duplicates identically
     rng = np.random.default_rng(7)
     df = pd.DataFrame(
         {
@@ -150,8 +154,12 @@ def test_quantiles_duplicate_heavy(ray_session, tmp_path):
     con.sql(
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
     )
-    got = _run_sorted(relational.lineitem_price_quantiles(str(tmp_path)),
-                      ["l_returnflag"])
+    got = _run_sorted(
+        relational.lineitem_price_quantiles(
+            str(tmp_path), merge_threshold=merge_threshold
+        ),
+        ["l_returnflag"],
+    )
     exp = con.sql(relational.LINEITEM_QUANTILES_SQL).df().sort_values(
         "l_returnflag").reset_index(drop=True)[got.columns]
     # quantile_disc returns actual data values: compare EXACTLY
