@@ -2,15 +2,17 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 41 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 34 have a DuckDB twin in
+``queries()`` exposes 44 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 37 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
 the composite quality score, the as-of/range/anti join family, grouped
 exact quantiles, word-bigram shingle Jaccard, the deterministic
-stratified sample, and duplicate-cluster connected components — the
-latter oracled by a DuckDB recursive-CTE transitive closure). The genuinely non-SQL-expressible seven get
+stratified sample, duplicate-cluster connected components (oracled by a
+DuckDB recursive-CTE transitive closure), the keep-one-per-cluster
+survivor manifest, Gopher-style repetition filters and n-gram benchmark
+decontamination). The genuinely non-SQL-expressible seven get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
 pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -92,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": textops.doc_quality_scores,
         "doc_bpe_token_count": textops.doc_bpe_token_count,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
+        "doc_repetition_metrics": textops.doc_repetition_metrics,
+        "doc_benchmark_overlap": textops.doc_benchmark_overlap,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
@@ -103,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed connected components over the near-dup pair graph
         # (set-quotient contraction → union-find / BSP hash-to-min rounds)
         "near_dup_clusters": clusters.near_dup_clusters,
+        # keep-one-per-cluster policy → deduplicated corpus manifest
+        "dedup_survivors": clusters.dedup_survivors,
         # similarity search (embeddings)
         "knn_brute_force": similarity.knn_brute_force,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
@@ -149,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textops.doc_lang_id_sql(),
         "doc_quality_scores": textops.doc_quality_sql(),
         "doc_bpe_token_count": textops.DOC_BPE_TOKENS_SQL,
+        "doc_repetition_metrics": textops.doc_repetition_sql(),
+        "doc_benchmark_overlap": textops.doc_benchmark_overlap_sql(),
         "stratified_sample_docs": textops.stratified_sample_sql(),
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
@@ -156,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "token_jaccard_pairs": dedup.token_jaccard_sql(),
         "bigram_jaccard_pairs": dedup.bigram_jaccard_sql(),
         "near_dup_clusters": clusters.near_dup_clusters_sql(),
+        "dedup_survivors": clusters.dedup_survivors_sql(),
         "knn_brute_force": similarity.knn_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
     }

@@ -296,7 +296,79 @@ def near_dup_clusters(
     )
 
 
-def near_dup_clusters_sql(threshold: float = 0.95) -> str:
+def dedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_buckets: int = 8,
+    n_blocks: int = 4,
+    n_parts: int = 16,
+) -> rd.Dataset:
+    """The keep-one-per-cluster dedup POLICY applied end-to-end: the
+    deduplicated corpus manifest (doc_id, n_chars) after dropping every
+    near-dup cluster member except its canonical representative (min
+    doc_id). This is the step a training-data pipeline actually ships —
+    pairs and clusters are diagnostics; the survivor manifest drives the
+    downstream read.
+
+    Scale shape: the loser set (cluster members minus reps) is tiny
+    relative to the corpus, but it is NOT broadcast — one hash-partition
+    anti join (probe keys collapsed per batch, the
+    ``customers_without_urgent_orders`` discipline) keeps the plan valid
+    even when half the corpus is duplicates."""
+    from crawler_ray.pipelines.dedup import _read_docs
+
+    clusters = near_dup_clusters(sf_dir, threshold, n_buckets, n_blocks)
+
+    _ANTI_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("part", pa.int64()), ("n_chars", pa.int64())]
+    )
+
+    def loser_rows(t: pa.Table) -> pa.Table:
+        drop = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        keys = drop["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(keys, pa.int64()),
+             "part": pa.array(keys % n_parts, pa.int64()),
+             "n_chars": pa.nulls(len(keys), pa.int64())},
+        ).cast(_ANTI_SCHEMA)
+
+    def doc_rows(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "part": pa.array(ids % n_parts, pa.int64()),
+             "n_chars": pa.array(
+                 df["text"].str.len().to_numpy(dtype=np.int64), pa.int64()
+             )},
+        ).cast(_ANTI_SCHEMA)
+
+    def anti(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(g["n_chars"])
+        docs = g.filter(is_doc)
+        losers = g.filter(pc.invert(is_doc))["doc_id"].combine_chunks()
+        keep = pc.invert(pc.is_in(docs["doc_id"], value_set=losers))
+        out = docs.filter(keep)
+        # the shuffle may route through pandas, null-padding the loser
+        # rows' int64 to float64 — cast back (values are exact ints)
+        return pa.table(
+            {"doc_id": out["doc_id"].cast(pa.int64()),
+             "n_chars": out["n_chars"].cast(pa.int64())}
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_rows, batch_format="pandas"
+    )
+    return (
+        docs.union(clusters.map_batches(loser_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+
+
+def _cluster_ctes(threshold: float) -> str:
+    """Shared DuckDB CTE prefix: near-dup pairs → symmetric edges →
+    recursive transitive closure → per-doc component membership with
+    cluster_id = min doc_id reachable."""
     from crawler_ray.pipelines.dedup import token_jaccard_sql
 
     return f"""
@@ -314,8 +386,20 @@ reach(src, dst) AS (
 memb AS (
     SELECT src AS doc_id, LEAST(src, MIN(dst))::BIGINT AS cluster_id
     FROM reach GROUP BY src
-)
+)"""
+
+
+def near_dup_clusters_sql(threshold: float = 0.95) -> str:
+    return _cluster_ctes(threshold) + """
 SELECT doc_id, cluster_id,
        (COUNT(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
 FROM memb
+"""
+
+
+def dedup_survivors_sql(threshold: float = 0.95) -> str:
+    return _cluster_ctes(threshold) + """
+SELECT d.doc_id, LENGTH(d.text)::BIGINT AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM memb WHERE doc_id <> cluster_id)
 """

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
@@ -375,6 +377,238 @@ def stratified_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:
         .groupby("lang")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+class RepetitionMetrics:
+    """Gopher-style repetition quality signals (Rae et al. 2021 table A1,
+    adapted to whitespace tokens since the synthetic docs have no line
+    structure): duplicate-token fraction and most-frequent-bigram mass.
+    Fully vectorized across the batch — one ``pd.factorize`` over the
+    concatenated token stream, then ``np.unique`` / ``np.maximum.at``
+    segment folds keyed by doc index; no per-doc Python loop."""
+
+    def __init__(self, max_dup_frac: float = 0.6, max_top_bigram: float = 0.18):
+        self.max_dup_frac = max_dup_frac
+        self.max_top_bigram = max_top_bigram
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        n_docs = len(df)
+        toks_per = [t.split() for t in df["text"]]
+        lens = np.fromiter((len(x) for x in toks_per), np.int64, n_docs)
+        total = int(lens.sum())
+        dup_frac = np.zeros(n_docs, np.float64)
+        top_frac = np.zeros(n_docs, np.float64)
+        if total:
+            flat = np.empty(total, object)
+            pos = 0
+            for x in toks_per:
+                flat[pos: pos + len(x)] = x
+                pos += len(x)
+            codes, _ = pd.factorize(flat)
+            doc_idx = np.repeat(np.arange(n_docs), lens)
+            uniq = np.unique(np.stack([doc_idx, codes], axis=1), axis=0)
+            n_distinct = np.bincount(uniq[:, 0], minlength=n_docs)
+            nz = lens > 0
+            dup_frac[nz] = (lens[nz] - n_distinct[nz]) / lens[nz]
+            same = doc_idx[1:] == doc_idx[:-1]
+            if same.any():
+                tri = np.stack(
+                    [doc_idx[:-1][same], codes[:-1][same], codes[1:][same]],
+                    axis=1,
+                )
+                u, counts = np.unique(tri, axis=0, return_counts=True)
+                top = np.zeros(n_docs, np.int64)
+                np.maximum.at(top, u[:, 0], counts)
+                nb = lens > 1
+                top_frac[nb] = top[nb] / (lens[nb] - 1)
+        keep = (dup_frac <= self.max_dup_frac) & (top_frac <= self.max_top_bigram)
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+             "dup_token_frac": pa.array(dup_frac, pa.float64()),
+             "top_bigram_frac": pa.array(top_frac, pa.float64()),
+             "keep": pa.array(keep, pa.bool_())}
+        )
+
+
+def doc_repetition_metrics(sf_dir: str) -> rd.Dataset:
+    """Per-doc repetition quality filter (the Gopher rules family) —
+    metrics plus the keep/drop verdict; hash-oracled vs DuckDB."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionMetrics(), batch_format="pandas"
+    )
+
+
+def doc_repetition_sql(
+    max_dup_frac: float = 0.6, max_top_bigram: float = 0.18
+) -> str:
+    # fractions are single IEEE divisions of exact integers on both sides,
+    # so the doubles are bit-identical — no rounding slack needed
+    return rf"""
+WITH lists AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+    SELECT doc_id, u.ord, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+base AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n, COUNT(DISTINCT tok)::BIGINT AS nd
+    FROM toks GROUP BY doc_id
+),
+big AS (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+    FROM toks
+    QUALIFY bg IS NOT NULL
+),
+topb AS (
+    SELECT doc_id, MAX(c)::BIGINT AS top
+    FROM (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+    GROUP BY doc_id
+),
+m AS (
+    SELECT d.doc_id,
+           COALESCE((b.n - b.nd) / CAST(b.n AS DOUBLE), 0.0) AS dup_token_frac,
+           COALESCE(t.top / CAST(b.n - 1 AS DOUBLE), 0.0) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN base b USING (doc_id)
+    LEFT JOIN topb t USING (doc_id)
+)
+SELECT doc_id, dup_token_frac, top_bigram_frac,
+       (dup_token_frac <= {max_dup_frac}
+        AND top_bigram_frac <= {max_top_bigram}) AS keep
+FROM m
+"""
+
+
+class _ShingleRows:
+    """Doc → distinct word-n-gram shingle rows, tagged by side: benchmark
+    docs (doc_id ≡ 0 mod ``mod`` — the stand-in for an external eval set)
+    carry a null doc_id; corpus docs carry their id. Partition key is a
+    deterministic hash of the shingle string so matching shingles
+    co-locate."""
+
+    def __init__(self, ngram: int, mod: int, n_parts: int):
+        self.ngram, self.mod, self.n_parts = ngram, mod, n_parts
+        self.schema = pa.schema(
+            [("shingle", pa.string()), ("doc_id", pa.int64()),
+             ("part", pa.int64())]
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        n = self.ngram
+        sh_list: list[str] = []
+        ids: list[int] = []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = text.split()
+            if len(toks) < n:
+                continue
+            shingles = {
+                " ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)
+            }
+            is_bench = int(doc_id) % self.mod == 0
+            sh_list.extend(shingles)
+            ids.extend([None if is_bench else int(doc_id)] * len(shingles))
+        sh_arr = np.array(sh_list, object)
+        part = (pd.util.hash_array(sh_arr) % self.n_parts).astype(np.int64)
+        return pa.table(
+            {"shingle": pa.array(sh_arr, pa.string()),
+             "doc_id": pa.array(ids, pa.int64()),
+             "part": pa.array(part, pa.int64())},
+        ).cast(self.schema)
+
+
+def doc_benchmark_overlap(
+    sf_dir: str, ngram: int = 5, mod: int = 97, n_parts: int = 16
+) -> rd.Dataset:
+    """Benchmark DECONTAMINATION flag: a corpus doc is contaminated iff it
+    shares at least one word ``ngram``-gram with the held-out benchmark
+    slice (docs with doc_id ≡ 0 mod ``mod`` stand in for the eval set; the
+    real pipeline reads those from a second input). The canonical
+    pre-training hygiene op (GPT-3 appendix C / PaLM-style n-gram overlap).
+
+    Scale shape: NO broadcast of the benchmark shingle set — shingles are
+    string-hash partitioned so each match test sees only its partition's
+    slice of the benchmark (stage 1), and the hit flags fold back onto the
+    corpus manifest by doc-id partition with an ``Aggregate`` (stage 2):
+    two exchanges total, both over distinct-per-doc shingle/flag rows, so
+    a billion-doc corpus with a million-doc benchmark never concentrates
+    state anywhere."""
+    from ray.data.aggregate import Max
+
+    shingles = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _ShingleRows(ngram, mod, n_parts), batch_format="pandas"
+    )
+
+    _HIT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("hit", pa.int64())])
+
+    def match(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(g["doc_id"])
+        bench = g.filter(pc.invert(is_doc))["shingle"].combine_chunks()
+        docs = g.filter(is_doc)
+        hit = docs.filter(pc.is_in(docs["shingle"], value_set=bench))
+        ids = np.unique(hit["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "hit": pa.array(np.ones(len(ids), np.int64))},
+        ).cast(_HIT_SCHEMA)
+
+    def manifest(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids % mod != 0]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "hit": pa.array(np.zeros(len(ids), np.int64))},
+        ).cast(_HIT_SCHEMA)
+
+    corpus = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        manifest, batch_format="pyarrow"
+    )
+    hits = shingles.groupby("part").map_groups(match, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()),
+             "contaminated": pc.equal(t["hit"], 1)}
+        )
+
+    return (
+        corpus.union(hits)
+        .groupby("doc_id")
+        .aggregate(Max("hit", alias_name="hit"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def doc_benchmark_overlap_sql(ngram: int = 5, mod: int = 97) -> str:
+    concat = " || ' ' || ".join(
+        "tok" if i == 0 else f"LEAD(tok, {i}) OVER w" for i in range(ngram)
+    )
+    return rf"""
+WITH lists AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+    SELECT doc_id, u.ord, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+sh AS (
+    SELECT doc_id, {concat} AS shingle
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    QUALIFY LEAD(tok, {ngram - 1}) OVER w IS NOT NULL
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {mod} = 0),
+hits AS (
+    SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % {mod} <> 0
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {mod} <> 0
+"""
 
 
 def stratified_sample_sql(k: int = 20) -> str:

@@ -18,6 +18,8 @@ import ray.data as rd
 
 from crawler_ray.pipelines.clusters import (
     connected_components,
+    dedup_survivors,
+    dedup_survivors_sql,
     near_dup_clusters,
     near_dup_clusters_sql,
 )
@@ -116,3 +118,20 @@ def test_near_dup_clusters_oracle(ray_session, tmp_path):
     assert set(got.loc[got["cluster_id"] == 4, "doc_id"]) == {4, 5}
     assert (got.loc[got["doc_id"].isin([1, 2, 3]), "cluster_id"] == 1).all()
     assert (got.loc[got["doc_id"].isin([1, 2, 3]), "cluster_size"] == 3).all()
+
+    # the keep-policy manifest on the same corpus: cluster reps (min id)
+    # survive, other members drop, singletons pass through untouched
+    surv = (
+        dedup_survivors(str(tmp_path), threshold=0.9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp_surv = (
+        con.sql(dedup_survivors_sql(threshold=0.9))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(surv[exp_surv.columns], exp_surv, check_dtype=True)
+    assert set(surv["doc_id"]) == {1, 4, 6, 7}
