@@ -36,7 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max, Min
 
 from crawler_ray.pipelines.joins import partitioned_hash_join
 
@@ -262,37 +262,40 @@ def near_dup_clusters(
         ),
         batch_format="pyarrow",
     )
-    # docs rejoin once; cluster id + size come straight from a doc-level
-    # groupby on the component label (no intermediate per-set stats pass)
+    # docs rejoin once; then ONE label-hash exchange finishes everything —
+    # a component lives entirely inside its lab partition, so a vectorized
+    # segment fold (lexsort + run-length walk) computes rep/size AND
+    # expands them back per doc in the same task. (Replaces the previous
+    # groupby-aggregate + second hash join: 3 exchanges → 2 after the CC.)
     per_doc = partitioned_hash_join(members, cc, on="node", n_buckets=n_buckets)
-    per_doc = per_doc.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"].cast(pa.int64()),
-             "lab": t["lab"].cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    comp = (
-        per_doc.groupby("lab")
-        .aggregate(
-            Min("doc_id", alias_name="cluster_id"),
-            Count(alias_name="cluster_size"),
-        )
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["cluster_size"], 2)),
-            batch_format="pyarrow",
-        )
-    )
 
-    def finish(t: pa.Table) -> pa.Table:
+    def label_part(t: pa.Table) -> pa.Table:
+        lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {"doc_id": t["doc_id"].cast(pa.int64()),
-             "cluster_id": t["cluster_id"].cast(pa.int64()),
-             "cluster_size": t["cluster_size"].cast(pa.int64())}
+             "lab": pa.array(lab, pa.int64()),
+             "part": pa.array(lab % n_buckets, pa.int64())}
         )
 
-    return partitioned_hash_join(per_doc, comp, on="lab", n_buckets=n_buckets).map_batches(
-        finish, batch_format="pyarrow"
+    def finish_part(g: pa.Table) -> pa.Table:
+        lab = g["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, lab))
+        lab, doc = lab[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        sizes = np.diff(np.r_[starts, len(lab)])
+        rep = doc[starts]  # doc sorted within lab → first is the min
+        keep = np.repeat(sizes >= 2, sizes)  # singleton components vanish
+        return pa.table(
+            {"doc_id": pa.array(doc[keep], pa.int64()),
+             "cluster_id": pa.array(np.repeat(rep, sizes)[keep], pa.int64()),
+             "cluster_size": pa.array(np.repeat(sizes, sizes)[keep], pa.int64())}
+        )
+
+    return (
+        per_doc.map_batches(label_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finish_part, batch_format="pyarrow")
     )
 
 
