@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 44 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 37 have a DuckDB twin in
+``queries()`` exposes 46 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 39 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -11,8 +11,10 @@ the composite quality score, the as-of/range/anti join family, grouped
 exact quantiles, word-bigram shingle Jaccard, the deterministic
 stratified sample, duplicate-cluster connected components (oracled by a
 DuckDB recursive-CTE transitive closure), the keep-one-per-cluster
-survivor manifest, Gopher-style repetition filters and n-gram benchmark
-decontamination). The genuinely non-SQL-expressible seven get
+survivor manifest, Gopher-style repetition filters, n-gram benchmark
+decontamination, SemDeDup-style embedding clusters, and the flagship
+corpus_curation filter chain whose oracle composes the sub-oracles as
+nested CTEs). The genuinely non-SQL-expressible seven get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
 pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -51,6 +53,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines import (
         clusters,
+        curation,
         dedup,
         events,
         joins,
@@ -60,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
+        # flagship composition: lang -> quality -> repetition -> dedup,
+        # per-doc verdict + first-failing-reason report
+        "corpus_curation": curation.corpus_curation,
         # both-sides-large partitioned hash join
         "order_lineitem_join_totals": joins.order_lineitem_join_totals,
         # join family Ray Data has no native verb for: as-of (point-in-time),
@@ -112,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "knn_brute_force": similarity.knn_brute_force,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # SemDeDup-style semantic clusters (same CC engine, embedding edges)
+        "embedding_dedup_clusters": clusters.embedding_dedup_clusters,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)
@@ -121,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from crawler_ray.pipelines import (
         clusters,
+        curation,
         dedup,
         events,
         joins,
@@ -130,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "corpus_curation": curation.corpus_curation_sql(),
         "order_lineitem_join_totals": joins.ORDER_LINEITEM_JOIN_SQL,
         "events_asof_order_join": joins.EVENTS_ASOF_SQL,
         "user_events_next_hour": joins.USER_EVENTS_NEXT_HOUR_SQL,
@@ -167,4 +177,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": clusters.dedup_survivors_sql(),
         "knn_brute_force": similarity.knn_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
+        "embedding_dedup_clusters": clusters.embedding_dedup_clusters_sql(),
     }

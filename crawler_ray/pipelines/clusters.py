@@ -262,41 +262,74 @@ def near_dup_clusters(
         ),
         batch_format="pyarrow",
     )
-    # docs rejoin once; then ONE label-hash exchange finishes everything —
-    # a component lives entirely inside its lab partition, so a vectorized
-    # segment fold (lexsort + run-length walk) computes rep/size AND
-    # expands them back per doc in the same task. (Replaces the previous
-    # groupby-aggregate + second hash join: 3 exchanges → 2 after the CC.)
+    # docs rejoin once; then ONE label-hash exchange finishes everything
     per_doc = partitioned_hash_join(members, cc, on="node", n_buckets=n_buckets)
+    return _labels_to_clusters(per_doc, "doc_id", n_buckets)
+
+
+def _labels_to_clusters(
+    labeled: rd.Dataset, id_name: str, n_buckets: int
+) -> rd.Dataset:
+    """(id, lab) rows → (id, cluster_id = min id of the component,
+    cluster_size), singleton components dropped. A component lives entirely
+    inside its lab partition, so a vectorized segment fold (lexsort +
+    run-length walk) computes rep/size AND expands them back per id in the
+    same task — one exchange total (vs the naive per-label
+    groupby-aggregate + a second hash join)."""
 
     def label_part(t: pa.Table) -> pa.Table:
         lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"doc_id": t["doc_id"].cast(pa.int64()),
+            {"id": t[id_name].cast(pa.int64()),
              "lab": pa.array(lab, pa.int64()),
              "part": pa.array(lab % n_buckets, pa.int64())}
         )
 
     def finish_part(g: pa.Table) -> pa.Table:
         lab = g["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((doc, lab))
-        lab, doc = lab[order], doc[order]
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, lab))
+        lab, ids = lab[order], ids[order]
         starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
         sizes = np.diff(np.r_[starts, len(lab)])
-        rep = doc[starts]  # doc sorted within lab → first is the min
+        rep = ids[starts]  # id sorted within lab → first is the min
         keep = np.repeat(sizes >= 2, sizes)  # singleton components vanish
         return pa.table(
-            {"doc_id": pa.array(doc[keep], pa.int64()),
+            {id_name: pa.array(ids[keep], pa.int64()),
              "cluster_id": pa.array(np.repeat(rep, sizes)[keep], pa.int64()),
              "cluster_size": pa.array(np.repeat(sizes, sizes)[keep], pa.int64())}
         )
 
     return (
-        per_doc.map_batches(label_part, batch_format="pyarrow")
+        labeled.map_batches(label_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(finish_part, batch_format="pyarrow")
     )
+
+
+def embedding_dedup_clusters(
+    sf_dir: str, threshold: float = 0.3, n_buckets: int = 8, n_blocks: int = 8
+) -> rd.Dataset:
+    """SemDeDup-style SEMANTIC duplicate clusters: connected components over
+    the embedding-cosine near-dup graph (Abbas et al. 2023's observation
+    that semantic dups form transitive groups an embedding threshold graph
+    exposes). Same CC engine as :func:`near_dup_clusters`, different edge
+    source — the pair pipelines are pluggable front-ends.
+
+    Every vec in the edge list has degree ≥ 1 so every surviving component
+    has ≥ 2 members; vecs with no near-dup vanish (mirrors the SQL, where
+    they never enter the pair relation)."""
+    from crawler_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(sf_dir, threshold, n_blocks)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b", n_buckets=n_buckets)
+    labeled = cc.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["node"].cast(pa.int64()), "lab": t["lab"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _labels_to_clusters(labeled, "vec_id", n_buckets)
 
 
 def dedup_survivors(
@@ -368,18 +401,16 @@ def dedup_survivors(
     )
 
 
-def _cluster_ctes(threshold: float) -> str:
-    """Shared DuckDB CTE prefix: near-dup pairs → symmetric edges →
-    recursive transitive closure → per-doc component membership with
-    cluster_id = min doc_id reachable."""
-    from crawler_ray.pipelines.dedup import token_jaccard_sql
-
+def _closure_ctes(pairs_sql: str, a: str, b: str, id_name: str) -> str:
+    """DuckDB CTE prefix shared by every cluster oracle: a pair relation →
+    symmetric edges → recursive transitive closure → per-node component
+    membership (``memb``) with cluster_id = min id reachable."""
     return f"""
-WITH RECURSIVE pairs AS ({token_jaccard_sql(threshold)}),
+WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    SELECT {a} AS src, {b} AS dst FROM pairs
     UNION ALL
-    SELECT doc_b, doc_a FROM pairs
+    SELECT {b}, {a} FROM pairs
 ),
 reach(src, dst) AS (
     SELECT src, dst FROM edges
@@ -387,14 +418,32 @@ reach(src, dst) AS (
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
 memb AS (
-    SELECT src AS doc_id, LEAST(src, MIN(dst))::BIGINT AS cluster_id
+    SELECT src AS {id_name}, LEAST(src, MIN(dst))::BIGINT AS cluster_id
     FROM reach GROUP BY src
 )"""
+
+
+def _cluster_ctes(threshold: float) -> str:
+    from crawler_ray.pipelines.dedup import token_jaccard_sql
+
+    return _closure_ctes(token_jaccard_sql(threshold), "doc_a", "doc_b", "doc_id")
 
 
 def near_dup_clusters_sql(threshold: float = 0.95) -> str:
     return _cluster_ctes(threshold) + """
 SELECT doc_id, cluster_id,
+       (COUNT(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM memb
+"""
+
+
+def embedding_dedup_clusters_sql(threshold: float = 0.3) -> str:
+    from crawler_ray.pipelines.similarity import embedding_near_dup_sql
+
+    return _closure_ctes(
+        embedding_near_dup_sql(threshold), "vec_a", "vec_b", "vec_id"
+    ) + """
+SELECT vec_id, cluster_id,
        (COUNT(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
 FROM memb
 """

@@ -1,0 +1,151 @@
+"""Flagship corpus-curation pipeline: the end-to-end filter chain a
+training-data run actually executes, composed from the suite's own
+operators — language-ID gate → quality-score gate → repetition
+(Gopher-rules) gate → near-dup keep-one-per-cluster — with a per-doc
+verdict and the FIRST failing reason (the standard curation-report shape:
+how much data each filter removed, attributable).
+
+Everything stays distributed: the three per-doc signals are computed in
+ONE fused map_batches pass (the stages are the same callables the
+standalone queries use, so the oracle equivalence carries over), and the
+dedup loser set folds in by doc-id hash partition — one exchange beyond
+the cluster pipeline itself, no driver-side joins.
+
+Dedup is computed over the WHOLE corpus (not post-filter): reasons are
+then independent of filter order except for the stated precedence, and
+the report stays stable when thresholds are tuned. Precedence:
+lang > quality > repetition > duplicate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("part", pa.int64()), ("reason", pa.string())]
+)
+
+
+class CurationSignals:
+    """Fused per-doc signal pass: lang_pred + quality + repetition keep,
+    folded into the first failing reason (null = passed all three).
+    Sub-kernels are the SAME objects the standalone oracled queries use."""
+
+    def __init__(self, lang_keep: str, min_quality: float, n_parts: int):
+        from crawler_ray.functions.text import detect_lang, quality_score
+        from crawler_ray.pipelines.textops import RepetitionMetrics
+
+        self.detect = detect_lang
+        self.score = quality_score
+        self.rep = RepetitionMetrics()
+        self.lang_keep = lang_keep
+        self.min_quality = min_quality
+        self.n_parts = n_parts
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        pred = np.asarray(df["text"].map(self.detect), dtype=object)
+        quality = np.round(self.score(df["text"]), 6)
+        rep_keep = self.rep(df)["keep"].to_numpy(zero_copy_only=False)
+        reason = np.full(len(df), None, dtype=object)
+        reason[rep_keep == False] = "repetition"  # noqa: E712 (numpy mask)
+        reason[quality < self.min_quality] = "quality"
+        reason[pred != self.lang_keep] = "lang"  # highest precedence last
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "part": pa.array(ids % self.n_parts, pa.int64()),
+             "reason": pa.array(reason, pa.string())},
+        ).cast(_OUT_SCHEMA)
+
+
+def corpus_curation(
+    sf_dir: str,
+    lang_keep: str = "en",
+    min_quality: float = 0.55,
+    dup_threshold: float = 0.95,
+    n_parts: int = 16,
+) -> rd.Dataset:
+    """Per-doc curation verdict (doc_id, kept, reason) over the full
+    filter chain. ``reason`` is the first gate the doc fails
+    (lang/quality/repetition/duplicate) or 'kept'."""
+    from crawler_ray.pipelines.clusters import near_dup_clusters
+    from crawler_ray.pipelines.dedup import _read_docs
+
+    signals = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        CurationSignals(lang_keep, min_quality, n_parts),
+        batch_format="pandas",
+    )
+
+    def loser_rows(t: pa.Table) -> pa.Table:
+        drop = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        ids = drop["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "part": pa.array(ids % n_parts, pa.int64()),
+             "reason": pa.array(["__dup__"] * len(ids), pa.string())},
+        ).cast(_OUT_SCHEMA)
+
+    losers = near_dup_clusters(sf_dir, dup_threshold).map_batches(
+        loser_rows, batch_format="pyarrow"
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        df = g.select(["doc_id", "reason"]).to_pandas()
+        is_dup = df["reason"] == "__dup__"
+        dup_ids = set(df.loc[is_dup, "doc_id"])
+        sig = df.loc[~is_dup].copy()
+        unresolved = sig["reason"].isna()
+        sig.loc[unresolved, "reason"] = [
+            "duplicate" if d in dup_ids else "kept"
+            for d in sig.loc[unresolved, "doc_id"]
+        ]
+        return pa.table(
+            {"doc_id": pa.array(sig["doc_id"].to_numpy(np.int64), pa.int64()),
+             "kept": pa.array((sig["reason"] == "kept").to_numpy(), pa.bool_()),
+             "reason": pa.array(sig["reason"].to_numpy(object), pa.string())}
+        )
+
+    return signals.union(losers).groupby("part").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+
+
+def corpus_curation_sql(
+    lang_keep: str = "en",
+    min_quality: float = 0.55,
+    dup_threshold: float = 0.95,
+) -> str:
+    """One DuckDB statement composing the sub-oracles (each nested WITH is
+    the standalone query's own oracle, so any divergence localizes)."""
+    from crawler_ray.pipelines.clusters import _cluster_ctes
+    from crawler_ray.pipelines.textops import (
+        doc_lang_id_sql,
+        doc_quality_sql,
+        doc_repetition_sql,
+    )
+
+    return f"""{_cluster_ctes(dup_threshold)},
+losers AS (SELECT doc_id FROM memb WHERE doc_id <> cluster_id),
+lang AS ({doc_lang_id_sql()}),
+qual AS ({doc_quality_sql()}),
+rep AS ({doc_repetition_sql()})
+SELECT doc_id, (reason = 'kept') AS kept, reason
+FROM (
+    SELECT d.doc_id,
+           CASE
+               WHEN l.lang_pred <> '{lang_keep}' THEN 'lang'
+               WHEN q.quality < {min_quality} THEN 'quality'
+               WHEN NOT r.keep THEN 'repetition'
+               WHEN d.doc_id IN (SELECT doc_id FROM losers) THEN 'duplicate'
+               ELSE 'kept'
+           END AS reason
+    FROM documents d
+    JOIN lang l USING (doc_id)
+    JOIN qual q USING (doc_id)
+    JOIN rep r USING (doc_id)
+)
+"""

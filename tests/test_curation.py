@@ -1,0 +1,65 @@
+"""Flagship curation chain: verdicts + first-failing-reason precedence
+(lang > quality > repetition > duplicate) vs the composed DuckDB oracle."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawler_ray.pipelines.curation import corpus_curation, corpus_curation_sql
+
+EN_GOOD = (
+    "the quick brown fox jumps over the lazy dog while a bird sings and "
+    "people walk through the park with their children during the morning"
+)
+
+
+def test_curation_reason_precedence(ray_session, tmp_path):
+    texts = {
+        # passes everything -> kept
+        1: EN_GOOD,
+        # exact duplicate pair: min id kept, other marked duplicate
+        2: EN_GOOD + " extra tail marker words one two three four five six",
+        3: EN_GOOD + " extra tail marker words one two three four five six",
+        # non-en markers -> lang (even though it is ALSO repetitive: precedence)
+        4: "der und der und der und der und der und der und der und",
+        # english but one repeated bigram -> repetition
+        5: "the cat the cat the cat the cat the cat the cat the cat",
+        # english, non-repetitive, but punct-heavy/short -> quality
+        6: "the cat ate !!! ??? ;;; and dog ran %%%",
+    }
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(list(texts), pa.int64()),
+             "text": pa.array([texts[k] for k in texts], pa.string()),
+             # real documents table carries a lang column (lang_true side
+             # of the lang-id oracle); value is irrelevant to curation
+             "lang": pa.array(["en"] * len(texts), pa.string())}
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = (
+        corpus_curation(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.sql(corpus_curation_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=True)
+
+    r = got.set_index("doc_id")["reason"]
+    assert r[1] == "kept"
+    assert {r[2], r[3]} == {"kept", "duplicate"} and r[2] == "kept"  # min id wins
+    assert r[4] == "lang"
+    assert r[5] == "repetition"
+    assert r[6] == "quality"
+    assert got["kept"].equals(got["reason"] == "kept")
