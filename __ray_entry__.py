@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 46 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 39 have a DuckDB twin in
+``queries()`` exposes 47 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 40 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_order_per_customer": relational.first_order_per_customer,
         "part_type_stats": relational.part_type_stats,
         "lineitem_price_quantiles": relational.lineitem_price_quantiles,
+        # ROWS-window rolling aggregate (one partition exchange + cumsum)
+        "customer_rolling_spend": relational.customer_rolling_spend,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_benchmark_overlap": textops.doc_benchmark_overlap_sql(),
         "stratified_sample_docs": textops.stratified_sample_sql(),
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
+        "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),

@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
     "near_dup_clusters",
+    "corpus_curation",
     "knn_brute_force",
     "embedding_near_dup_pairs",
 ]

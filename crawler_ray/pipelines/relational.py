@@ -578,3 +578,69 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def customer_rolling_spend(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """ROWS-window rolling aggregate (the brief's 'windowed aggregate'
+    custom operator): per customer, the sum of the current + 2 preceding
+    orders' totalprice in (o_orderdate, o_orderkey) order.
+
+    Scale shape: a ROWS window only needs its PARTITION co-located — one
+    customer-hash exchange, then a vectorized per-partition pass (lexsort +
+    cents cumsum; window = cs[i] − cs[max(i−3, seg_start−1)]) computes every
+    customer's windows without per-customer tasks or pair materialization.
+    Integer-cents partials make the sum order-independent and the /100.0
+    finish bit-identical to the oracle."""
+    ds = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "o_custkey": t["o_custkey"],
+             "o_orderdate": t["o_orderdate"],
+             "cents": pa.array(
+                 np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+                 pa.int64(),
+             ),
+             "part": pa.array((cust % n_parts).astype(np.int64), pa.int64())}
+        )
+
+    def window(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        date = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((key, date, cust))
+        cust, key, date, cents = cust[order], key[order], date[order], cents[order]
+        n = len(cust)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        cs = np.cumsum(cents)
+        lo = np.maximum(np.arange(n) - 2, seg_start)
+        roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pa.table(
+            {"o_orderkey": pa.array(key, pa.int64()),
+             "o_custkey": pa.array(cust, pa.int64()),
+             "o_orderdate": pa.array(date, pa.timestamp("us")),
+             "rolling3_spend": pa.array(roll / 100.0, pa.float64())}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
+CUSTOMER_ROLLING_SPEND_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS rolling3_spend
+FROM orders
+"""

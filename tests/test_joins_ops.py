@@ -164,3 +164,37 @@ def test_quantiles_duplicate_heavy(ray_session, tmp_path, merge_threshold):
         "l_returnflag").reset_index(drop=True)[got.columns]
     # quantile_disc returns actual data values: compare EXACTLY
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=0, rtol=0)
+
+
+def test_rolling_spend_boundaries(ray_session, tmp_path):
+    # customers with 1/2/4 orders + equal-date ties (orderkey tie-break)
+    import duckdb as _duckdb
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.pipelines import relational as _rel
+
+    d = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, 10, d, 1.00),
+        (2, 20, d, 2.00), (3, 20, d, 3.00),          # same date -> key order
+        (4, 30, d, 1.11), (5, 30, d + pd.Timedelta(days=1), 2.22),
+        (6, 30, d + pd.Timedelta(days=2), 4.44),
+        (7, 30, d + pd.Timedelta(days=3), 8.88),     # window drops row 4
+    ]
+    t = _pa.table({
+        "o_orderkey": _pa.array([r[0] for r in rows], _pa.int64()),
+        "o_custkey": _pa.array([r[1] for r in rows], _pa.int64()),
+        "o_orderdate": _pa.array([r[2] for r in rows], _pa.timestamp("us")),
+        "o_totalprice": _pa.array([r[3] for r in rows], _pa.float64()),
+    })
+    _pq.write_table(t, f"{tmp_path}/orders.parquet")
+    got = _run_sorted(_rel.customer_rolling_spend(str(tmp_path)), ["o_orderkey"])
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    exp = con.sql(_rel.CUSTOMER_ROLLING_SPEND_SQL).df().sort_values(
+        "o_orderkey").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["rolling3_spend"].tolist() == [1.0, 2.0, 5.0, 1.11, 3.33, 7.77, 15.54]
