@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 47 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 40 have a DuckDB twin in
+``queries()`` exposes 53 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 46 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -14,7 +14,11 @@ DuckDB recursive-CTE transitive closure), the keep-one-per-cluster
 survivor manifest, Gopher-style repetition filters, n-gram benchmark
 decontamination, SemDeDup-style embedding clusters, and the flagship
 corpus_curation filter chain whose oracle composes the sub-oracles as
-nested CTEs). The genuinely non-SQL-expressible seven get
+nested CTEs; this session added six more exact twins: sequence packing
+via a distributed global prefix sum, per-doc top-k TF-IDF with
+integer-exact scoring, cross-document boilerplate n-grams, Misra-Gries
+two-pass exact frequent tokens, dedup text normalization, and a
+ROLLUP subtotal report). The genuinely non-SQL-expressible seven get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
 pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -88,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": relational.lineitem_price_quantiles,
         # ROWS-window rolling aggregate (one partition exchange + cumsum)
         "customer_rolling_spend": relational.customer_rolling_spend,
+        # hierarchical ROLLUP subtotals (re-aggregate the finest level)
+        "revenue_rollup": relational.revenue_rollup,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -105,6 +111,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_metrics": textops.doc_repetition_metrics,
         "doc_benchmark_overlap": textops.doc_benchmark_overlap,
         "stratified_sample_docs": textops.stratified_sample_docs,
+        # LLM-training sequence packing: distributed global prefix sum (scan)
+        "doc_pack_spans": textops.doc_pack_spans,
+        # per-doc top-k TF-IDF terms (integer-exact scoring, broadcast DF)
+        "doc_top_tfidf": textops.doc_top_tfidf,
+        # cross-document repeated n-grams (boilerplate/template detector)
+        "boilerplate_ngrams": textops.boilerplate_ngrams,
+        # exact frequent tokens via a Misra-Gries candidate pass (two-pass)
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        # canonical text form + md5 dedup key
+        "doc_normalized": textops.doc_normalized,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
@@ -170,6 +186,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_metrics": textops.doc_repetition_sql(),
         "doc_benchmark_overlap": textops.doc_benchmark_overlap_sql(),
         "stratified_sample_docs": textops.stratified_sample_sql(),
+        "doc_pack_spans": textops.doc_pack_spans_sql(),
+        "doc_top_tfidf": textops.doc_top_tfidf_sql(),
+        "boilerplate_ngrams": textops.boilerplate_ngrams_sql(),
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens_sql(),
+        "doc_normalized": textops.DOC_NORMALIZED_SQL,
+        "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,

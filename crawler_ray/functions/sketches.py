@@ -61,3 +61,60 @@ class HyperLogLog:
         obj = cls(p=data[0])
         obj.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
         return obj
+
+
+class MisraGries:
+    """Misra-Gries frequent-items summary with k counters (Misra & Gries
+    1982; merge rule from Agarwal et al. 2013 'Mergeable Summaries').
+
+    Guarantees after summarizing a stream of n items: every item with true
+    frequency > n/k is present, and each stored weight underestimates the
+    true count by at most n/k. Merging two summaries (weight-sum then
+    subtract the (k+1)-th largest and drop <=0) preserves both bounds, so
+    per-batch sketches inside ``map_batches`` combine into an exact-superset
+    candidate set for a second exact counting pass — the scale path for
+    frequent items over domains too large to aggregate exactly (open token
+    vocabularies, URLs, n-grams)."""
+
+    def __init__(self, k: int = 64):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counters: dict = {}
+
+    def add(self, values, counts=None) -> "MisraGries":
+        """Vectorized bulk add: pre-reduce with np.unique, then one dict
+        merge + at most one batched decrement."""
+        values = np.asarray(values)
+        if counts is None:
+            values, counts = np.unique(values, return_counts=True)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+        c = self.counters
+        for v, w in zip(values.tolist(), counts.tolist()):
+            c[v] = c.get(v, 0) + w
+        self._compress()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(min(self.k, other.k))
+        c = dict(self.counters)
+        for v, w in other.counters.items():
+            c[v] = c.get(v, 0) + w
+        out.counters = c
+        out._compress()
+        return out
+
+    def _compress(self) -> None:
+        c = self.counters
+        if len(c) <= self.k:
+            return
+        # subtract the (k+1)-th largest weight from everything, drop <= 0:
+        # one decrement round restores |counters| <= k while charging every
+        # surviving weight at most what the eviction rule allows
+        w = np.fromiter(c.values(), dtype=np.int64)
+        d = int(np.partition(w, len(w) - self.k - 1)[len(w) - self.k - 1])
+        self.counters = {v: x - d for v, x in c.items() if x > d}
+
+    def items(self) -> dict:
+        return dict(self.counters)

@@ -644,3 +644,77 @@ SELECT o_orderkey, o_custkey, o_orderdate,
        ) / 100.0 AS rolling3_spend
 FROM orders
 """
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(region, nation) revenue report — the hierarchical
+    subtotal verb Ray Data lacks. Scale shape: ONE pass over the orders
+    fact (cents combiner per batch AFTER the custkey→(region, nation)
+    broadcast map-join) feeds a groupby at the FINEST level only
+    (|nations| groups); the coarser levels — per-region subtotals and the
+    grand total — re-aggregate that |nations|-row result, never the fact
+    table. Driver-side work is O(groups), not O(orders); a fact side too
+    big for a broadcast dim switches to joins.partitioned_hash_join with
+    the same combiner."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .rename(columns={"c_custkey": "o_custkey", "r_name": "region",
+                         "n_name": "nation"})
+    )[["o_custkey", "region", "nation"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"],
+             "cents": pa.array(
+                 np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+                 pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["region", "nation"], sort=False)["cents"]
+            .agg(rev_c="sum", n_p="size")
+            .reset_index()
+        )
+
+    finest = (
+        _bjoin(orders, dim, "o_custkey")
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["region", "nation"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
+        .to_pandas()  # <= |nations| rows by construction
+    )
+    by_region = (
+        finest.groupby("region", as_index=False)[["rev_c", "n"]]
+        .sum()
+        .assign(nation="ALL")
+    )
+    total = pd.DataFrame(
+        {"region": ["ALL"], "nation": ["ALL"],
+         "rev_c": [finest["rev_c"].sum()], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat([finest, by_region, total], ignore_index=True)
+    return pd.DataFrame(
+        {"region": out["region"], "nation": out["nation"],
+         "revenue": out["rev_c"].astype("int64") / 100.0,
+         "n_orders": out["n"].astype("int64")}
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""

@@ -622,3 +622,447 @@ FROM (
     FROM documents
 ) WHERE rn <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: distributed global prefix sum (scan) over token counts
+# --------------------------------------------------------------------------
+
+
+def _docid_bounds(path: str) -> tuple[int, int]:
+    """(min, max) of doc_id from the parquet FOOTER's row-group statistics —
+    an O(row-groups) metadata read, never a data scan."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:  # pragma: no cover - stats absent
+            raise ValueError(f"{path}: doc_id column statistics missing")
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def doc_pack_spans(sf_dir: str, ctx: int = 256, n_parts: int = 32) -> rd.Dataset:
+    """LLM-training sequence packing: concatenate all docs in doc_id order
+    into one token stream and cut it every ``ctx`` tokens; report, per doc,
+    its absolute token offset and the [bin_start, bin_end] range of context
+    windows it lands in (GPT-style packing lets a doc straddle a boundary).
+
+    Scale shape — a distributed SCAN (global prefix sum), a primitive Ray
+    Data has no verb for:
+      1. one pass tokenizes to a slim (doc_id, n_tokens, part) dataset
+         (part = doc_id // R range-partitions by id; R from the footer's
+         doc_id min/max, O(row-groups) metadata), materialized once —
+         16 B/doc, spillable — so the text column is scanned exactly once;
+      2. per-part token totals via a tiny groupby (O(n_parts) rows to the
+         driver), exclusive prefix offsets computed driver-side;
+      3. one part exchange + per-partition vectorized cumsum + offset adds
+         the global base — no driver pass over rows, no global sort.
+    """
+    from ray.data.aggregate import Sum
+
+    lo, hi = _docid_bounds(f"{sf_dir}/documents.parquet")
+    rng = max(1, -(-(hi - lo + 1) // n_parts))
+
+    def count(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        toks = df["text"].str.count(r"\S+").astype("int64").to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "part": pa.array((ids - lo) // rng, pa.int64())}
+        )
+
+    counts = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count, batch_format="pandas")
+        .materialize()
+    )
+    totals = counts.groupby("part").aggregate(Sum("n_tokens", alias_name="t")).take_all()
+    base, offsets = 0, {}
+    for row in sorted(totals, key=lambda r: r["part"]):
+        offsets[int(row["part"])] = base
+        base += int(row["t"])
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids, toks = ids[order], toks[order]
+        start = np.cumsum(toks) - toks + offsets[int((ids[0] - lo) // rng)]
+        # empty docs occupy no tokens: their span degenerates to bin_start
+        end_tok = start + np.maximum(toks, 1) - 1
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "tok_start": pa.array(start, pa.int64()),
+             "bin_start": pa.array(start // ctx, pa.int64()),
+             "bin_end": pa.array(end_tok // ctx, pa.int64())}
+        )
+
+    return counts.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
+def doc_pack_spans_sql(ctx: int = 256) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\s+')) END::BIGINT
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+    FROM toks
+)
+SELECT doc_id, n_tokens, (cum - n_tokens) AS tok_start,
+       ((cum - n_tokens) // {ctx})::BIGINT AS bin_start,
+       ((cum - n_tokens + GREATEST(n_tokens, 1) - 1) // {ctx})::BIGINT AS bin_end
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per doc (small DF side broadcast once via ray.put)
+# --------------------------------------------------------------------------
+
+
+class TfIdfTopK:
+    """Per-doc top-k TF-IDF terms. The document-frequency table is fetched
+    from the object store ONCE per actor (``__init__``), never per batch.
+    Scoring is exact-integer (idf_k = N*1e6 // df; score = tf * idf_k) so
+    the DuckDB oracle reproduces it bit-for-bit — no float log drift."""
+
+    def __init__(self, df_ref, n_docs: int, k: int):
+        import ray
+
+        t = ray.get(df_ref)
+        self.df_map = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        self.n_docs = n_docs
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        s = df["text"].str.strip().str.lower().str.split()
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"].repeat(s.str.len()),
+             "term": np.concatenate(s.to_numpy()) if len(df) else []}
+        )
+        tf = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        dfv = tf["term"].map(self.df_map).astype("int64")
+        score = tf["tf"].to_numpy(dtype=np.int64) * (
+            self.n_docs * 1_000_000 // dfv.to_numpy()
+        )
+        tf = tf.assign(df=dfv, score=score).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        top = tf.groupby("doc_id", sort=False).head(self.k)
+        rank = top.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.table(
+            {"doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
+             "term": pa.array(top["term"], pa.string()),
+             "tf": pa.array(top["tf"].to_numpy(dtype=np.int64)),
+             "df": pa.array(top["df"].to_numpy(dtype=np.int64)),
+             "score": pa.array(top["score"].to_numpy(dtype=np.int64)),
+             "rank": pa.array(rank.to_numpy(dtype=np.int64))}
+        )
+
+
+def doc_top_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k TF-IDF terms per doc. DF is computed distributed (per-batch
+    distinct (doc, term) combiner → one term exchange) and the resulting
+    vocabulary-sized table is broadcast via ``ray.put`` — the standard
+    small-side pattern. Guarded: an open vocabulary that outgrows the
+    broadcast bound should switch to a term-hash partitioned join (the
+    ``partitioned_hash_join`` in pipelines/joins.py); the cap makes that
+    switch explicit rather than silently OOMing the driver."""
+    import pyarrow.parquet as pq_
+    import ray
+    from ray.data.aggregate import Sum
+
+    def distinct_terms(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].str.strip().str.lower().str.split()
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"].repeat(s.str.len()),
+             "term": np.concatenate(s.to_numpy()) if len(df) else []}
+        ).drop_duplicates()
+        c = ex.groupby("term", sort=False).size()
+        return pa.table(
+            {"term": pa.array(c.index, pa.string()),
+             "df_p": pa.array(c.to_numpy(dtype=np.int64), pa.int64())}
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    df_tbl = (
+        docs.map_batches(distinct_terms, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .materialize()
+    )
+    n_terms = df_tbl.count()
+    if n_terms > 2_000_000:  # pragma: no cover - open-vocab corpora
+        raise ValueError(
+            f"vocabulary {n_terms} terms exceeds the broadcast bound; "
+            "use a term-hash partitioned join for open vocabularies"
+        )
+    df_ref = ray.put(
+        pa.concat_tables([ray.get(r) for r in df_tbl.to_arrow_refs()])
+    )
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return docs.map_batches(
+        TfIdfTopK,
+        fn_constructor_args=(df_ref, n_docs, k),
+        concurrency=(1, 8),
+        batch_format="pandas",
+    )
+
+
+def doc_top_tfidf_sql(k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+s AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           (tf.tf * ((n.n * 1000000) // dfq.df))::BIGINT AS score
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT
+           AS rank
+FROM s
+QUALIFY rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated n-grams (boilerplate / template detection)
+# --------------------------------------------------------------------------
+
+
+def boilerplate_ngrams(sf_dir: str, n: int = 5, min_docs: int = 3) -> rd.Dataset:
+    """Word n-grams appearing in >= min_docs DISTINCT docs — the boilerplate/
+    template detector of C4-style curation (repeated spans across pages are
+    navigation chrome, license headers, spam templates).
+
+    Scale shape: per-batch combiner emits (ngram, distinct-docs-in-batch,
+    occurrences-in-batch) — docs are whole rows, so within-batch distinct is
+    exact — then ONE ngram-hash exchange sums both, and the >= min_docs
+    filter prunes before anything leaves the aggregation. No driver pass,
+    no second scan; the n-gram build is vectorized (shifted pandas str.cat
+    over the flat token stream, doc boundaries masked)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks_per = df["text"].str.strip().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if not total:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "nd_p": pa.array([], pa.int64()),
+                             "cnt_p": pa.array([], pa.int64())})
+        flat = pd.Series(np.concatenate(toks_per.to_numpy()), dtype=object)
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        ng = flat.str.cat([flat.shift(-i) for i in range(1, n)], sep=" ")
+        valid = doc_idx[: total - (n - 1)] == doc_idx[n - 1:]
+        sub = pd.DataFrame(
+            {"doc": doc_idx[: total - (n - 1)][valid],
+             "ngram": ng.to_numpy()[: total - (n - 1)][valid]}
+        )
+        cnt = sub.groupby("ngram", sort=False).agg(
+            nd_p=("doc", "nunique"), cnt_p=("doc", "size")
+        )
+        return pa.table(
+            {"ngram": pa.array(cnt.index, pa.string()),
+             "nd_p": pa.array(cnt["nd_p"].to_numpy(dtype=np.int64)),
+             "cnt_p": pa.array(cnt["cnt_p"].to_numpy(dtype=np.int64))}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["nd"], min_docs)
+        t = t.filter(keep)
+        return pa.table(
+            {"ngram": t["ngram"],
+             "n_docs": t["nd"].combine_chunks().cast(pa.int64()),
+             "occurrences": t["cnt"].combine_chunks().cast(pa.int64())}
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("ngram")
+        .aggregate(Sum("nd_p", alias_name="nd"), Sum("cnt_p", alias_name="cnt"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def boilerplate_ngrams_sql(n: int = 5, min_docs: int = 3) -> str:
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"LEAD(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return rf"""
+WITH lists AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+    SELECT doc_id, u.ord, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+ng AS (
+    SELECT doc_id, {leads} AS ngram
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    QUALIFY LEAD(tok, {n - 1}) OVER w IS NOT NULL
+)
+SELECT ngram, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS occurrences
+FROM ng GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup-oriented text normalization
+# --------------------------------------------------------------------------
+
+
+class NormalizeStage:
+    """Canonical text form for dedup keying: lowercase, collapse runs of
+    whitespace to one space, strip ends; md5 of the result is the exact-dup
+    key a normalizing dedup would group on. Compiled regex is actor state."""
+
+    def __init__(self):
+        import re
+
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        import hashlib
+
+        norm = (
+            df["text"].str.lower().str.replace(self.ws, " ", regex=True).str.strip()
+        )
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+             "norm_text": pa.array(norm, pa.string()),
+             "norm_md5": pa.array(
+                 [hashlib.md5(t.encode()).hexdigest() for t in norm], pa.string()
+             )}
+        )
+
+
+def doc_normalized(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        NormalizeStage(), batch_format="pandas"
+    )
+
+
+DOC_NORMALIZED_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact frequent tokens via a Misra-Gries candidate pass (mergeable sketch)
+# --------------------------------------------------------------------------
+
+
+def heavy_hitter_tokens(
+    sf_dir: str, phi_num: int = 33, phi_den: int = 1000, k: int = 64
+) -> pd.DataFrame:
+    """EXACT tokens with frequency > phi of all token occurrences, computed
+    with the classic two-pass frequent-items scheme:
+
+      pass 1 — a Misra-Gries sketch per batch (``functions/sketches.py``),
+      merged by a token exchange over the (token, weight) sketch rows. MG's
+      guarantee (every item with true frequency > n/k survives, k >=
+      phi_den/phi_num enforced) makes the merged counter set an exact
+      SUPERSET of the answer, of size <= k x batches regardless of the
+      token-domain size — this is what bounds state when the domain (open
+      vocab, URLs, n-grams) is too large to aggregate exactly;
+      pass 2 — exact counts of the candidate tokens only (broadcast
+      candidate set, vectorized isin) plus the global token total, then the
+      integer-exact threshold cnt * phi_den > phi_num * total.
+
+    Driver-side state is O(candidates) = O(k x parallelism), never
+    O(domain). The threshold compare is integer cross-multiplication, so
+    the DuckDB oracle reproduces it exactly."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from crawler_ray.functions.sketches import MisraGries
+
+    k = max(k, -(-phi_den // phi_num))
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def sketch(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.strip().str.split()
+        flat = np.concatenate(toks.to_numpy()) if len(df) else np.array([], object)
+        mg = MisraGries(k).add(flat) if len(flat) else MisraGries(k)
+        items = mg.items()
+        return pa.table(
+            {"token": pa.array(list(items.keys()), pa.string()),
+             "w_p": pa.array(list(items.values()), pa.int64())}
+        )
+
+    cand_rows = (
+        docs.map_batches(sketch, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("w_p", alias_name="w"))
+        .take_all()
+    )
+    cands = {r["token"] for r in cand_rows}
+    cands_ref = ray.put(cands)
+
+    def count_pass(df: pd.DataFrame) -> pa.Table:
+        cset = ray.get(cands_ref)
+        toks = df["text"].str.strip().str.split()
+        flat = pd.Series(
+            np.concatenate(toks.to_numpy()) if len(df) else [], dtype=object
+        )
+        hit = flat[flat.isin(cset)]
+        c = hit.groupby(hit, sort=False).size()
+        tokens = list(c.index) + [""]  # "" = per-batch total sentinel
+        counts = list(c.to_numpy(dtype=np.int64)) + [len(flat)]
+        return pa.table(
+            {"token": pa.array(tokens, pa.string()),
+             "cnt_p": pa.array(counts, pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(count_pass, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+        .take_all()
+    )
+    out = pd.DataFrame(agg)
+    total = int(out.loc[out["token"] == "", "cnt"].iloc[0])
+    out = out[(out["token"] != "") & (out["cnt"] * phi_den > phi_num * total)]
+    return pd.DataFrame(
+        {"token": out["token"].to_numpy(),
+         "cnt": out["cnt"].to_numpy(dtype=np.int64)}
+    )
+
+
+def heavy_hitter_tokens_sql(phi_num: int = 33, phi_den: int = 1000) -> str:
+    return rf"""
+WITH t AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM t GROUP BY token)
+SELECT token, cnt FROM c
+WHERE cnt * {phi_den} > {phi_num} * (SELECT SUM(cnt) FROM c)
+"""

@@ -1,0 +1,210 @@
+"""Round-3 suite additions: sequence packing (distributed prefix sum),
+TF-IDF top terms, cross-doc boilerplate n-grams, Misra-Gries frequent
+items, dedup text normalization, ROLLUP report — edge-case fixtures the
+synthetic corpus never hits, each vs its own DuckDB oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawler_ray.functions.sketches import MisraGries
+from crawler_ray.pipelines.relational import REVENUE_ROLLUP_SQL, revenue_rollup
+from crawler_ray.pipelines.textops import (
+    DOC_NORMALIZED_SQL,
+    boilerplate_ngrams,
+    boilerplate_ngrams_sql,
+    doc_normalized,
+    doc_pack_spans,
+    doc_pack_spans_sql,
+    doc_top_tfidf,
+    doc_top_tfidf_sql,
+    heavy_hitter_tokens,
+    heavy_hitter_tokens_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts: dict[int, str]):
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(list(texts), pa.int64()),
+             "text": pa.array([texts[k] for k in texts], pa.string())}
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    return con
+
+
+def _assert_same(got: pd.DataFrame, exp: pd.DataFrame):
+    cols = sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+# ---------------------------------------------------------------- MisraGries
+
+
+def test_misra_gries_guarantees():
+    rng = np.random.Generator(np.random.PCG64(7))
+    # zipf-ish stream over a 5k-item domain, far larger than k
+    items = rng.zipf(1.3, size=20000) % 5000
+    k = 50
+    mg = MisraGries(k)
+    # feed in 7 chunks, merging pairwise like per-batch sketches would
+    sketches = [MisraGries(k).add(c) for c in np.array_split(items, 7)]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    mg.add(items)
+    true = pd.Series(items).value_counts()
+    n = len(items)
+    for sk in (mg, merged):
+        got = sk.items()
+        assert len(got) <= k
+        for item, cnt in true.items():
+            if cnt > n / k:  # MG guarantee: must be present
+                assert item in got, (item, cnt)
+            if item in got:  # weight underestimates by at most n/k
+                assert got[item] <= cnt
+                assert cnt - got[item] <= n / k + 1e-9
+
+
+def test_misra_gries_small_domain_exact():
+    mg = MisraGries(10).add(np.array(["a"] * 5 + ["b"] * 3 + ["c"], dtype=object))
+    assert mg.items() == {"a": 5, "b": 3, "c": 1}
+
+
+# ------------------------------------------------------------ doc_pack_spans
+
+
+def test_pack_spans_edges(ray_session, tmp_path):
+    texts = {
+        7: "one two three",
+        1: "",                        # zero tokens: degenerate span
+        3: "single",
+        12: " ".join(["w"] * 19),     # straddles several ctx=8 bins
+        5: "a b c d e f g h",         # exactly one full bin
+    }
+    con = _write_docs(tmp_path, texts)
+    got = doc_pack_spans(str(tmp_path), ctx=8, n_parts=3).to_pandas()
+    exp = con.sql(doc_pack_spans_sql(ctx=8)).df()
+    _assert_same(got, exp)
+    g = got.set_index("doc_id")
+    # global prefix order is doc_id order regardless of write order
+    assert g.loc[1, "tok_start"] == 0 and g.loc[1, "bin_start"] == g.loc[1, "bin_end"]
+    assert g.loc[3, "tok_start"] == 0  # doc 1 contributed nothing
+    assert g.loc[12, "bin_end"] > g.loc[12, "bin_start"]  # straddle
+
+
+def test_pack_spans_partition_invariance(ray_session, tmp_path):
+    texts = {i: " ".join(["t"] * (i % 7 + 1)) for i in range(40)}
+    con = _write_docs(tmp_path, texts)
+    exp = con.sql(doc_pack_spans_sql(ctx=16)).df()
+    for n_parts in (1, 4, 13):
+        got = doc_pack_spans(str(tmp_path), ctx=16, n_parts=n_parts).to_pandas()
+        _assert_same(got, exp)
+
+
+# ------------------------------------------------------------- doc_top_tfidf
+
+
+def test_tfidf_topk_ties_and_case(ray_session, tmp_path):
+    texts = {
+        1: "Apple apple BANANA cherry",   # case folds: tf(apple)=2
+        2: "banana cherry cherry",
+        3: "date date date apple",
+        4: "",                            # no terms -> no rows
+    }
+    con = _write_docs(tmp_path, texts)
+    got = doc_top_tfidf(str(tmp_path), k=2).to_pandas()
+    exp = con.sql(doc_top_tfidf_sql(k=2)).df()
+    _assert_same(got, exp)
+    assert not (got["doc_id"] == 4).any()
+    # doc 3: 'date' tf=3 df=1 dominates 'apple' tf=1 df=2
+    d3 = got[got["doc_id"] == 3].sort_values("rank")
+    assert list(d3["term"]) == ["date", "apple"]
+
+
+# -------------------------------------------------------- boilerplate_ngrams
+
+
+def test_boilerplate_ngrams_planted(ray_session, tmp_path):
+    chrome = "copyright acme corp all rights"
+    texts = {
+        1: f"intro words {chrome} tail",
+        2: f"{chrome} other content here",
+        3: f"padding {chrome}",
+        4: "too short",                   # < n tokens: contributes nothing
+        5: f"{chrome} {chrome}",          # repeats within ONE doc
+    }
+    con = _write_docs(tmp_path, texts)
+    got = boilerplate_ngrams(str(tmp_path), n=5, min_docs=3).to_pandas()
+    exp = con.sql(boilerplate_ngrams_sql(n=5, min_docs=3)).df()
+    _assert_same(got, exp)
+    row = got[got["ngram"] == chrome]
+    assert len(row) == 1
+    assert int(row["n_docs"].iloc[0]) == 4  # doc 5 counted once
+    assert int(row["occurrences"].iloc[0]) == 5  # but both occurrences tallied
+
+
+# ------------------------------------------------------- heavy_hitter_tokens
+
+
+def test_heavy_hitters_exact_two_pass(ray_session, tmp_path):
+    # 'hot' is 40/100 tokens, 'warm' 25/100; threshold 20% keeps exactly those
+    body = ["hot"] * 40 + ["warm"] * 25 + [f"cold{i}" for i in range(35)]
+    rng = np.random.Generator(np.random.PCG64(3))
+    rng.shuffle(body)
+    texts = {i: " ".join(body[i * 10:(i + 1) * 10]) for i in range(10)}
+    con = _write_docs(tmp_path, texts)
+    got = heavy_hitter_tokens(str(tmp_path), phi_num=20, phi_den=100, k=8)
+    exp = con.sql(heavy_hitter_tokens_sql(phi_num=20, phi_den=100)).df()
+    _assert_same(got, exp)
+    assert set(got["token"]) == {"hot", "warm"}
+    assert got.set_index("token")["cnt"].to_dict() == {"hot": 40, "warm": 25}
+
+
+# ------------------------------------------------------------ doc_normalized
+
+
+def test_normalize_whitespace_case(ray_session, tmp_path):
+    texts = {
+        1: "  Mixed   CASE\ttabs\nand  newlines  ",
+        2: "already normal",
+        3: "",
+    }
+    con = _write_docs(tmp_path, texts)
+    got = doc_normalized(str(tmp_path)).to_pandas()
+    exp = con.sql(DOC_NORMALIZED_SQL).df()
+    _assert_same(got, exp)
+    import hashlib
+
+    n = got.set_index("doc_id")
+    assert n.loc[1, "norm_text"] == "mixed case tabs and newlines"
+    # the canonical form is the dedup key: known md5 of the empty string
+    assert n.loc[3, "norm_md5"] == hashlib.md5(b"").hexdigest()
+
+
+# ------------------------------------------------------------ revenue_rollup
+
+
+def test_revenue_rollup_vs_oracle(ray_session):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    got = revenue_rollup(SF_DIR)
+    exp = con.sql(REVENUE_ROLLUP_SQL).df()
+    _assert_same(got, exp)
+    # grand total equals the sum of finest-level rows
+    finest = got[(got["region"] != "ALL") & (got["nation"] != "ALL")]
+    total = got[(got["region"] == "ALL") & (got["nation"] == "ALL")]
+    assert np.isclose(finest["revenue"].sum(), total["revenue"].iloc[0])
+    assert finest["n_orders"].sum() == total["n_orders"].iloc[0]
