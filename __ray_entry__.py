@@ -121,6 +121,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         # canonical text form + md5 dedup key
         "doc_normalized": textops.doc_normalized,
+        # sliding context-window chunking (zero-exchange)
+        "doc_chunks": textops.doc_chunks,
+        # inverted-index postings rows (zero-exchange build)
+        "token_postings": textops.token_postings,
+        # per-source over-represented tokens (integer-exact ratio test)
+        "source_token_affinity": textops.source_token_affinity,
+        # email/phone/IPv4 redaction + per-doc counts (staged regex chain)
+        "doc_pii_scrub": textops.doc_pii_scrub,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
@@ -191,6 +199,10 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": textops.boilerplate_ngrams_sql(),
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_sql(),
         "doc_normalized": textops.DOC_NORMALIZED_SQL,
+        "doc_chunks": textops.doc_chunks_sql(),
+        "token_postings": textops.TOKEN_POSTINGS_SQL,
+        "source_token_affinity": textops.SOURCE_TOKEN_AFFINITY_SQL,
+        "doc_pii_scrub": textops.DOC_PII_SCRUB_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

@@ -1066,3 +1066,270 @@ c AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM t GROUP BY token)
 SELECT token, cnt FROM c
 WHERE cnt * {phi_den} > {phi_num} * (SELECT SUM(cnt) FROM c)
 """
+
+# --------------------------------------------------------------------------
+# Context-window chunking (embedding / RAG prep)
+# --------------------------------------------------------------------------
+
+
+class ChunkStage:
+    """Fixed-size sliding-window chunker over whitespace tokens.
+
+    Chunk rule (mirrored exactly by the DuckDB oracle): starts at every
+    multiple of ``stride`` below the doc's token count; each chunk is
+    ``tokens[s : s+size]`` clipped to the end, so the final chunk may be
+    short. Embarrassingly parallel — a doc chunks entirely inside its own
+    batch, so the pipeline has ZERO exchanges at any corpus size; chunk
+    volume scales the output, not any shuffle."""
+
+    def __init__(self, size: int, stride: int):
+        if stride < 1 or size < 1:
+            raise ValueError("size and stride must be >= 1")
+        self.size, self.stride = size, stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        cid: list[int] = []
+        nt: list[int] = []
+        txt: list[str] = []
+        # per-DOC loop (not per-token): join/slice are C-speed; token lists
+        # come from one vectorized str.split pass
+        for d, ts in zip(
+            df["doc_id"].to_numpy(), df["text"].str.split().to_numpy()
+        ):
+            n = len(ts)
+            for j, s in enumerate(range(0, n, self.stride)):
+                e = min(s + self.size, n)
+                ids.append(d)
+                cid.append(j)
+                nt.append(e - s)
+                txt.append(" ".join(ts[s:e]))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "chunk_id": np.asarray(cid, np.int64),
+                "n_tokens": np.asarray(nt, np.int64),
+                "chunk": pd.array(txt, dtype=object),
+            }
+        )
+
+
+def doc_chunks(sf_dir: str, size: int = 16, stride: int = 8) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ChunkStage(size, stride), batch_format="pandas"
+    )
+
+
+def doc_chunks_sql(size: int = 16, stride: int = 8) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+    FROM documents WHERE trim(text) <> ''
+),
+starts AS (
+    SELECT doc_id, ts, unnest(range(0, len(ts), {stride})) AS s
+    FROM toks
+)
+SELECT doc_id,
+       (s / {stride})::BIGINT AS chunk_id,
+       (least(s + {size}, len(ts)) - s)::BIGINT AS n_tokens,
+       array_to_string(ts[s + 1 : least(s + {size}, len(ts))], ' ') AS chunk
+FROM starts
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted index (token -> document postings with term frequency)
+# --------------------------------------------------------------------------
+
+
+def token_postings(sf_dir: str) -> rd.Dataset:
+    """Inverted-index postings rows (token, doc_id, tf). A document lives
+    wholly inside one batch, so every (token, doc_id) group is batch-local:
+    the index builds with ZERO exchanges — one vectorized explode +
+    batch-local groupby per batch. Assembling sorted per-token posting
+    LISTS (the serving layout) is one further token-hash repartition; the
+    row form here is the exchange-free build artifact."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sp = (
+            df[["doc_id"]]
+            .assign(token=df["text"].str.split())
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        g = (
+            sp.groupby(["token", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pd.DataFrame(
+            {
+                "token": g["token"],
+                "doc_id": g["doc_id"].astype("int64"),
+                "tf": g["tf"].astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+
+TOKEN_POSTINGS_SQL = r"""
+SELECT w AS token, doc_id, COUNT(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents WHERE trim(text) <> '')
+GROUP BY w, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source over-represented tokens (domain-mixing diagnostics)
+# --------------------------------------------------------------------------
+
+
+def source_token_affinity(sf_dir: str) -> pd.DataFrame:
+    """Tokens over-represented in a source vs the whole corpus — the
+    domain-mixing diagnostic behind sampling-weight decisions. A token
+    qualifies when p_source(t) > p_corpus(t), tested as the INTEGER cross
+    product cnt_s * total_corpus > cnt_c * total_source (no float ratios,
+    so the DuckDB oracle is exact). Scale shape: per-batch explode +
+    batch-local (source, token) combiner -> ONE (source, token) exchange;
+    corpus counts and totals re-aggregate the aggregated table, which is
+    |sources| x |vocab| rows — result-sized, never corpus-sized. An open
+    vocabulary keeps the same plan (the exchange key count grows, the fact
+    table is never rescanned)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sp = (
+            df[["source"]]
+            .assign(token=df["text"].str.split())
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        return (
+            sp.groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+
+    agg = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n_p", alias_name="c_s"))
+        .to_pandas()  # |sources| x |vocab| rows by construction
+    )
+    agg["c_s"] = agg["c_s"].astype("int64")
+    corpus = (
+        agg.groupby("token", as_index=False)["c_s"].sum().rename(columns={"c_s": "c_c"})
+    )
+    totals = (
+        agg.groupby("source", as_index=False)["c_s"].sum().rename(columns={"c_s": "t_s"})
+    )
+    t_c = int(corpus["c_c"].sum())
+    m = agg.merge(corpus, on="token").merge(totals, on="source")
+    out = m[m["c_s"] * t_c > m["c_c"] * m["t_s"]]
+    return pd.DataFrame(
+        {
+            "source": out["source"].to_numpy(),
+            "token": out["token"].to_numpy(),
+            "n_source": out["c_s"].to_numpy(dtype=np.int64),
+            "n_corpus": out["c_c"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SOURCE_TOKEN_AFFINITY_SQL = r"""
+WITH tok AS (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+),
+s AS (SELECT source, w, COUNT(*)::BIGINT AS c_s FROM tok GROUP BY source, w),
+c AS (SELECT w, COUNT(*)::BIGINT AS c_c FROM tok GROUP BY w),
+ts AS (SELECT source, SUM(c_s)::BIGINT AS t_s FROM s GROUP BY source),
+tc AS (SELECT SUM(c_c)::BIGINT AS t_c FROM c)
+SELECT s.source, s.w AS token, s.c_s AS n_source, c.c_c AS n_corpus
+FROM s JOIN c ON s.w = c.w JOIN ts ON s.source = ts.source CROSS JOIN tc
+WHERE s.c_s * tc.t_c > c.c_c * ts.t_s
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (email / phone / IPv4 redaction with per-doc counts)
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+class PiiScrubStage:
+    """Sequential email -> phone -> IPv4 redaction, counting each class on
+    the text AS SEEN by its step (the order is the contract: an IPv4-shaped
+    span inside an already-redacted phone never double-counts; the DuckDB
+    oracle mirrors the same staged regexp_replace chain). Regexes are RE2 ∩
+    Python-re compatible (no backreferences/lookaround) so both engines
+    find identical non-overlapping leftmost matches. Compiled once per
+    actor; every per-batch op is a vectorized pandas str kernel."""
+
+    def __init__(self):
+        import re
+
+        self.email = re.compile(PII_EMAIL_RE)
+        self.phone = re.compile(PII_PHONE_RE)
+        self.ipv4 = re.compile(PII_IPV4_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        t0 = df["text"]
+        n_em = t0.str.count(self.email).astype("int64")
+        t1 = t0.str.replace(self.email, "<EMAIL>", regex=True)
+        n_ph = t1.str.count(self.phone).astype("int64")
+        t2 = t1.str.replace(self.phone, "<PHONE>", regex=True)
+        n_ip = t2.str.count(self.ipv4).astype("int64")
+        t3 = t2.str.replace(self.ipv4, "<IP>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text_clean": t3,
+                "n_emails": n_em,
+                "n_phones": n_ph,
+                "n_ipv4": n_ip,
+            }
+        )
+
+
+def doc_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """Redacted corpus + per-doc PII counts. The driver testdata contains
+    no PII (counts are 0 and text_clean == text there — the oracle still
+    pins the full regex chain); the planted-fixture test in
+    ``tests/test_textops_suite.py`` proves the redaction semantics on text
+    that actually contains emails/phones/IPs, value-compared to DuckDB."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiScrubStage(), batch_format="pandas"
+    )
+
+
+DOC_PII_SCRUB_SQL = rf"""
+WITH s1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM documents
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(t1, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+           regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_emails, n_phones,
+           len(regexp_extract_all(t2, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+           regexp_replace(t2, '{PII_IPV4_RE}', '<IP>', 'g') AS text_clean
+    FROM s2
+)
+SELECT doc_id, text_clean, n_emails, n_phones, n_ipv4 FROM s3
+"""

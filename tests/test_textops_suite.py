@@ -208,3 +208,115 @@ def test_revenue_rollup_vs_oracle(ray_session):
     total = got[(got["region"] == "ALL") & (got["nation"] == "ALL")]
     assert np.isclose(finest["revenue"].sum(), total["revenue"].iloc[0])
     assert finest["n_orders"].sum() == total["n_orders"].iloc[0]
+
+
+# ---------------------------------------------------------------- doc_chunks
+
+
+def test_doc_chunks_edges(ray_session, tmp_path):
+    from crawler_ray.pipelines.textops import doc_chunks, doc_chunks_sql
+
+    texts = {
+        1: "",                          # no tokens -> no chunks
+        2: "solo",                      # one short chunk
+        3: " ".join(f"t{i}" for i in range(8)),   # exactly one full chunk
+        4: " ".join(f"w{i}" for i in range(19)),  # straddles several chunks
+    }
+    con = _write_docs(tmp_path, texts)
+    got = doc_chunks(str(tmp_path), size=8, stride=4).to_pandas()
+    exp = con.sql(doc_chunks_sql(size=8, stride=4)).df()
+    _assert_same(got, exp)
+    assert not (got["doc_id"] == 1).any()
+    d4 = got[got["doc_id"] == 4].sort_values("chunk_id")
+    # stride-4 starts below 19 tokens: 0,4,8,12,16 -> 5 chunks, last short
+    assert list(d4["n_tokens"]) == [8, 8, 8, 7, 3]
+    assert d4["chunk"].iloc[0] == " ".join(f"w{i}" for i in range(8))
+    assert d4["chunk"].iloc[-1] == "w16 w17 w18"
+
+
+# ------------------------------------------------------------ token_postings
+
+
+def test_token_postings_planted(ray_session, tmp_path):
+    from crawler_ray.pipelines.textops import TOKEN_POSTINGS_SQL, token_postings
+
+    texts = {1: "a b a a", 2: "b b c", 3: ""}
+    con = _write_docs(tmp_path, texts)
+    got = token_postings(str(tmp_path)).to_pandas()
+    exp = con.sql(TOKEN_POSTINGS_SQL).df()
+    _assert_same(got, exp)
+    tf = got.set_index(["token", "doc_id"])["tf"]
+    assert tf[("a", 1)] == 3 and tf[("b", 1)] == 1 and tf[("b", 2)] == 2
+    assert ("c", 2) in tf.index and len(got) == 4
+
+
+# --------------------------------------------------- source_token_affinity
+
+
+def test_source_token_affinity_planted(ray_session, tmp_path):
+    from crawler_ray.pipelines.textops import (
+        SOURCE_TOKEN_AFFINITY_SQL,
+        source_token_affinity,
+    )
+
+    rows = [
+        (1, "web", "cat cat cat dog"),
+        (2, "web", "cat fish"),
+        (3, "book", "dog dog fish fish"),
+        (4, "book", "dog"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = source_token_affinity(str(tmp_path))
+    exp = con.sql(SOURCE_TOKEN_AFFINITY_SQL).df()
+    _assert_same(got, exp)
+    # 'cat' is 4/6 of web but 4/11 of corpus -> web-affine; 'dog' is 3/5 of
+    # book vs 4/11 of corpus -> book-affine; 'fish' web 1/6 < 3/11 -> absent
+    w = got[got["source"] == "web"].set_index("token")
+    b = got[got["source"] == "book"].set_index("token")
+    assert "cat" in w.index and "fish" not in w.index
+    assert "dog" in b.index and "fish" in b.index  # book fish 2/5 > 3/11
+
+
+# -------------------------------------------------------------- doc_pii_scrub
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    from crawler_ray.pipelines.textops import DOC_PII_SCRUB_SQL, doc_pii_scrub
+
+    texts = {
+        1: "mail bob.smith+x@corp.example.com or alice@ex.io now",
+        2: "call 415-555-0199 or 415.555.0200 thanks",
+        3: "server at 10.0.0.1 and 192.168.254.3 up",
+        4: "mixed a@b.co then 303-555-0111 then 8.8.8.8 end",
+        5: "no pii here at all",
+        # phone-shaped digits joined by dots must scrub as PHONE (step
+        # order), never as a partial IPv4
+        6: "dotted 123.456.7890 left",
+    }
+    con = _write_docs(tmp_path, texts)
+    got = doc_pii_scrub(str(tmp_path)).to_pandas()
+    exp = con.sql(DOC_PII_SCRUB_SQL).df()
+    _assert_same(got, exp)
+    g = got.set_index("doc_id")
+    assert g.loc[1, "n_emails"] == 2 and "<EMAIL>" in g.loc[1, "text_clean"]
+    assert g.loc[2, "n_phones"] == 2
+    assert g.loc[3, "n_ipv4"] == 2
+    assert (
+        g.loc[4, ["n_emails", "n_phones", "n_ipv4"]].tolist() == [1, 1, 1]
+        and g.loc[4, "text_clean"] == "mixed <EMAIL> then <PHONE> then <IP> end"
+    )
+    assert g.loc[5, "text_clean"] == texts[5]
+    assert g.loc[6, "n_phones"] == 1 and g.loc[6, "n_ipv4"] == 0
