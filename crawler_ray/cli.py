@@ -116,6 +116,33 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Filter (optional LAION-style gate) + pack a crawl's images into
+    WebDataset tar shards; prints the manifest summary."""
+    import os
+
+    _init_ray(args.cpus)
+    from crawler_ray.pipelines.packing import filter_images, pack_webdataset_shards
+    from crawler_ray.sources.io import read_parts
+
+    ds = read_parts(os.path.join(args.out, "images"))
+    if args.gate:
+        ds = filter_images(ds, min_w=args.min_px, min_h=args.min_px)
+    mf = pack_webdataset_shards(ds, args.dest, target_bytes=args.shard_bytes)
+    stats = mf.to_pandas()
+    print(
+        json.dumps(
+            {
+                "shards": len(stats),
+                "images": int(stats["n_images"].sum()) if len(stats) else 0,
+                "payload_bytes": int(stats["payload_bytes"].sum()) if len(stats) else 0,
+                "dest": args.dest,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bench_ingest(args) -> int:
     import os
 
@@ -171,6 +198,19 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--dest", required=True)
     k.add_argument("--cpus", type=int, default=None)
     k.set_defaults(fn=cmd_compact)
+
+    w = sub.add_parser(
+        "pack", help="pack crawled images into WebDataset tar shards"
+    )
+    w.add_argument("--out", required=True, help="crawl out_dir")
+    w.add_argument("--dest", required=True, help="shard output dir")
+    w.add_argument("--shard-bytes", type=int, default=1 << 20)
+    w.add_argument("--gate", action="store_true",
+                   help="apply the LAION-style quality filter first")
+    w.add_argument("--min-px", type=int, default=64,
+                   help="gate: minimum width/height in pixels")
+    w.add_argument("--cpus", type=int, default=None)
+    w.set_defaults(fn=cmd_pack)
 
     b = sub.add_parser("bench-ingest", help="image-frontier ingest benchmark")
     b.add_argument("--images", type=int, default=100_000)
