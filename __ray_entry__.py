@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 53 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 46 have a DuckDB twin in
+``queries()`` exposes 57 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 50 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -14,11 +14,13 @@ DuckDB recursive-CTE transitive closure), the keep-one-per-cluster
 survivor manifest, Gopher-style repetition filters, n-gram benchmark
 decontamination, SemDeDup-style embedding clusters, and the flagship
 corpus_curation filter chain whose oracle composes the sub-oracles as
-nested CTEs; this session added six more exact twins: sequence packing
-via a distributed global prefix sum, per-doc top-k TF-IDF with
-integer-exact scoring, cross-document boilerplate n-grams, Misra-Gries
-two-pass exact frequent tokens, dedup text normalization, and a
-ROLLUP subtotal report). The genuinely non-SQL-expressible seven get
+nested CTEs; then ten more exact twins: sequence packing via a
+distributed global prefix sum, per-doc top-k TF-IDF with integer-exact
+scoring, cross-document boilerplate n-grams, Misra-Gries two-pass exact
+frequent tokens, dedup text normalization, a ROLLUP subtotal report,
+zero-exchange context-window chunking, inverted-index postings,
+per-source token affinity by integer cross-product, and staged
+email/phone/IPv4 PII scrubbing). The genuinely non-SQL-expressible seven get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
 pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
