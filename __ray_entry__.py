@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_affinity": textops.source_token_affinity,
         # email/phone/IPv4 redaction + per-doc counts (staged regex chain)
         "doc_pii_scrub": textops.doc_pii_scrub,
+        # two-phase domain-mixing rebalance (stats pass -> deterministic pick)
+        "balanced_sample_docs": textops.balanced_sample_docs,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "token_postings": textops.TOKEN_POSTINGS_SQL,
         "source_token_affinity": textops.SOURCE_TOKEN_AFFINITY_SQL,
         "doc_pii_scrub": textops.DOC_PII_SCRUB_SQL,
+        "balanced_sample_docs": textops.BALANCED_SAMPLE_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

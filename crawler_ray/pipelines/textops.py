@@ -1333,3 +1333,57 @@ s3 AS (
 )
 SELECT doc_id, text_clean, n_emails, n_phones, n_ipv4 FROM s3
 """
+
+# --------------------------------------------------------------------------
+# Domain-mixing rebalance: downsample every source to the smallest source
+# --------------------------------------------------------------------------
+
+
+def balanced_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Uniform source mix: every source downsampled to the SMALLEST
+    source's doc count — the data-derived-rate version of
+    :func:`stratified_sample_docs` (there k is a constant; here it comes
+    from a first stats pass, the usual two-phase shape of training-data
+    mixing jobs). Selection is the n_min docs with smallest md5(doc_id)
+    per source (ties → doc_id), so re-runs, resumes and the SQL oracle
+    pick identical rows. The stats pass moves |sources| rows; the
+    selection pass is one source exchange whose output is the result
+    itself (|sources| x n_min rows — no way to move less)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    counts = ds.groupby("source").aggregate(Count(alias_name="c")).to_pandas()
+    n_min = int(counts["c"].min()) if len(counts) else 0
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "source"]].copy()
+        out["h"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in out["doc_id"]
+        ]
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="stable").head(n_min)
+        return df[["doc_id", "source"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+BALANCED_SAMPLE_SQL = """
+WITH n AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+m AS (SELECT MIN(c)::BIGINT AS n_min FROM n),
+r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, source FROM r CROSS JOIN m WHERE rn <= m.n_min
+"""

@@ -320,3 +320,41 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     )
     assert g.loc[5, "text_clean"] == texts[5]
     assert g.loc[6, "n_phones"] == 1 and g.loc[6, "n_ipv4"] == 0
+
+
+# ------------------------------------------------------- balanced_sample_docs
+
+
+def test_balanced_sample_skewed_sources(ray_session, tmp_path):
+    from crawler_ray.pipelines.textops import (
+        BALANCED_SAMPLE_SQL,
+        balanced_sample_docs,
+    )
+
+    # skewed mix: web 30 docs, book 7, news 3 -> every source keeps 3
+    ids, srcs = [], []
+    for src, n in (("web", 30), ("book", 7), ("news", 3)):
+        for _ in range(n):
+            ids.append(len(ids))
+            srcs.append(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "text": pa.array(["t"] * len(ids), pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = balanced_sample_docs(str(tmp_path)).to_pandas()
+    exp = con.sql(BALANCED_SAMPLE_SQL).df()
+    _assert_same(got, exp)
+    assert got.groupby("source").size().to_dict() == {"web": 3, "book": 3, "news": 3}
+    # determinism: a re-run picks the identical rows
+    again = balanced_sample_docs(str(tmp_path)).to_pandas()
+    _assert_same(again, exp)
