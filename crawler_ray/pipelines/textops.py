@@ -1387,3 +1387,91 @@ r AS (
 )
 SELECT doc_id, source FROM r CROSS JOIN m WHERE rn <= m.n_min
 """
+
+# --------------------------------------------------------------------------
+# Token co-occurrence (PMI-style pair counts within a sliding window)
+# --------------------------------------------------------------------------
+
+
+def token_cooccurrence(
+    sf_dir: str, window: int = 2, min_count: int = 2
+) -> rd.Dataset:
+    """Corpus co-occurrence counts: unordered token pairs whose positions
+    in the same doc differ by 1..window (the statistics under PMI /
+    word-vector objectives). Pair extraction is fully vectorized — one
+    flat token array per batch with doc-boundary masks, one shifted
+    comparison per offset — and a batch-local (tok_a, tok_b) combiner
+    runs BEFORE the single pair-key exchange, so the shuffle moves one
+    row per distinct pair per batch, never one per occurrence. Pairs are
+    canonicalized (tok_a <= tok_b) elementwise, matching the
+    least()/greatest() of the SQL twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"tok_a": pd.Series([], dtype=object),
+                 "tok_b": pd.Series([], dtype=object),
+                 "n_p": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.concatenate([t for t in toks.to_numpy() if len(t)])
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        pa_, pb_ = [], []
+        for d in range(1, window + 1):
+            if d >= len(flat):
+                break
+            same = doc_idx[:-d] == doc_idx[d:]
+            pa_.append(flat[:-d][same])
+            pb_.append(flat[d:][same])
+        if not pa_:
+            a = np.array([], dtype=object)
+            b = a
+        else:
+            a = np.concatenate(pa_)
+            b = np.concatenate(pb_)
+        swap = a > b  # elementwise string compare (np.minimum lacks a U loop)
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        g = (
+            pd.DataFrame({"tok_a": lo, "tok_b": hi})
+            .groupby(["tok_a", "tok_b"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+        g["n_p"] = g["n_p"].astype("int64")
+        return g
+
+    agg = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n"] >= min_count]
+        return pd.DataFrame(
+            {"tok_a": out["tok_a"], "tok_b": out["tok_b"],
+             "n": out["n"].astype("int64")}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def token_cooccurrence_sql(window: int = 2, min_count: int = 2) -> str:
+    return rf"""
+WITH pos AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS w,
+           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1)) AS p
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT least(a.w, b.w) AS tok_a,
+       greatest(a.w, b.w) AS tok_b,
+       COUNT(*)::BIGINT AS n
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND {window}
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_count}
+"""

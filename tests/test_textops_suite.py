@@ -358,3 +358,35 @@ def test_balanced_sample_skewed_sources(ray_session, tmp_path):
     # determinism: a re-run picks the identical rows
     again = balanced_sample_docs(str(tmp_path)).to_pandas()
     _assert_same(again, exp)
+
+
+# --------------------------------------------------------- token_cooccurrence
+
+
+def test_token_cooccurrence_window(ray_session, tmp_path):
+    from crawler_ray.pipelines.textops import (
+        token_cooccurrence,
+        token_cooccurrence_sql,
+    )
+
+    texts = {
+        1: "a b c a b",    # window 2: (a,b)x2 adj, (b,c), (a,c), (c,a)->(a,c), (a,b) d2... 
+        2: "b a",          # reversed order still canonicalizes to (a,b)
+        3: "z",            # single token: no pairs
+        4: "",             # empty: no pairs
+        5: "x x x",        # identical-token pairs (x,x)
+    }
+    con = _write_docs(tmp_path, texts)
+    got = token_cooccurrence(str(tmp_path), window=2, min_count=1).to_pandas()
+    exp = con.sql(token_cooccurrence_sql(window=2, min_count=1)).df()
+    _assert_same(got, exp)
+    n = got.set_index(["tok_a", "tok_b"])["n"]
+    # doc1 offsets: d1 -> ab,bc,ca,ab ; d2 -> ac,ba,cb ; doc2 -> ba
+    assert n[("a", "b")] == 4  # 2 adjacent + 1 at offset 2 + doc2 reversed
+    assert n[("a", "c")] == 2
+    assert n[("x", "x")] == 3  # d1: 2 pairs, d2: 1 pair
+    # min_count filter drops singletons
+    got2 = token_cooccurrence(str(tmp_path), window=2, min_count=3).to_pandas()
+    exp2 = con.sql(token_cooccurrence_sql(window=2, min_count=3)).df()
+    _assert_same(got2, exp2)
+    assert set(map(tuple, got2[["tok_a", "tok_b"]].values)) == {("a", "b"), ("x", "x")}
