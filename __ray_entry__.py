@@ -20,11 +20,11 @@ scoring, cross-document boilerplate n-grams, Misra-Gries two-pass exact
 frequent tokens, dedup text normalization, a ROLLUP subtotal report,
 zero-exchange context-window chunking, inverted-index postings,
 per-source token affinity by integer cross-product, and staged
-email/phone/IPv4 PII scrubbing). The genuinely non-SQL-expressible seven get
+email/phone/IPv4 PII scrubbing). The genuinely non-SQL-expressible eight get
 the weaker rows-only driver check (minhash/simhash LSH — value-oracled
-pairwise in DuckDB inside tests instead — HLL sketch, rolling-hash
-fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
-paths).
+pairwise in DuckDB inside tests instead — HLL and MRL-quantile sketches,
+rolling-hash fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF
+serving paths).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": events.sessionize,
         "props_key_sum": events.props_key_sum,
         "distinct_users_hll": events.distinct_users_hll,  # rows-only (sketch)
+        # mergeable MRL quantile sketches per event type (rows-only; the
+        # exact-quantile twin is lineitem_price_quantiles)
+        "event_value_quantiles": events.event_value_quantiles,
         # text analysis (documents)
         "doc_token_stats": textops.doc_token_stats,
         "doc_punct_ratio": textops.doc_punct_ratio,

@@ -118,3 +118,125 @@ class MisraGries:
 
     def items(self) -> dict:
         return dict(self.counters)
+
+
+class MRLQuantile:
+    """Deterministic mergeable quantile summary (the Manku-Rajagopalan-
+    Lindsay '98 / KLL compactor family, with DETERMINISTIC alternating
+    selection instead of KLL's coin flips, so runs and resumes reproduce
+    bit-identical estimates).
+
+    Level i holds at most k values of weight 2^i. Compaction sorts a full
+    level, promotes every other element (parity alternates per level) to
+    level i+1 and keeps any odd remainder in place — total weight is
+    conserved EXACTLY (2 x w -> 1 x 2w), so rank queries normalize by the
+    true count. Space is O(k log(n/k)); rank error is O(log^2(n/k) / k)
+    relative, asserted empirically in tests. Merging concatenates levels
+    then re-compacts — the per-batch-sketch -> tiny-merge-stage pattern
+    HLL/MisraGries use, for the third aggregate family (quantiles)."""
+
+    def __init__(self, k: int = 256):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.array([], np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def add(self, values) -> "MRLQuantile":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        self.n += v.size
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lv = self.levels[i]
+            if len(lv) > self.k:
+                s = np.sort(lv)
+                m = (len(s) // 2) * 2
+                off = self.parity[i]
+                self.parity[i] ^= 1
+                promoted = s[off:m:2]
+                self.levels[i] = s[m:]  # odd remainder stays at weight 2^i
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.array([], np.float64))
+                    self.parity.append(0)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted]
+                )
+            i += 1
+
+    def merge(self, other: "MRLQuantile") -> "MRLQuantile":
+        out = MRLQuantile(min(self.k, other.k))
+        depth = max(len(self.levels), len(other.levels))
+        e = np.array([], np.float64)
+        out.levels = [
+            np.concatenate(
+                [self.levels[i] if i < len(self.levels) else e,
+                 other.levels[i] if i < len(other.levels) else e]
+            )
+            for i in range(depth)
+        ]
+        out.parity = [
+            (self.parity[i] if i < len(self.parity) else 0)
+            ^ (other.parity[i] if i < len(other.parity) else 0)
+            for i in range(depth)
+        ]
+        out.n = self.n + other.n
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight reaches
+        ceil(q * n) (q=0 -> stored minimum)."""
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64)
+             for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[order])
+        target = max(1, int(np.ceil(q * self.n)))
+        return float(vals[order][np.searchsorted(cum, target)])
+
+    def total_weight(self) -> int:
+        return int(sum((1 << i) * len(lv) for i, lv in enumerate(self.levels)))
+
+    def serialize(self) -> bytes:
+        import struct
+
+        head = struct.pack(
+            "<qqq", self.k, self.n, len(self.levels)
+        ) + struct.pack(f"<{len(self.levels)}q", *map(len, self.levels)) + (
+            struct.pack(f"<{len(self.parity)}q", *self.parity)
+        )
+        return head + b"".join(
+            lv.astype("<f8").tobytes() for lv in self.levels
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "MRLQuantile":
+        import struct
+
+        k, n, d = struct.unpack_from("<qqq", data, 0)
+        off = 24
+        lens = struct.unpack_from(f"<{d}q", data, off)
+        off += 8 * d
+        parity = list(struct.unpack_from(f"<{d}q", data, off))
+        off += 8 * d
+        obj = cls(k)
+        obj.n = n
+        obj.parity = parity
+        obj.levels = []
+        for ln in lens:
+            obj.levels.append(
+                np.frombuffer(data, dtype="<f8", count=ln, offset=off).copy()
+            )
+            off += 8 * ln
+        return obj

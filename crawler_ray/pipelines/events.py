@@ -319,3 +319,44 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> rd.Dataset:
         .groupby("event_type")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def event_value_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99), k: int = 256
+) -> rd.Dataset:
+    """Approximate per-event-type value quantiles via mergeable MRL
+    sketches (``functions/sketches.py MRLQuantile``) — the third member of
+    the sketch-aggregate family beside HLL (distinct) and Misra-Gries
+    (frequent items). One deterministic sketch per (event_type, batch)
+    inside map_batches; the exchange moves O(k log(n/k)) floats per
+    (type, batch), never the values. Deterministic compaction -> re-runs
+    and resumes return bit-identical estimates (rows-only driver check;
+    rank-error accuracy asserted vs exact quantiles in tests)."""
+    from crawler_ray.functions.sketches import MRLQuantile
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            s = MRLQuantile(k).add(g["value"].to_numpy(dtype=np.float64))
+            rows.append({"event_type": et, "sketch": s.serialize()})
+        return pd.DataFrame(rows)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        acc = MRLQuantile.deserialize(g["sketch"].iloc[0])
+        for s in g["sketch"].iloc[1:]:
+            acc = acc.merge(MRLQuantile.deserialize(s))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(qs),
+                "q": np.asarray(qs, np.float64),
+                "value_est": [acc.quantile(q) for q in qs],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -46,3 +46,83 @@ def test_distinct_users_hll_pipeline(ray_session):
     for et in exact.index:
         e, g = exact.loc[et, "n"], got.loc[et, "approx_distinct_users"]
         assert abs(g - e) / max(e, 1) < 0.1
+
+
+# ------------------------------------------------------------- MRLQuantile
+
+
+def test_mrl_rank_error_and_weight():
+    import numpy as np
+
+    from crawler_ray.functions.sketches import MRLQuantile
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    for dist in (rng.normal(size=50_000), rng.zipf(1.5, 50_000).astype(float)):
+        xs = np.sort(dist)
+        n = len(xs)
+        s = MRLQuantile(256).add(dist)
+        assert s.total_weight() == n  # exact weight conservation
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = s.quantile(q)
+            # with heavy ties (zipf) the estimate covers a rank INTERVAL;
+            # error is the distance from q*n to that interval
+            lo = np.searchsorted(xs, est, side="left")
+            hi = np.searchsorted(xs, est, side="right")
+            err = max(lo / n - q, q - hi / n, 0)
+            assert err < 0.02, (q, lo / n, hi / n)
+
+
+def test_mrl_merge_matches_single_stream_bounds():
+    import numpy as np
+
+    from crawler_ray.functions.sketches import MRLQuantile
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    x = rng.exponential(size=30_000)
+    xs = np.sort(x)
+    merged = MRLQuantile(256)
+    for part in np.array_split(x, 17):  # batch-wise sketches, tree merge
+        merged = merged.merge(MRLQuantile(256).add(part))
+    assert merged.n == len(x) and merged.total_weight() == len(x)
+    for q in (0.05, 0.5, 0.95):
+        rank = np.searchsorted(xs, merged.quantile(q), side="right")
+        assert abs(rank / len(x) - q) < 0.02
+
+
+def test_mrl_serialize_roundtrip_and_determinism():
+    import numpy as np
+
+    from crawler_ray.functions.sketches import MRLQuantile
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    x = rng.normal(size=10_000)
+    a = MRLQuantile(128).add(x)
+    b = MRLQuantile.deserialize(a.serialize())
+    assert b.n == a.n and b.parity == a.parity
+    assert all(np.array_equal(p, q) for p, q in zip(a.levels, b.levels))
+    # deterministic: the same input stream always yields the same sketch
+    c = MRLQuantile(128).add(x)
+    assert all(np.array_equal(p, q) for p, q in zip(a.levels, c.levels))
+
+
+def test_event_value_quantiles_accuracy(ray_session):
+    import duckdb
+    import numpy as np
+
+    from crawler_ray.pipelines.events import event_value_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    got = event_value_quantiles(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    counts = con.sql(
+        "SELECT event_type, COUNT(*) c FROM events GROUP BY 1"
+    ).df().set_index("event_type")["c"]
+    for _, r in got.iterrows():
+        # rank of the estimate in the true distribution ≈ q
+        rank = con.sql(
+            f"SELECT COUNT(*) FROM events WHERE event_type = '{r.event_type}' "
+            f"AND value <= {r.value_est}"
+        ).fetchone()[0]
+        n = counts[r.event_type]
+        assert abs(rank / n - r.q) < 0.03, (r.event_type, r.q, rank / n)
