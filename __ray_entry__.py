@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 57 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 50 have a DuckDB twin in
+``queries()`` exposes 60 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 52 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
