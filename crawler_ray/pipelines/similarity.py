@@ -84,12 +84,15 @@ def knn_brute_force(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> rd.Datas
 
 def knn_sql(query_vec_id: int = 0, k: int = 20) -> str:
     return f"""
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT e.vec_id,
-       ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.embedding), 4) AS cos_sim
 FROM embeddings e, q
 WHERE e.vec_id != {query_vec_id}
-ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                q.embedding) DESC, e.vec_id
 LIMIT {k}
 """
 
@@ -181,9 +184,11 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_sql(threshold: float = 0.3) -> str:
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos_sim
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= {threshold}
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 3) >= {threshold}
 """
 
 
