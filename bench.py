@@ -63,6 +63,12 @@ QUERY_NAMES = [
     "corpus_curation",
     "knn_brute_force",
     "embedding_near_dup_pairs",
+    "doc_pack_spans",
+    "doc_top_tfidf",
+    "boilerplate_ngrams",
+    "token_cooccurrence",
+    "doc_pii_scrub",
+    "event_value_quantiles",
 ]
 
 

@@ -103,41 +103,24 @@ class ShardPacker:
         keys = [r["image_id"] for r in rows]
         name = hashlib.md5("\n".join(keys).encode()).hexdigest()
         path = os.path.join(self.out_dir, f"shard-{name}.tar")
-        payload = 0
+        payload = sum(r["_sz"] for r in rows)
         if not os.path.exists(path):  # retry-idempotent publish
             buf = io.BytesIO()
             with tarfile.open(fileobj=buf, mode="w") as tf:
                 for r in rows:
-                    meta = json.dumps(
-                        {"w": r["w"], "h": r["h"], "fmt": r["fmt"],
-                         "phash": r["phash"]},
-                        sort_keys=True,
-                    ).encode()
                     for suffix, data in (
                         (r["fmt"], r["bytes"]),
                         ("txt", r["caption"].encode()),
-                        ("json", meta),
+                        ("json", r["_meta"]),
                     ):
                         ti = tarfile.TarInfo(f"{r['image_id']}.{suffix}")
                         ti.size = len(data)
                         ti.mtime = 0
                         tf.addfile(ti, io.BytesIO(data))
-                        payload += len(data)
             tmp = f"{path}.tmp-{name}"
             with open(tmp, "wb") as f:
                 f.write(buf.getvalue())
             os.replace(tmp, path)
-        else:
-            payload = sum(
-                len(r["bytes"]) + len(r["caption"].encode()) + len(
-                    json.dumps(
-                        {"w": r["w"], "h": r["h"], "fmt": r["fmt"],
-                         "phash": r["phash"]},
-                        sort_keys=True,
-                    ).encode()
-                )
-                for r in rows
-            )
         return {
             "shard": os.path.basename(path),
             "n_images": len(rows),
@@ -152,12 +135,20 @@ class ShardPacker:
         cur: list[dict] = []
         cur_bytes = 0
         for r in rows:
-            sz = len(r["bytes"]) + len(r["caption"].encode()) + 64
-            if cur and cur_bytes + sz > self.target:
+            r["_meta"] = json.dumps(
+                {"w": r["w"], "h": r["h"], "fmt": r["fmt"],
+                 "phash": r["phash"]},
+                sort_keys=True,
+            ).encode()
+            # exact payload size, so the target cap is a hard bound
+            r["_sz"] = (
+                len(r["bytes"]) + len(r["caption"].encode()) + len(r["_meta"])
+            )
+            if cur and cur_bytes + r["_sz"] > self.target:
                 manifest.append(self._write_shard(cur))
                 cur, cur_bytes = [], 0
             cur.append(r)
-            cur_bytes += sz
+            cur_bytes += r["_sz"]
         if cur:
             manifest.append(self._write_shard(cur))
         return pa.Table.from_pylist(manifest, schema=MANIFEST_SCHEMA)
