@@ -857,11 +857,17 @@ def boilerplate_ngrams(sf_dir: str, n: int = 5, min_docs: int = 3) -> rd.Dataset
 
     Scale shape: per-batch combiner emits (ngram, distinct-docs-in-batch,
     occurrences-in-batch) — docs are whole rows, so within-batch distinct is
-    exact — then ONE ngram-hash exchange sums both, and the >= min_docs
-    filter prunes before anything leaves the aggregation. No driver pass,
-    no second scan; the n-gram build is vectorized (shifted pandas str.cat
-    over the flat token stream, doc boundaries masked)."""
-    from ray.data.aggregate import Sum
+    exact — then ONE coarse ngram-hash partition exchange (groupby on
+    n_parts int keys + an in-task pandas fold, the engine's segment-fold
+    template) sums both and prunes with >= min_docs before anything leaves
+    the fold. A direct ``groupby("ngram").aggregate(Sum)`` was measured at
+    113 s at sf0.1: Ray's sort-based shuffle over ~250k mostly-unique long
+    string keys streamed from an unmaterialized map stage plans
+    pathologically; the coarse int-key partition does the same exchange in
+    ~3 s. No driver pass, no second scan; the n-gram build is vectorized
+    (shifted pandas str.cat over the flat token stream, doc boundaries
+    masked)."""
+    n_parts = 32
 
     def partial(df: pd.DataFrame) -> pa.Table:
         toks_per = df["text"].str.strip().str.split()
@@ -870,7 +876,8 @@ def boilerplate_ngrams(sf_dir: str, n: int = 5, min_docs: int = 3) -> rd.Dataset
         if not total:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "nd_p": pa.array([], pa.int64()),
-                             "cnt_p": pa.array([], pa.int64())})
+                             "cnt_p": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
         flat = pd.Series(np.concatenate(toks_per.to_numpy()), dtype=object)
         doc_idx = np.repeat(np.arange(len(df)), lens)
         ng = flat.str.cat([flat.shift(-i) for i in range(1, n)], sep=" ")
@@ -882,27 +889,31 @@ def boilerplate_ngrams(sf_dir: str, n: int = 5, min_docs: int = 3) -> rd.Dataset
         cnt = sub.groupby("ngram", sort=False).agg(
             nd_p=("doc", "nunique"), cnt_p=("doc", "size")
         )
+        part = (
+            pd.util.hash_array(cnt.index.to_numpy(object)) % n_parts
+        ).astype(np.int64)
         return pa.table(
             {"ngram": pa.array(cnt.index, pa.string()),
              "nd_p": pa.array(cnt["nd_p"].to_numpy(dtype=np.int64)),
-             "cnt_p": pa.array(cnt["cnt_p"].to_numpy(dtype=np.int64))}
+             "cnt_p": pa.array(cnt["cnt_p"].to_numpy(dtype=np.int64)),
+             "part": pa.array(part, pa.int64())}
         )
 
-    def finish(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t["nd"], min_docs)
-        t = t.filter(keep)
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(["ngram", "nd_p", "cnt_p"]).to_pandas()
+        g = df.groupby("ngram", sort=False)[["nd_p", "cnt_p"]].sum()
+        g = g[g["nd_p"] >= min_docs]
         return pa.table(
-            {"ngram": t["ngram"],
-             "n_docs": t["nd"].combine_chunks().cast(pa.int64()),
-             "occurrences": t["cnt"].combine_chunks().cast(pa.int64())}
+            {"ngram": pa.array(g.index, pa.string()),
+             "n_docs": pa.array(g["nd_p"].to_numpy(dtype=np.int64)),
+             "occurrences": pa.array(g["cnt_p"].to_numpy(dtype=np.int64))}
         )
 
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pandas")
-        .groupby("ngram")
-        .aggregate(Sum("nd_p", alias_name="nd"), Sum("cnt_p", alias_name="cnt"))
-        .map_batches(finish, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
