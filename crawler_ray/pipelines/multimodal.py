@@ -176,3 +176,56 @@ class VideoFrameSampleStage:
                 "frame_png": pa.array(frame_bytes, pa.binary()),
             }
         )
+
+
+class ImageStatsStage:
+    """bytes → decode → per-image pixel statistics: channel-mean luminance,
+    contrast (luma std), and an 8-bit-histogram entropy. The LAION-style
+    *decoded-pixel* quality gate (`pipelines/packing.filter_images` gates on
+    METADATA only; this stage gates on content — near-uniform images are
+    tracking pixels/placeholders, near-zero-entropy ones are blanks).
+
+    Decode is per-row by nature (codecs are per-buffer); the stats are
+    vectorized numpy per image. Batch-local — zero exchanges; at 100 TB
+    size batches so decode memory (w*h*3 per row) x batch_size fits the
+    worker heap."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lum_mean, lum_std, entropy = [], [], []
+        for data in batch["bytes"].to_pylist():
+            px = decode_image(data, sniff_fmt(data)).astype(np.float64)
+            # ITU-R BT.601 luma
+            luma = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+            lum_mean.append(float(luma.mean()))
+            lum_std.append(float(luma.std()))
+            hist = np.bincount(
+                np.clip(luma, 0, 255).astype(np.uint8).ravel(), minlength=256
+            )
+            p = hist[hist > 0] / luma.size
+            entropy.append(float(-(p * np.log2(p)).sum()))
+        return (
+            batch.append_column("lum_mean", pa.array(lum_mean, pa.float64()))
+            .append_column("lum_std", pa.array(lum_std, pa.float64()))
+            .append_column("entropy", pa.array(entropy, pa.float64()))
+        )
+
+
+def filter_images_by_content(
+    ds, min_std: float = 2.0, min_entropy: float = 1.0
+):
+    """Decoded-pixel quality gate: drop near-uniform (placeholder/tracking)
+    and near-zero-entropy (blank) images. Composes with the metadata gate
+    in ``packing.filter_images``; stats columns stay on the output for
+    downstream reporting."""
+    import pyarrow.compute as pc_
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc_.and_(
+            pc_.greater_equal(t["lum_std"], min_std),
+            pc_.greater_equal(t["entropy"], min_entropy),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(ImageStatsStage(), batch_format="pyarrow").map_batches(
+        gate, batch_format="pyarrow"
+    )
