@@ -137,3 +137,62 @@ def test_fused_selection_matches_library_selection(rows, quota):
         marked = select_per_host(g, quota)
         lib |= set(marked[marked["selected"]]["url"])
     assert fused == lib
+
+
+@given(
+    words=st.lists(st.from_regex(r"[a-z]{1,6}", fullmatch=True), max_size=60),
+    size=st.integers(1, 12),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunkstage_nonoverlapping_reconstructs(words, size):
+    import pandas as pd
+
+    from crawler_ray.pipelines.textops import ChunkStage
+
+    df = pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]})
+    out = ChunkStage(size, size)(df)  # stride == size: a partition
+    if not words:
+        assert len(out) == 0
+        return
+    assert len(out) == -(-len(words) // size)  # ceil
+    assert list(out["chunk_id"]) == list(range(len(out)))
+    # concatenating the chunks reconstructs the token stream exactly
+    assert " ".join(out["chunk"]) == " ".join(words)
+    assert int(out["n_tokens"].sum()) == len(words)
+    assert (out["n_tokens"] == out["chunk"].str.split().str.len()).all()
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.one_of(
+                st.from_regex(r"[a-z]{1,8}", fullmatch=True),
+                st.just("bob@corp.io"),
+                st.just("415-555-0199"),
+                st.just("10.0.0.1"),
+            ),
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_pii_scrub_idempotent_and_counted(texts):
+    import pandas as pd
+
+    from crawler_ray.pipelines.textops import PiiScrubStage
+
+    stage = PiiScrubStage()
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    once = stage(df)
+    # every count equals the number of placeholders inserted
+    assert (once["text_clean"].str.count("<EMAIL>") == once["n_emails"]).all()
+    assert (once["text_clean"].str.count("<PHONE>") == once["n_phones"]).all()
+    assert (once["text_clean"].str.count("<IP>") == once["n_ipv4"]).all()
+    # scrubbing a scrubbed corpus is a no-op with zero counts
+    twice = stage(
+        pd.DataFrame({"doc_id": once["doc_id"], "text": once["text_clean"]})
+    )
+    assert (twice["text_clean"] == once["text_clean"].to_numpy()).all()
+    assert int(twice[["n_emails", "n_phones", "n_ipv4"]].to_numpy().sum()) == 0
