@@ -811,9 +811,15 @@ def doc_top_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
             f"vocabulary {n_terms} terms exceeds the broadcast bound; "
             "use a term-hash partitioned join for open vocabularies"
         )
-    df_ref = ray.put(
-        pa.concat_tables([ray.get(r) for r in df_tbl.to_arrow_refs()])
-    )
+    # Ray's Aggregate can emit zero-COLUMN empty blocks; drop them or
+    # concat_tables raises on the schema mismatch (seen at 50k docs)
+    parts = [
+        p for p in (ray.get(r) for r in df_tbl.to_arrow_refs()) if p.num_columns
+    ]
+    if not parts:
+        parts = [pa.table({"term": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64())})]
+    df_ref = ray.put(pa.concat_tables(parts))
     n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     return docs.map_batches(
         TfIdfTopK,
