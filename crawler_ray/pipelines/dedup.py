@@ -873,7 +873,16 @@ def _distinct_set_pairs(
         .groupby("part")
         .map_groups(first_per_set, batch_format="pyarrow")
         .drop_columns(["part"])
+        .materialize()  # S rows; counted to size the block grid
     )
+    # Adaptive block count: per-pair-block tasks hold ~2x4000 sets, so the
+    # int64 intersection matrix stays ≤ 4000² x 8 B ≈ 128 MiB no matter how
+    # many distinct sets the corpus has (B=4 with S≈50k meant 12.5k² ≈
+    # 1.2 GiB per task — measured 178 s with spills; adaptive B cuts the
+    # same corpus to seconds). Replication is B copies/set — the inherent
+    # quadratic-work/memory trade of the exact path; MinHash remains the
+    # declared open-vocab/large-S route.
+    B = max(B, -(-distinct.count() // 4000))
 
     def explode(t: pa.Table) -> pa.Table:
         # each set joins every block pair containing its block (p ≤ q);
@@ -913,33 +922,47 @@ def _distinct_set_pairs(
              "key_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
+        # Row-chunked pairing: the full n×n union/jac/mask temporaries were
+        # the dominant cost at large S (5× ~100 MiB allocations per group,
+        # measured 3× the matmul time); chunking keeps peak extra memory at
+        # CH×n and the same float64 division semantics (oracle-exact).
+        CH = 512
+
+        def chunked_pairs(la, lm, ls, ra, rm, rs, same: bool):
+            rmT = rm.astype(np.int64).T
+            out_a, out_b, out_j = [], [], []
+            for s0 in range(0, len(la), CH):
+                inter = lm[s0:s0 + CH].astype(np.int64) @ rmT
+                union = np.maximum(
+                    ls[s0:s0 + CH, None] + rs[None, :] - inter, 1
+                )
+                jac = inter / union
+                ai, bi = np.nonzero(jac >= threshold)
+                if same:  # upper triangle incl. the self pair
+                    keep = (s0 + ai) <= bi
+                    ai, bi = ai[keep], bi[keep]
+                out_a.append(la[s0 + ai])
+                out_b.append(ra[bi])
+                out_j.append(np.round(jac[ai, bi], 6))
+            cat = np.concatenate
+            return cat(out_a), cat(out_b), cat(out_j)
+
         if p == q:
             order = np.argsort(ids)
             ids, mat, sizes = ids[order], mat[order], sizes[order]
-            inter = mat.astype(np.int64) @ mat.T.astype(np.int64)
-            union = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
-            jac = inter / union
-            ai, bi = np.nonzero(np.triu(jac >= threshold, k=0))  # self too
+            ka, kb, jv = chunked_pairs(ids, mat, sizes, ids, mat, sizes, True)
         else:
             blk = ids % B
             li, ri = blk == p, blk == q
             if not li.any() or not ri.any():
                 return empty
-            la, lm, ls = ids[li], mat[li], sizes[li]
-            ra, rm, rs = ids[ri], mat[ri], sizes[ri]
-            inter = lm.astype(np.int64) @ rm.T.astype(np.int64)
-            union = np.maximum(ls[:, None] + rs[None, :] - inter, 1)
-            jac = inter / union
-            ai, bi = np.nonzero(jac >= threshold)
-            return pa.table(
-                {"key_a": pa.array(la[ai], pa.int64()),
-                 "key_b": pa.array(ra[bi], pa.int64()),
-                 "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
+            ka, kb, jv = chunked_pairs(
+                ids[li], mat[li], sizes[li], ids[ri], mat[ri], sizes[ri], False
             )
         return pa.table(
-            {"key_a": pa.array(ids[ai], pa.int64()),
-             "key_b": pa.array(ids[bi], pa.int64()),
-             "jaccard": pa.array(np.round(jac[ai, bi], 6), pa.float64())}
+            {"key_a": pa.array(ka, pa.int64()),
+             "key_b": pa.array(kb, pa.int64()),
+             "jaccard": pa.array(jv, pa.float64())}
         )
 
     return (
