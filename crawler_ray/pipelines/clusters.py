@@ -235,7 +235,10 @@ def near_dup_clusters(
     sets, not on doc-level pairs — exact duplicates (the bulk of any real
     near-dup corpus) are contracted to one node each BEFORE the iterative
     rounds, so round cost is bounded by distinct-set count (sf0.1: 190,925
-    doc pairs collapse to a few hundred set nodes; measured 28 s → ~6 s).
+    doc pairs collapse to a few hundred set nodes; measured 28 s → ~2 s
+    after the distinct segment-fold + row-chunked pairing rewrites; a
+    50k-doc corpus whose sets barely contract runs in ~24 s, see
+    BASELINE.md "10× scale smoke").
     Docs rejoin by set_id only once at the end. A component is kept iff it
     contains ≥ 2 docs (a single-doc set with no cross-set edge never pairs
     — mirrors the SQL oracle, where such docs vanish from the pair
