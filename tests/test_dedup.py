@@ -176,3 +176,21 @@ def test_simhash_pairs_sql_hamming_oracle(ray_session, planted_corpus):
     assert len(checked) == len(got)
     assert (checked["hamming"] == checked["exact_h"]).all()
     assert (checked["exact_h"] <= 3).all()
+
+
+def test_jaccard_pairs_block_grid_invariant(ray_session, planted_corpus):
+    """The block-nested-loop set-pair matmul must emit the SAME doc pairs
+    for any block count B (exercises the explode replication pattern, the
+    same-block upper-triangle logic and the row-chunked pairing kernel)."""
+    from crawler_ray.pipelines.dedup import token_jaccard_pairs
+
+    sf, _docs, _truth = planted_corpus
+    results = []
+    for nb in (1, 3, 7):
+        df = token_jaccard_pairs(sf, threshold=0.8, n_blocks=nb).to_pandas()
+        results.append(
+            df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+    for other in results[1:]:
+        pd.testing.assert_frame_equal(results[0], other)
+    assert len(results[0]) > 0  # planted near-dups must appear
