@@ -143,6 +143,33 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_replay(args) -> int:
+    """Batch-replay ingestion: WARC archive(s) → documents-shaped parquet
+    (url, text, n_chars) — the offline twin of the live crawl."""
+    import pyarrow as pa
+
+    _init_ray(args.cpus)
+    from crawler_ray.sources.formats import read_warc
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        texts = [b.decode("utf-8", "replace") for b in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "url": t["warc_target_uri"],
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            }
+        )
+
+    ds = read_warc(args.warc).map_batches(to_docs, batch_format="pyarrow")
+    ds.write_parquet(args.dest)  # one streamed execution; never re-run
+    import pyarrow.dataset as pads
+
+    n = sum(f.count_rows() for f in pads.dataset(args.dest).get_fragments())
+    print(json.dumps({"rows": n, "dest": args.dest}))
+    return 0
+
+
 def cmd_bench_ingest(args) -> int:
     import os
 
@@ -211,6 +238,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="gate: minimum width/height in pixels")
     w.add_argument("--cpus", type=int, default=None)
     w.set_defaults(fn=cmd_pack)
+
+    y = sub.add_parser("replay", help="WARC archive(s) → documents parquet")
+    y.add_argument("--warc", required=True, help="WARC file or directory")
+    y.add_argument("--dest", required=True)
+    y.add_argument("--cpus", type=int, default=None)
+    y.set_defaults(fn=cmd_replay)
 
     b = sub.add_parser("bench-ingest", help="image-frontier ingest benchmark")
     b.add_argument("--images", type=int, default=100_000)
