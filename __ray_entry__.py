@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
         "token_jaccard_pairs": dedup.token_jaccard_pairs,
         "bigram_jaccard_pairs": dedup.bigram_jaccard_pairs,
+        # exact substring-span dedup (duplicate k-token windows removed
+        # corpus-wide — Lee et al. 2022 ExactSubstr, window-hash formulation)
+        "substring_span_dedup": dedup.substring_span_dedup,
         "minhash_near_dup_pairs": dedup.minhash_near_dup_pairs,  # rows-only
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only
         # distributed connected components over the near-dup pair graph
@@ -220,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),
+        "substring_span_dedup": dedup.substring_span_dedup_sql(),
         "bigram_jaccard_pairs": dedup.bigram_jaccard_sql(),
         "near_dup_clusters": clusters.near_dup_clusters_sql(),
         "dedup_survivors": clusters.dedup_survivors_sql(),

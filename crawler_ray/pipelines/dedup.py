@@ -1080,3 +1080,204 @@ JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
 WHERE c / (ca.n + cb.n - c)::DOUBLE >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (duplicate k-token windows removed corpus-wide)
+
+
+def substring_span_dedup(
+    sf_dir: str, k: int = 10, n_parts: int = 32
+) -> rd.Dataset:
+    """Exact substring-span deduplication: every k-token window whose exact
+    token sequence occurs at >= 2 positions corpus-wide (any doc, including
+    self-repetition) is marked, and all covered token positions are removed
+    from each document (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr policy, window-hash formulation
+    instead of a suffix array). Generalizes the reference's exact-key dedup
+    family (SURVEY.md §2.7) from whole-record keys to intra-document spans.
+
+    Output per doc: (doc_id, n_tokens, n_dup_windows, n_removed_tokens,
+    clean_text) where clean_text is the whitespace-normalized text with
+    covered spans dropped.
+
+    Scale shape — two exchanges, both segment-fold template:
+      1. one (window, doc_id, pos) row per token position, vectorized via the
+         shifted str.cat n-gram build; coarse window-hash partition groupby;
+         within each partition an np.unique count over the window STRINGS
+         marks duplicated windows exactly (no 64-bit-hash collision risk).
+      2. marked (doc_id, pos) rows union the texts on a doc-hash partition;
+         per doc a diff-array interval union (np.add.at + cumsum) computes
+         covered positions and rebuilds the clean text.
+    Documented tradeoff: exchange 1 carries ~k x corpus bytes (every token
+    appears in k window strings). The petabyte-scale variant prefilters on
+    slim 64-bit window hashes first and ships strings only for candidate
+    positions (two extra passes, same marking semantics); at any scale the
+    marking itself stays exact because final counts group on strings.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    _WIN_SCHEMA = pa.schema(
+        [("win", pa.string()), ("doc_id", pa.int64()),
+         ("pos", pa.int64()), ("part", pa.int64())]
+    )
+
+    def windows(df: pd.DataFrame) -> pa.Table:
+        toks_per = df["text"].str.strip().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        m = total - (k - 1)
+        if m <= 0:
+            return pa.table(
+                {"win": [], "doc_id": [], "pos": [], "part": []}
+            ).cast(_WIN_SCHEMA)
+        flat = pd.Series(np.concatenate(toks_per.to_numpy()), dtype=object)
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        win = flat.str.cat([flat.shift(-i) for i in range(1, k)], sep=" ")
+        valid = doc_idx[:m] == doc_idx[k - 1:]
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = (np.arange(total) - starts)[:m][valid]
+        sel_win = win.to_numpy()[:m][valid]
+        sel_doc = df["doc_id"].to_numpy()[doc_idx[:m][valid]]
+        part = (pd.util.hash_array(sel_win) % n_parts).astype(np.int64)
+        return pa.table(
+            {"win": pa.array(sel_win, pa.string()),
+             "doc_id": pa.array(sel_doc, pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        ).cast(_WIN_SCHEMA)
+
+    _MARK_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()),
+         ("text", pa.string()), ("part", pa.int64())]
+    )
+
+    def mark(g: pa.Table) -> pa.Table:
+        w = g["win"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(w, return_inverse=True, return_counts=True)
+        dup = cnt[inv] >= 2
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)[dup]
+        pos = g["pos"].to_numpy(zero_copy_only=False)[dup]
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "text": pa.nulls(len(doc), pa.string()),
+             "part": pa.array(doc % n_parts, pa.int64())}
+        ).cast(_MARK_SCHEMA)
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()),
+             "pos": pa.array(np.full(len(doc), -1), pa.int64()),
+             "text": t["text"],
+             "part": pa.array(doc % n_parts, pa.int64())}
+        ).cast(_MARK_SCHEMA)
+
+    _OUT_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_dup_windows", pa.int64()), ("n_removed_tokens", pa.int64()),
+         ("clean_text", pa.string())]
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        is_text = df["text"].notna() | (df["pos"].to_numpy() == -1)
+        texts = df[is_text]
+        marks = df[~is_text]
+        by_doc = {
+            int(d): grp["pos"].to_numpy()
+            for d, grp in marks.groupby("doc_id", sort=False)
+        }
+        out_doc, out_nt, out_ndw, out_nrm, out_clean = [], [], [], [], []
+        for doc_id, text in zip(texts["doc_id"], texts["text"]):
+            toks = (text or "").split()
+            n = len(toks)
+            P = by_doc.get(int(doc_id))
+            if P is None or n == 0:
+                clean, ndw, nrm = " ".join(toks), 0, 0
+            else:
+                P = P.astype(np.int64)
+                delta = np.zeros(n + 1, np.int64)
+                np.add.at(delta, P, 1)
+                np.add.at(delta, np.minimum(P + k, n), -1)
+                covered = np.cumsum(delta[:n]) > 0
+                arr = np.array(toks, object)
+                clean = " ".join(arr[~covered])
+                ndw, nrm = len(P), int(covered.sum())
+            out_doc.append(int(doc_id))
+            out_nt.append(n)
+            out_ndw.append(ndw)
+            out_nrm.append(nrm)
+            out_clean.append(clean)
+        return pa.table(
+            {"doc_id": out_doc, "n_tokens": out_nt,
+             "n_dup_windows": out_ndw, "n_removed_tokens": out_nrm,
+             "clean_text": out_clean}
+        ).cast(_OUT_SCHEMA)
+
+    marked = (
+        docs.map_batches(windows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    texts = docs.map_batches(text_rows, batch_format="pyarrow")
+    return (
+        texts.union(marked)
+        .groupby("part")
+        .map_groups(rebuild, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_tokens", "n_dup_windows", "n_removed_tokens",
+             "clean_text"]
+        )
+    )
+
+
+def substring_span_dedup_sql(k: int = 10) -> str:
+    concat = " || ' ' || ".join(
+        ["tok"] + [f"LEAD(tok, {i}) OVER w" for i in range(1, k)]
+    )
+    return rf"""
+WITH lists AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS tk
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, u.ord, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+wins AS (
+    SELECT doc_id, ord AS pos, {concat} AS win
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    QUALIFY LEAD(tok, {k - 1}) OVER w IS NOT NULL
+),
+dups AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (win)),
+covered AS (
+    SELECT DISTINCT m.doc_id, m.pos + r.j AS ord
+    FROM marked m, UNNEST(range(0, {k})) AS r(j)
+),
+clean AS (
+    SELECT t.doc_id,
+           COALESCE(string_agg(t.tok, ' ' ORDER BY t.ord)
+                    FILTER (WHERE c.ord IS NULL), '') AS clean_text,
+           COUNT(c.ord)::BIGINT AS n_removed_tokens
+    FROM toks t
+    LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.ord = c.ord
+    GROUP BY t.doc_id
+),
+winstats AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows
+    FROM marked GROUP BY doc_id
+)
+SELECT l.doc_id,
+       length(l.tk)::BIGINT AS n_tokens,
+       COALESCE(ws.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       COALESCE(c.n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM lists l
+LEFT JOIN clean c USING (doc_id)
+LEFT JOIN winstats ws USING (doc_id)
+"""

@@ -194,3 +194,60 @@ def test_jaccard_pairs_block_grid_invariant(ray_session, planted_corpus):
     for other in results[1:]:
         pd.testing.assert_frame_equal(results[0], other)
     assert len(results[0]) > 0  # planted near-dups must appear
+
+
+def test_substring_span_dedup_planted(ray_session, tmp_path):
+    """Planted duplicate span: a 12-token run shared verbatim by two docs is
+    removed from BOTH; a self-repeated window inside one doc is removed too;
+    unique text survives untouched."""
+    from crawler_ray.pipelines.dedup import substring_span_dedup
+
+    span = [f"s{i}" for i in range(12)]  # 12 tokens -> 3 dup windows at k=10
+    a_pre, a_post = ["a1", "a2", "a3"], ["a4", "a5"]
+    b_pre, b_post = ["b1"], ["b2", "b3", "b4"]
+    rep = [f"r{i}" for i in range(10)]  # k-token unit repeated twice in doc 3
+    docs = [
+        {"doc_id": 0, "text": " ".join(a_pre + span + a_post)},
+        {"doc_id": 1, "text": " ".join(b_pre + span + b_post)},
+        {"doc_id": 2, "text": " ".join(f"u{i}" for i in range(30))},
+        {"doc_id": 3, "text": " ".join(rep + ["mid"] + rep)},
+    ]
+    pq.write_table(pa.Table.from_pylist(docs), f"{tmp_path}/documents.parquet")
+    out = (
+        substring_span_dedup(str(tmp_path), k=10)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # the shared 12-token span (3 windows each) vanishes from both docs
+    assert out.loc[0, "clean_text"] == " ".join(a_pre + a_post)
+    assert out.loc[1, "clean_text"] == " ".join(b_pre + b_post)
+    assert int(out.loc[0, "n_dup_windows"]) == 3
+    assert int(out.loc[0, "n_removed_tokens"]) == 12
+    # unique doc untouched
+    assert out.loc[2, "clean_text"] == docs[2]["text"]
+    assert int(out.loc[2, "n_removed_tokens"]) == 0
+    # both copies of the self-repeated window are removed; 'mid' survives
+    assert out.loc[3, "clean_text"] == "mid"
+    assert int(out.loc[3, "n_removed_tokens"]) == 20
+
+
+def test_substring_span_dedup_parallelism_invariant(ray_session, planted_corpus):
+    """Identical output at two partition counts (exchange-shape invariance)."""
+    from crawler_ray.pipelines.dedup import substring_span_dedup
+
+    sf_dir, _, _ = planted_corpus
+    a = (
+        substring_span_dedup(sf_dir, k=10, n_parts=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        substring_span_dedup(sf_dir, k=10, n_parts=17)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_removed_tokens"] > 0).any(), "fixture must contain dup spans"
