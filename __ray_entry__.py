@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textops.lang_distribution,
         "doc_lang_id": textops.doc_lang_id,
         "doc_quality_scores": textops.doc_quality_scores,
+        # batched model-scoring archetype: hashing-trick linear classifier
+        "doc_classifier_scores": textops.doc_classifier_scores,
         "doc_bpe_token_count": textops.doc_bpe_token_count,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
         "doc_repetition_metrics": textops.doc_repetition_metrics,
@@ -202,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": textops.LANG_DISTRIBUTION_SQL,
         "doc_lang_id": textops.doc_lang_id_sql(),
         "doc_quality_scores": textops.doc_quality_sql(),
+        "doc_classifier_scores": textops.doc_classifier_sql(),
         "doc_bpe_token_count": textops.DOC_BPE_TOKENS_SQL,
         "doc_repetition_metrics": textops.doc_repetition_sql(),
         "doc_benchmark_overlap": textops.doc_benchmark_overlap_sql(),

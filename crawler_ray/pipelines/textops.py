@@ -1492,3 +1492,87 @@ FROM pos a JOIN pos b
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_count}
 """
+
+
+# --------------------------------------------------------------------------
+# Model-scoring archetype: hashing-trick linear classifier inference
+# --------------------------------------------------------------------------
+
+
+class HashingTrickScorer:
+    """Quality-classifier INFERENCE over text — the batched model-scoring
+    archetype of a curation pipeline (fastText/VW-style linear model). The
+    model uses the hashing trick: each token's weight derives from
+    md5(token) on the fly, so the "model" ships as three integer constants
+    and scoring needs no weight broadcast at ANY vocabulary size (the
+    broadcast-table variant is ``doc_top_tfidf``'s DF handling). Integer
+    margins -> results independent of batch split and summation order.
+
+    Per-batch: flat token stream -> pd.factorize -> md5 per DISTINCT token
+    only -> weight take -> per-doc segment sum (np.add.at). Actor state is
+    just the constants; the md5 work is bounded by distinct tokens per
+    batch."""
+
+    def __init__(self, bias: int = 3, mod: int = 21, off: int = 10):
+        import hashlib
+
+        self.bias, self.mod, self.off = bias, mod, off
+        self._md5 = hashlib.md5
+
+    def _weight(self, uniq: np.ndarray) -> np.ndarray:
+        return np.array(
+            [
+                int(self._md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                % self.mod - self.off
+                for t in uniq
+            ],
+            dtype=np.int64,
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks_per = df["text"].str.strip().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        margins = np.full(len(df), self.bias, dtype=np.int64)
+        if int(lens.sum()):
+            flat = np.concatenate(toks_per.to_numpy())
+            codes, uniq = pd.factorize(flat)
+            doc_idx = np.repeat(np.arange(len(df)), lens)
+            np.add.at(margins, doc_idx, self._weight(uniq)[codes])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "margin": margins,
+                "keep": margins > 0,
+            }
+        )
+
+
+def doc_classifier_scores(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        HashingTrickScorer(), batch_format="pandas"
+    )
+
+
+def doc_classifier_sql(bias: int = 3, mod: int = 21, off: int = 10) -> str:
+    return rf"""
+WITH lists AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS tk
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+m AS (
+    SELECT doc_id,
+           SUM(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+               % {mod} - {off})::BIGINT AS s
+    FROM toks GROUP BY doc_id
+)
+SELECT l.doc_id,
+       ({bias} + COALESCE(m.s, 0))::BIGINT AS margin,
+       ({bias} + COALESCE(m.s, 0)) > 0 AS keep
+FROM lists l LEFT JOIN m USING (doc_id)
+"""

@@ -390,3 +390,29 @@ def test_token_cooccurrence_window(ray_session, tmp_path):
     exp2 = con.sql(token_cooccurrence_sql(window=2, min_count=3)).df()
     _assert_same(got2, exp2)
     assert set(map(tuple, got2[["tok_a", "tok_b"]].values)) == {("a", "b"), ("x", "x")}
+
+
+def test_hashing_trick_scorer_known_values(ray_session, tmp_path):
+    """Margins are bias + sum of md5-derived token weights; empty docs score
+    exactly the bias; weights count multiplicity."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.textops import doc_classifier_scores
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 21 - 10
+
+    docs = [
+        {"doc_id": 0, "text": "key agg key"},
+        {"doc_id": 1, "text": "   "},
+        {"doc_id": 2, "text": "spark"},
+    ]
+    pq.write_table(pa.Table.from_pylist(docs), f"{tmp_path}/documents.parquet")
+    out = doc_classifier_scores(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert int(out.loc[0, "margin"]) == 3 + 2 * w("key") + w("agg")
+    assert int(out.loc[1, "margin"]) == 3
+    assert int(out.loc[2, "margin"]) == 3 + w("spark")
+    assert bool(out.loc[2, "keep"]) == (3 + w("spark") > 0)
