@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_sample_docs": textops.balanced_sample_docs,
         # windowed token co-occurrence counts (PMI statistics)
         "token_cooccurrence": textops.token_cooccurrence,
+        # deterministic seeded global shuffle rank (training-order export)
+        "shuffled_export": textops.shuffled_export,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
@@ -220,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": textops.DOC_PII_SCRUB_SQL,
         "balanced_sample_docs": textops.BALANCED_SAMPLE_SQL,
         "token_cooccurrence": textops.token_cooccurrence_sql(),
+        "shuffled_export": textops.shuffled_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

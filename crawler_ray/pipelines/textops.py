@@ -1576,3 +1576,85 @@ SELECT l.doc_id,
        ({bias} + COALESCE(m.s, 0)) > 0 AS keep
 FROM lists l LEFT JOIN m USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic seeded global shuffle (training-order export)
+# --------------------------------------------------------------------------
+
+
+def shuffled_export(sf_dir: str, seed: int = 42) -> rd.Dataset:
+    """Deterministic seeded GLOBAL SHUFFLE rank — the training-order export
+    step (every epoch wants the corpus in a reproducible pseudorandom
+    permutation). The permutation key is md5(seed ':' doc_id), so re-runs,
+    resumes and the SQL twin pick the identical order; contrast with
+    ``Dataset.random_shuffle`` whose layout depends on block structure.
+
+    Shape: the global rank is distributed ORDER STATISTICS, not a global
+    sort: md5 keys are uniform, so the first key byte range-partitions the
+    key space into 256 ordered buckets. Pass 1 folds per-bucket counts
+    (combiner per batch; only the 256-row aggregate reaches the driver,
+    which turns it into exclusive prefix offsets — the doc_pack_spans
+    pattern). Pass 2 sorts WITHIN each bucket and adds the bucket's offset.
+    Both passes read only the doc_id column."""
+    import hashlib
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        skey = np.array(
+            [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        bucket = np.array([int(s[:2], 16) for s in skey], dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "skey": skey, "bucket": bucket})
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = keyed(df).groupby("bucket", sort=False).size()
+        return pd.DataFrame(
+            {"bucket": g.index.to_numpy(np.int64),
+             "cnt": g.to_numpy(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id"])
+    counts = (
+        ds.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    counts = counts.sort_values("bucket")
+    offsets = dict(
+        zip(
+            counts["bucket"].to_numpy(np.int64),
+            np.cumsum(counts["cnt"].to_numpy(np.int64))
+            - counts["cnt"].to_numpy(np.int64),
+        )
+    )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "doc_id"], kind="mergesort")
+        base = offsets[int(g["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shuffle_rank": base + np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def shuffled_export_sql(seed: int = 42) -> str:
+    return f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+           ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), doc_id
+       )::BIGINT AS shuffle_rank
+FROM documents
+"""

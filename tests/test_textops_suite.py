@@ -416,3 +416,18 @@ def test_hashing_trick_scorer_known_values(ray_session, tmp_path):
     assert int(out.loc[1, "margin"]) == 3
     assert int(out.loc[2, "margin"]) == 3 + w("spark")
     assert bool(out.loc[2, "keep"]) == (3 + w("spark") > 0)
+
+
+def test_shuffled_export_is_permutation_and_seed_sensitive(ray_session):
+    from crawler_ray.pipelines.textops import shuffled_export
+
+    sf = "/root/testdata/sf0.001"
+    a = shuffled_export(sf, seed=42).to_pandas().sort_values("doc_id")
+    # ranks form an exact 1..n permutation
+    assert sorted(a["shuffle_rank"]) == list(range(1, len(a) + 1))
+    # deterministic across runs
+    b = shuffled_export(sf, seed=42).to_pandas().sort_values("doc_id")
+    assert (a.to_numpy() == b.to_numpy()).all()
+    # a different seed yields a different permutation
+    c = shuffled_export(sf, seed=43).to_pandas().sort_values("doc_id")
+    assert (a["shuffle_rank"].to_numpy() != c["shuffle_rank"].to_numpy()).any()
