@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact substring-span dedup (duplicate k-token windows removed
         # corpus-wide — Lee et al. 2022 ExactSubstr, window-hash formulation)
         "substring_span_dedup": dedup.substring_span_dedup,
+        # incremental-refresh snapshot delta (added/removed/changed docs)
+        "corpus_diff": dedup.corpus_diff,
         "minhash_near_dup_pairs": dedup.minhash_near_dup_pairs,  # rows-only
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only
         # distributed connected components over the near-dup pair graph
@@ -230,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),
         "substring_span_dedup": dedup.substring_span_dedup_sql(),
+        "corpus_diff": dedup.CORPUS_DIFF_SQL,
         "bigram_jaccard_pairs": dedup.bigram_jaccard_sql(),
         "near_dup_clusters": clusters.near_dup_clusters_sql(),
         "dedup_survivors": clusters.dedup_survivors_sql(),

@@ -1281,3 +1281,102 @@ FROM lists l
 LEFT JOIN clean c USING (doc_id)
 LEFT JOIN winstats ws USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental-refresh snapshot delta (corpus versioning)
+
+
+def corpus_diff(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Delta between two corpus snapshots: which docs were ADDED, REMOVED,
+    CHANGED or UNCHANGED since the previous crawl. Models the reference's
+    delete-before-insert refresh semantics (ShiweijiaProduct.cs:57,68 —
+    SURVEY.md §2.7 "refresh = except/overwrite by key") as an auditable
+    delta instead of a blind overwrite — the step an incremental recrawl
+    pipeline runs before deciding what to re-embed/re-train on.
+
+    The two snapshots are deterministic views of the documents table
+    (stand-ins for "previous crawl" / "this crawl"; the real pipeline reads
+    two checkpointed table versions): the previous snapshot lacks docs with
+    doc_id % 7 == 3 (these were added since), carries stale text for
+    doc_id % 5 == 2 (changed since), and the new snapshot dropped
+    doc_id % 11 == 4 (removed since).
+
+    Shape: each side emits slim (doc_id, side, content-md5) rows with a
+    per-batch md5 over the text column; ONE coarse doc-hash partition
+    exchange; a per-partition vectorized pandas pivot assigns the status.
+    No broadcast, no driver state — both snapshots stream."""
+
+    def side_rows(side: int, stale_mod: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy()
+            if side == 0:
+                keep = ids % 7 != 3
+            else:
+                keep = ids % 11 != 4
+            df = df[keep]
+            ids = ids[keep]
+            texts = df["text"]
+            if stale_mod:
+                stale = ids % 5 == 2
+                texts = texts.where(~stale, texts + " OLD")
+            h = [
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
+            ]
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "side": np.full(len(ids), side, np.int64),
+                    "h": h,
+                    "part": (ids % n_parts).astype(np.int64),
+                }
+            )
+
+        return fn
+
+    docs_a = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        side_rows(0, stale_mod=True), batch_format="pandas"
+    )
+    docs_b = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        side_rows(1, stale_mod=False), batch_format="pandas"
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(
+            index="doc_id", columns="side", values="h", aggfunc="first"
+        ).reindex(columns=[0, 1])
+        status = np.where(
+            p[0].isna(), "added",
+            np.where(
+                p[1].isna(), "removed",
+                np.where(p[0] != p[1], "changed", "unchanged"),
+            ),
+        )
+        return pd.DataFrame(
+            {"doc_id": p.index.to_numpy(np.int64), "status": status}
+        )
+
+    return (
+        docs_a.union(docs_b)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .select_columns(["doc_id", "status"])
+    )
+
+
+CORPUS_DIFF_SQL = """
+WITH a AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 2 THEN text || ' OLD' ELSE text END) AS h
+    FROM documents WHERE doc_id % 7 <> 3
+),
+b AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 4
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""

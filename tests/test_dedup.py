@@ -251,3 +251,25 @@ def test_substring_span_dedup_parallelism_invariant(ray_session, planted_corpus)
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_removed_tokens"] > 0).any(), "fixture must contain dup spans"
+
+
+def test_corpus_diff_statuses(ray_session):
+    """Every status class is populated and matches the defining modular
+    rules of the two snapshot views."""
+    from crawler_ray.pipelines.dedup import corpus_diff
+
+    out = corpus_diff("/root/testdata/sf0.001").to_pandas()
+    st = out.set_index("doc_id")["status"]
+    ids = st.index.to_numpy()
+    assert set(st.unique()) == {"added", "removed", "changed", "unchanged"}
+    assert (st[ids % 7 == 3] == "added").all()
+    mask_removed = (ids % 11 == 4) & (ids % 7 != 3)
+    assert (st[mask_removed] == "removed").all()
+    mask_changed = (ids % 5 == 2) & (ids % 7 != 3) & (ids % 11 != 4)
+    assert (st[mask_changed] == "changed").all()
+    # docs absent from BOTH snapshots must not appear in the delta at all
+    all_ids = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    both_gone = all_ids[(all_ids % 7 == 3) & (all_ids % 11 == 4)]
+    assert not np.isin(both_gone, ids).any()
