@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # SemDeDup-style semantic clusters (same CC engine, embedding edges)
         "embedding_dedup_clusters": clusters.embedding_dedup_clusters,
+        # image duplicate clusters: real decode->phash plumbing + banded
+        # Hamming pairs + the same CC engine (rows-only: pixel synthesis)
+        "image_dup_clusters": clusters.image_dup_clusters,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)

@@ -472,3 +472,70 @@ SELECT d.doc_id, LENGTH(d.text)::BIGINT AS n_chars
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM memb WHERE doc_id <> cluster_id)
 """
+
+
+def image_dup_clusters(
+    sf_dir: str,
+    max_hamming: int = 6,
+    seed: int = 42,
+    n_buckets: int = 8,
+) -> rd.Dataset:
+    """IMAGE duplicate clusters: connected components over the phash
+    near-dup pair graph — the image-side twin of :func:`near_dup_clusters`
+    (same CC engine, edges from ``reports.images_phash_near_dups``'s
+    single-exchange banded walk). The full real plumbing runs per image:
+    synthesize → encode → sniff → decode → DCT phash64.
+
+    The corpus is a deterministic function of the documents table's doc_ids
+    (the sandbox stand-in for a crawled images table; a real run reads the
+    crawl's Lance images output): one image per doc, with planted EXACT
+    duplicates (doc_id % 10 == 1 reuses its neighbor's content) and planted
+    NEAR duplicates (doc_id % 10 == 6 perturbs its neighbor's pixels before
+    encoding — phash lands within Hamming ≤ 2, unrelated images sit ~24
+    apart). Expected clusters are therefore {10k, 10k+1, (10k+5, 10k+6)}
+    triples of pairs, asserted exactly in tests; the driver check is
+    rows-only (pixel synthesis is not SQL-expressible)."""
+    from crawler_ray.functions.codecs import decode_image, encode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import make_pixels
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_phash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_ph = np.empty(len(ids), np.int64)
+        for i, d in enumerate(ids):
+            d = int(d)
+            base = d - 1 if d % 10 in (1, 6) else d
+            px = make_pixels(f"img{base}", 32, 32, seed)
+            if d % 10 == 6:
+                px = px.copy()
+                px[::7, ::5] ^= 3
+            data = encode_image(px, "png")
+            out_ph[i] = phash64(decode_image(data, sniff_fmt(data)))
+        return pa.table(
+            {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),
+             "phash": pa.array(out_ph, pa.int64())}
+        )
+
+    images = docs.map_batches(synth_phash, batch_format="pyarrow")
+    pairs = images_phash_near_dups(images, max_hamming=max_hamming)
+
+    def to_int_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"img_a": pc.cast(t["img_a"], pa.int64()),
+             "img_b": pc.cast(t["img_b"], pa.int64())}
+        )
+
+    edges = pairs.map_batches(to_int_edges, batch_format="pyarrow")
+    cc = connected_components(edges, src="img_a", dst="img_b", n_buckets=n_buckets)
+    labeled = cc.map_batches(
+        lambda t: pa.table(
+            {"image_id": t["node"].cast(pa.int64()),
+             "lab": t["lab"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _labels_to_clusters(labeled, "image_id", n_buckets)

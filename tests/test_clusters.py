@@ -135,3 +135,32 @@ def test_near_dup_clusters_oracle(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(surv[exp_surv.columns], exp_surv, check_dtype=True)
     assert set(surv["doc_id"]) == {1, 4, 6, 7}
+
+
+def test_image_dup_clusters_planted(ray_session):
+    """Planted exact-dup (10k, 10k+1) and near-dup (10k+5, 10k+6) image
+    pairs are recovered as exactly the expected 2-clusters; nothing else
+    clusters (unrelated phashes sit ~24 bits apart vs max_hamming=6)."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.clusters import image_dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    out = image_dup_clusters(sf).to_pandas()
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    expected = set()
+    for d in ids:
+        d = int(d)
+        if d % 10 == 1 and d - 1 in ids:
+            expected |= {(d - 1, d - 1), (d, d - 1)}
+        if d % 10 == 6 and d - 1 in ids:
+            expected |= {(d - 1, d - 1), (d, d - 1)}
+    got = {
+        (int(r.image_id), int(r.cluster_id)) for r in out.itertuples()
+    }
+    assert got == expected
+    assert (out["cluster_size"] == 2).all()
