@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable MRL quantile sketches per event type (rows-only; the
         # exact-quantile twin is lineitem_price_quantiles)
         "event_value_quantiles": events.event_value_quantiles,
+        # Count-Min point-frequency sketches (4th sketch family member;
+        # rows-only — error bound asserted vs exact in tests)
+        "user_event_counts_cms": events.user_event_counts_cms,
         # text analysis (documents)
         "doc_token_stats": textops.doc_token_stats,
         "doc_punct_ratio": textops.doc_punct_ratio,

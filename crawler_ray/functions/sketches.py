@@ -240,3 +240,90 @@ class MRLQuantile:
             )
             off += 8 * ln
         return obj
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth`` x ``width``
+    counter grid; point estimate = min over rows. Completes the mergeable
+    sketch family beside HLL (distinct), Misra-Gries (frequent items) and
+    MRL (quantiles).
+
+    Guarantees for a stream of total weight N with width w = ceil(e/eps) and
+    depth d = ceil(ln(1/delta)): estimate(x) >= true(x) always (counters
+    only overcount), and estimate(x) <= true(x) + eps*N with probability
+    >= 1 - delta. Merge = elementwise counter sum, which preserves both
+    bounds exactly (Agarwal et al. 2013) — so per-batch sketches inside
+    ``map_batches`` combine associatively.
+
+    Hashing: one md5-derived 64-bit value per item, then ``depth``
+    multiply-shift row hashes from fixed odd constants — deterministic
+    across processes and batch splits."""
+
+    _A = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+         0xA24BAED4963EE407, 0x9FB21C651E98DF25],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        if not (1 <= depth <= len(self._A)):
+            raise ValueError(f"depth must be in 1..{len(self._A)}")
+        self.width, self.depth = width, depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        # (depth, len(h)) column indices via multiply-shift
+        prod = h[None, :] * self._A[: self.depth, None]
+        return ((prod >> np.uint64(17)) % np.uint64(self.width)).astype(
+            np.int64
+        )
+
+    def add(self, values, counts=None) -> "CountMin":
+        values = np.asarray(values)
+        if counts is None:
+            values, counts = np.unique(values, return_counts=True)
+        counts = np.asarray(counts, dtype=np.int64)
+        h = md5_u64_batch(values.astype(str))
+        idx = self._rows(h)
+        for r in range(self.depth):
+            np.add.at(self.table[r], idx[r], counts)
+        self.n += int(counts.sum())
+        return self
+
+    def estimate(self, values) -> np.ndarray:
+        values = np.asarray(values)
+        h = md5_u64_batch(values.astype(str))
+        idx = self._rows(h)
+        ests = np.stack(
+            [self.table[r][idx[r]] for r in range(self.depth)]
+        )
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("sketch shapes differ")
+        out = CountMin(self.width, self.depth)
+        out.table = self.table + other.table
+        out.n = self.n + other.n
+        return out
+
+    def serialize(self) -> bytes:
+        import struct
+
+        return struct.pack("<qqq", self.width, self.depth, self.n) + (
+            self.table.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CountMin":
+        import struct
+
+        w, d, n = struct.unpack_from("<qqq", data, 0)
+        obj = cls(w, d)
+        obj.n = n
+        obj.table = (
+            np.frombuffer(data[24:], dtype="<i8").reshape(d, w).copy()
+        )
+        return obj

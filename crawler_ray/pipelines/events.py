@@ -360,3 +360,64 @@ def event_value_quantiles(
         .groupby("event_type")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def user_event_counts_cms(
+    sf_dir: str, width: int = 4096, depth: int = 4, top: int = 50
+) -> rd.Dataset:
+    """Approximate per-USER event counts via mergeable Count-Min sketches —
+    the point-frequency member of the sketch family (HLL distinct, MG
+    frequent items, MRL quantiles). One sketch per batch in map_batches;
+    merge = elementwise counter sum in a single-group final fold; only the
+    fixed-size grids cross the exchange, never user ids. The ``top``
+    highest-traffic users (found with the existing Misra-Gries pass) are
+    then point-queried against the merged sketch. Rows-only driver check
+    (approximate); the one-sided error bound (est >= true, est <= true +
+    eps*N) is asserted vs exact in tests."""
+    import numpy as np
+
+    from crawler_ray.functions.sketches import CountMin, MisraGries
+
+    ds = _read_events(sf_dir, ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cm = CountMin(width, depth)
+        mg = MisraGries(4 * top)
+        ids = df["user_id"].astype(str).to_numpy()
+        vals, cnts = np.unique(ids, return_counts=True)
+        cm.add(vals, cnts)
+        mg.add(vals, cnts)
+        import pickle
+
+        return pd.DataFrame(
+            {"part": [0], "cm": [cm.serialize()],
+             "mg": [pickle.dumps(mg.items())]}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        cm = CountMin.deserialize(g["cm"].iloc[0])
+        mg = MisraGries(4 * top)
+        mg.add(list(pickle.loads(g["mg"].iloc[0]).keys()),
+               list(pickle.loads(g["mg"].iloc[0]).values()))
+        for cm_b, mg_b in zip(g["cm"].iloc[1:], g["mg"].iloc[1:]):
+            cm = cm.merge(CountMin.deserialize(cm_b))
+            items = pickle.loads(mg_b)
+            mg.add(list(items.keys()), list(items.values()))
+        cand = sorted(
+            mg.items().items(), key=lambda kv: (-kv[1], kv[0])
+        )[:top]
+        users = np.array([u for u, _ in cand], dtype=object)
+        est = cm.estimate(users)
+        order = np.lexsort((users.astype(str), -est))
+        return pd.DataFrame(
+            {"user_id": users[order],
+             "approx_events": est[order].astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

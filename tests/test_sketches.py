@@ -126,3 +126,52 @@ def test_event_value_quantiles_accuracy(ray_session):
         ).fetchone()[0]
         n = counts[r.event_type]
         assert abs(rank / n - r.q) < 0.03, (r.event_type, r.q, rank / n)
+
+
+def test_count_min_bounds_and_merge():
+    """est >= true always; est <= true + eps*N on a Zipf stream; merging two
+    sketches equals sketching the concatenated stream exactly."""
+    import numpy as np
+
+    from crawler_ray.functions.sketches import CountMin
+
+    rng = np.random.default_rng(7)
+    stream = (rng.zipf(1.5, size=20000) % 500).astype(str)
+    width, depth = 2048, 4
+    eps = np.e / width
+    vals, true = np.unique(stream, return_counts=True)
+
+    cm = CountMin(width, depth).add(stream)
+    est = cm.estimate(vals)
+    assert (est >= true).all()
+    assert (est <= true + eps * len(stream)).all()
+
+    a = CountMin(width, depth).add(stream[:9000])
+    b = CountMin(width, depth).add(stream[9000:])
+    merged = a.merge(b)
+    assert (merged.table == cm.table).all()
+    assert merged.n == cm.n
+
+    # serialize roundtrip is exact
+    rt = CountMin.deserialize(cm.serialize())
+    assert (rt.table == cm.table).all() and rt.n == cm.n
+
+
+def test_user_event_counts_cms_pipeline(ray_session):
+    """Pipeline estimates obey the one-sided CMS bound vs exact counts."""
+    import duckdb
+
+    from crawler_ray.pipelines.events import user_event_counts_cms
+
+    sf = "/root/testdata/sf0.001"
+    out = user_event_counts_cms(sf).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT CAST(user_id AS VARCHAR) u, COUNT(*) c "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).df().set_index("u")["c"]
+    n = int(exact.sum())
+    eps = __import__("numpy").e / 4096
+    for uid, est in zip(out["user_id"], out["approx_events"]):
+        t = int(exact.loc[str(uid)])
+        assert est >= t
+        assert est <= t + eps * n
