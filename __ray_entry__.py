@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order_join": joins.events_asof_order_join,
         "user_events_next_hour": joins.user_events_next_hour,
         "customers_without_urgent_orders": joins.customers_without_urgent_orders,
+        # LEFT OUTER join aggregate (zeros preserved, one fused exchange)
+        "customer_order_counts": joins.customer_order_counts,
         "top_users_by_value": events.top_users_by_value,
         "token_vocabulary": textops.token_vocabulary,
         # relational core (SURVEY.md §2.4-2.7 semantics over TPC-H-ish tables)
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_order_join": joins.EVENTS_ASOF_SQL,
         "user_events_next_hour": joins.USER_EVENTS_NEXT_HOUR_SQL,
         "customers_without_urgent_orders": joins.CUSTOMERS_WITHOUT_URGENT_SQL,
+        "customer_order_counts": joins.CUSTOMER_ORDER_COUNTS_SQL,
         "top_users_by_value": events.TOP_USERS_SQL,
         "token_vocabulary": textops.TOKEN_VOCABULARY_SQL,
         "q1_pricing_summary": relational.Q1_SQL,

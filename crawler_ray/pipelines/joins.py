@@ -487,3 +487,108 @@ WHERE NOT EXISTS (
     WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# partitioned LEFT OUTER join aggregate
+
+
+def customer_order_counts(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Every customer with order count and total spend, ZEROS preserved for
+    customers with no orders — the LEFT OUTER member of the join-verb family
+    (inner = ``partitioned_hash_join``, anti = NOT EXISTS, as-of, range).
+
+    Shape: orders collapse to per-batch (custkey, n, cents) partials BEFORE
+    any exchange (combiner-first, integer cents so block split and
+    accumulation order cannot flip values); customers and partials co-locate
+    on ONE custkey-hash partition; the per-partition fold sums partials and
+    left-attaches with zero fill. No second exchange and no padded null
+    blowup — the unmatched side is filled in-task."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        target_rows_per_block=8192,
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+        target_rows_per_block=8192,
+    )
+
+    _SCHEMA = pa.schema(
+        [("key", pa.int64()), ("c_name", pa.string()),
+         ("n", pa.int64()), ("cents", pa.int64()),
+         ("part", pa.int64())]
+    )
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy()
+        return pa.table(
+            {"key": t["c_custkey"], "c_name": t["c_name"],
+             "n": pa.nulls(t.num_rows, pa.int64()),
+             "cents": pa.nulls(t.num_rows, pa.int64()),
+             "part": pa.array((key % n_parts).astype(np.int64), pa.int64())}
+        ).cast(_SCHEMA)
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"key": t["o_custkey"].to_numpy(),
+             "cents": np.round(t["o_totalprice"].to_numpy() * 100)
+             .astype(np.int64)}
+        )
+        g = df.groupby("key", sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        ).reset_index()
+        keys = g["key"].to_numpy(np.int64)
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "c_name": pa.nulls(len(g), pa.string()),
+             "n": pa.array(g["n"].to_numpy(np.int64)),
+             "cents": pa.array(g["cents"].to_numpy(np.int64)),
+             "part": pa.array((keys % n_parts).astype(np.int64), pa.int64())}
+        ).cast(_SCHEMA)
+
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("n_orders", pa.int64()), ("total_spend", pa.float64())]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        is_cust = pa.compute.is_valid(g["c_name"])
+        cg = g.filter(is_cust).select(["key", "c_name"]).to_pandas()
+        og = g.filter(pa.compute.invert(is_cust)).select(
+            ["key", "n", "cents"]
+        ).to_pandas()
+        agg = og.groupby("key", sort=False)[["n", "cents"]].sum()
+        m = cg.merge(agg, left_on="key", right_index=True, how="left")
+        n = m["n"].fillna(0).astype(np.int64)
+        cents = m["cents"].fillna(0).astype(np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"c_custkey": m["key"].astype(np.int64),
+                 "c_name": m["c_name"],
+                 "n_orders": n,
+                 "total_spend": cents / 100.0}
+            ),
+            schema=out_schema, preserve_index=False,
+        )
+
+    return (
+        cust.map_batches(prep_cust, batch_format="pyarrow")
+        .union(orders.map_batches(prep_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .select_columns(["c_custkey", "c_name", "n_orders", "total_spend"])
+    )
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(o.n, 0)::BIGINT AS n_orders,
+       COALESCE(o.cents, 0) / 100.0 AS total_spend
+FROM customer c LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""

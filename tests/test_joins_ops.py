@@ -198,3 +198,25 @@ def test_rolling_spend_boundaries(ray_session, tmp_path):
         "o_orderkey").reset_index(drop=True)[got.columns]
     pd.testing.assert_frame_equal(got, exp)
     assert got["rolling3_spend"].tolist() == [1.0, 2.0, 5.0, 1.11, 3.33, 7.77, 15.54]
+
+
+def test_customer_order_counts_zero_fill(ray_session):
+    """Customers with no orders appear with exact zeros (the LEFT-ness)."""
+    import duckdb
+
+    from crawler_ray.pipelines.joins import customer_order_counts
+
+    sf = "/root/testdata/sf0.001"
+    out = customer_order_counts(sf).to_pandas()
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchone()[0]
+    assert len(out) == n_cust
+    orderless = duckdb.sql(
+        f"""SELECT COUNT(*) FROM read_parquet('{sf}/customer.parquet') c
+            WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+                              WHERE o.o_custkey = c.c_custkey)"""
+    ).fetchone()[0]
+    zeros = out[out["n_orders"] == 0]
+    assert len(zeros) == orderless
+    assert (zeros["total_spend"] == 0.0).all()
