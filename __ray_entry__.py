@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": relational.lineitem_price_quantiles,
         # ROWS-window rolling aggregate (one partition exchange + cumsum)
         "customer_rolling_spend": relational.customer_rolling_spend,
+        # LAG window: days since previous order (NULL on firsts)
+        "customer_order_gaps": relational.customer_order_gaps,
         # hierarchical ROLLUP subtotals (re-aggregate the finest level)
         "revenue_rollup": relational.revenue_rollup,
         "distinct_event_types": relational.distinct_event_types,
@@ -237,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,
+        "customer_order_gaps": relational.CUSTOMER_ORDER_GAPS_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,
         "token_jaccard_pairs": dedup.token_jaccard_sql(),

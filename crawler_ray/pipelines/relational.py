@@ -718,3 +718,59 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
+
+
+def customer_order_gaps(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """LAG window: per customer, days since the PREVIOUS order in
+    (o_orderdate, o_orderkey) order — NULL (NaN) for each customer's first
+    order. Completes the window-verb family beside the ROWS-frame rolling
+    sum (``customer_rolling_spend``): LAG/LEAD only need their partition
+    co-located, so the shape is identical — ONE customer-hash exchange +
+    a vectorized per-partition lexsort/diff (no per-customer tasks).
+
+    The gap is emitted as DOUBLE days from integer microsecond diffs
+    (exactly representable — both sides divide the same int by 86400e6, so
+    the driver's exact hash compare holds)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        return t.append_column(
+            "part", pa.array((cust % n_parts).astype(np.int64), pa.int64())
+        )
+
+    def window(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        date = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, date, cust))
+        cust, key, date = cust[order], key[order], date[order]
+        gap = np.empty(len(cust), np.float64)
+        gap[0] = np.nan
+        if len(cust) > 1:
+            same = cust[1:] == cust[:-1]
+            gap[1:] = np.where(
+                same, (date[1:] - date[:-1]) / 86400e6, np.nan
+            )
+        return pa.table(
+            {"o_orderkey": pa.array(key, pa.int64()),
+             "o_custkey": pa.array(cust, pa.int64()),
+             "gap_days": pa.array(gap, pa.float64(), from_pandas=True)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window, batch_format="pyarrow")
+        .select_columns(["o_orderkey", "o_custkey", "gap_days"])
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+SELECT o_orderkey, o_custkey,
+       (epoch_us(o_orderdate)
+        - LAG(epoch_us(o_orderdate)) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          )) / 86400e6 AS gap_days
+FROM orders
+"""
