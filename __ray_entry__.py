@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         joins,
+        multimodal,
         relational,
         similarity,
         textops,
@@ -174,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image duplicate clusters: real decode->phash plumbing + banded
         # Hamming pairs + the same CC engine (rows-only: pixel synthesis)
         "image_dup_clusters": clusters.image_dup_clusters,
+        # CLIP-style image-caption alignment gate (rows-only: two-tower
+        # scoring over decoded pixels; deterministic fake towers)
+        "image_caption_alignment": multimodal.image_caption_alignment,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)

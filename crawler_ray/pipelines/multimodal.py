@@ -229,3 +229,118 @@ def filter_images_by_content(
     return ds.map_batches(ImageStatsStage(), batch_format="pyarrow").map_batches(
         gate, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP-style image-caption alignment gate (LAION filtering archetype)
+
+
+def _sig_to_unit(sig: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 signatures → centered unit vectors (the shared last
+    layer of both fake towers)."""
+    v = sig.astype(np.float64) - 127.5
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.where(n == 0, 1.0, n)
+
+
+def caption_tower(captions) -> np.ndarray:
+    """Text tower of the alignment stand-in: md5 of the caption → 16-byte
+    signature → unit vector. Deterministic fake for a CLIP text encoder
+    (no model weights in this sandbox); vectorized per batch."""
+    sig = np.frombuffer(
+        b"".join(hashlib.md5(c.encode("utf-8")).digest() for c in captions),
+        dtype=np.uint8,
+    ).reshape(-1, 16)
+    return _sig_to_unit(sig)
+
+
+class ImageCaptionAlignStage:
+    """Two-tower alignment scoring over (bytes, caption) rows — the
+    LAION/DataComp CLIP-score gate. The image tower DECODES the pixels
+    (real codec path) and reads the 16-byte caption signature the synthetic
+    generator watermarks into row 0 (a clearly-declared deterministic fake
+    for a vision encoder: aligned pairs score ~1, mismatched ~0, exactly
+    the separation a real CLIP gives a planted-mismatch fixture). The
+    plumbing — actor-pool decode, batched two-tower scoring, threshold
+    column — is the real pipeline; swap the two towers for ONNX/torch
+    encoders on a real cluster.
+
+    Input rows: (image_id:string, bytes:binary, fmt:string,
+    caption:string); output adds clip_score:double, aligned:bool."""
+
+    def __init__(self, tau: float = 0.9):
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        caps = batch["caption"].to_pylist()
+        t_emb = caption_tower(caps)
+        sigs = np.empty((batch.num_rows, 16), np.uint8)
+        for i, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            px = decode_image(data, fmt or sniff_fmt(data))
+            sigs[i] = px[0, :16, 0] if px.shape[1] >= 16 else 0
+        i_emb = _sig_to_unit(sigs)
+        score = np.einsum("ij,ij->i", i_emb, t_emb)
+        return batch.append_column(
+            "clip_score", pa.array(score, pa.float64())
+        ).append_column("aligned", pa.array(score >= self.tau, pa.bool_()))
+
+
+def image_caption_alignment(
+    sf_dir: str, tau: float = 0.9, seed: int = 42, mismatch_mod: int = 10
+) -> "object":
+    """LAION/DataComp-style image-caption ALIGNMENT GATE over a synthesized
+    (image, caption) corpus: one watermarked PNG + caption per documents-row
+    doc_id (the sandbox stand-in for the crawl's Lance images table), with
+    planted MISMATCHES — doc_id % mismatch_mod == 7 carries its neighbor's
+    caption, exactly the noise a crawled alt-text corpus contains. The
+    actor-pool :class:`ImageCaptionAlignStage` decodes and scores each pair;
+    output is (image_id, clip_score, aligned). Rows-only driver check
+    (pixel synthesis + towers are not SQL-expressible); planted-truth
+    separation asserted in tests.
+
+    Small ``batch_size`` on the scoring stage — rows carry encoded image
+    payloads (wide-binary-row guidance, SURVEY.md §7.5)."""
+    import ray.data as rd  # noqa: F401
+
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import _caption, make_pixels
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_bytes, out_caps = [], []
+        for d in ids:
+            d = int(d)
+            cid = f"img{d}"
+            true_cap = _caption(cid, seed)
+            px = make_pixels(cid, 32, 32, seed).copy()
+            px[0, :16, 0] = np.frombuffer(
+                hashlib.md5(true_cap.encode("utf-8")).digest(), np.uint8
+            )
+            out_bytes.append(encode_image(px, "png"))
+            # planted mismatch: neighbor's caption
+            cap = (
+                _caption(f"img{d + 1}", seed)
+                if d % mismatch_mod == 7 else true_cap
+            )
+            out_caps.append(cap)
+        return pa.table(
+            {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),
+             "bytes": pa.array(out_bytes, pa.binary()),
+             "fmt": pa.array(["png"] * len(ids), pa.string()),
+             "caption": pa.array(out_caps, pa.string())}
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            ImageCaptionAlignStage(tau),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .select_columns(["image_id", "clip_score", "aligned"])
+    )

@@ -208,3 +208,23 @@ def test_phash_near_dups_single_exchange_and_partition_invariance(ray_session):
     import re
 
     assert len(re.findall(r"Operator \d+ Sort", stats)) == 1, stats
+
+
+def test_image_caption_alignment_separation(ray_session):
+    """Aligned pairs score exactly 1.0; planted mismatches fall far below
+    the gate; the aligned flag recovers the planted truth exactly."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.multimodal import image_caption_alignment
+
+    sf = "/root/testdata/sf0.001"
+    out = image_caption_alignment(sf).to_pandas()
+    ids = out["image_id"].astype(int)
+    is_mismatch = (ids % 10 == 7).to_numpy()
+    import numpy as np
+
+    assert np.allclose(out["clip_score"].to_numpy()[~is_mismatch], 1.0)
+    assert (out["clip_score"].to_numpy()[is_mismatch] < 0.6).all()
+    assert (out["aligned"].to_numpy() == ~is_mismatch).all()
+    n = len(pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]))
+    assert len(out) == n
