@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooccurrence": textops.token_cooccurrence,
         # deterministic seeded global shuffle rank (training-order export)
         "shuffled_export": textops.shuffled_export,
+        # per-source dataset-card report (docs/tokens/distinct/langs)
+        "corpus_source_report": textops.corpus_source_report,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
@@ -240,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_sample_docs": textops.BALANCED_SAMPLE_SQL,
         "token_cooccurrence": textops.token_cooccurrence_sql(),
         "shuffled_export": textops.shuffled_export_sql(),
+        "corpus_source_report": textops.CORPUS_SOURCE_REPORT_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

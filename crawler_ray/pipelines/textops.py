@@ -1658,3 +1658,140 @@ SELECT doc_id,
        )::BIGINT AS shuffle_rank
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus "dataset card": per-source composition report
+# --------------------------------------------------------------------------
+
+
+def corpus_source_report(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Per-source corpus composition — the dataset-card numbers a curation
+    run publishes: docs, whitespace tokens, total chars, DISTINCT texts
+    (exact-dup rate per source) and languages.
+
+    Shape: one pass emits per-batch partials of two kinds into ONE
+    text-hash partition exchange — (source, md5) presence rows for the
+    distinct count (globally co-located by md5, so the in-partition distinct
+    is exact) and additive (docs/tokens/chars/lang-set) partials. The
+    partition fold reduces both; the |sources|-row result re-aggregates on
+    the driver-side finish like ``revenue_rollup`` (O(sources) rows only)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    import hashlib
+
+    _SCHEMA = pa.schema(
+        [("source", pa.string()), ("md5", pa.string()),
+         ("n_docs", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_chars", pa.int64()), ("langs", pa.string()),
+         ("part", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.strip().str.split().str.len().astype("int64")
+        chars = df["text"].str.len().astype("int64")
+        md5s = np.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+            dtype=object,
+        )
+        # additive stats rows: one per (source) per batch
+        g = pd.DataFrame(
+            {"source": df["source"], "lang": df["lang"],
+             "toks": toks, "chars": chars}
+        ).groupby("source", sort=False)
+        stats = g.agg(
+            n_docs=("toks", "size"), n_tokens=("toks", "sum"),
+            n_chars=("chars", "sum"),
+            langs=("lang", lambda s: ",".join(sorted(set(s)))),
+        ).reset_index()
+        a = pa.table(
+            {"source": pa.array(stats["source"], pa.string()),
+             "md5": pa.nulls(len(stats), pa.string()),
+             "n_docs": pa.array(stats["n_docs"].to_numpy(np.int64)),
+             "n_tokens": pa.array(stats["n_tokens"].to_numpy(np.int64)),
+             "n_chars": pa.array(stats["n_chars"].to_numpy(np.int64)),
+             "langs": pa.array(stats["langs"], pa.string()),
+             "part": pa.array(np.full(len(stats), n_parts, np.int64))}
+        ).cast(_SCHEMA)
+        # distinct-text presence rows, md5-partitioned (batch-local dedup)
+        pres = pd.DataFrame({"source": df["source"], "md5": md5s})
+        pres = pres.drop_duplicates()
+        ppart = np.array(
+            [int(m[:8], 16) % n_parts for m in pres["md5"]], np.int64
+        )
+        b = pa.table(
+            {"source": pa.array(pres["source"], pa.string()),
+             "md5": pa.array(pres["md5"], pa.string()),
+             "n_docs": pa.nulls(len(pres), pa.int64()),
+             "n_tokens": pa.nulls(len(pres), pa.int64()),
+             "n_chars": pa.nulls(len(pres), pa.int64()),
+             "langs": pa.nulls(len(pres), pa.string()),
+             "part": pa.array(ppart, pa.int64())}
+        ).cast(_SCHEMA)
+        return pa.concat_tables([a, b])
+
+    _MID_SCHEMA = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("n_tokens", pa.int64()), ("n_chars", pa.int64()),
+         ("distinct_texts", pa.int64()), ("langs", pa.string())]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        if int(df["part"].iloc[0]) == n_parts:  # additive stats partition
+            s = df.groupby("source", sort=False).agg(
+                n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+                n_chars=("n_chars", "sum"),
+                langs=("langs", lambda x: ",".join(
+                    sorted(set(",".join(x).split(",")))
+                )),
+            ).reset_index()
+            s["distinct_texts"] = 0
+        else:  # md5-partition: exact distinct (source, md5) pairs
+            d = df[["source", "md5"]].drop_duplicates()
+            s = d.groupby("source", sort=False).size().rename(
+                "distinct_texts"
+            ).reset_index()
+            s["n_docs"] = 0
+            s["n_tokens"] = 0
+            s["n_chars"] = 0
+            s["langs"] = ""
+        return pa.Table.from_pandas(
+            s[["source", "n_docs", "n_tokens", "n_chars",
+               "distinct_texts", "langs"]],
+            schema=_MID_SCHEMA, preserve_index=False,
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=True).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+            n_chars=("n_chars", "sum"),
+            distinct_texts=("distinct_texts", "sum"),
+            langs=("langs", lambda x: ",".join(
+                sorted(set(",".join(x).split(",")) - {""})
+            )),
+        ).reset_index()
+        return g
+
+    mid = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()  # |sources| x (n_parts + 1) rows — O(sources) driver work
+    )
+    import ray.data as _rd
+
+    return _rd.from_pandas(finish(mid))
+
+
+CORPUS_SOURCE_REPORT_SQL = r"""
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\s+'))
+           END)::BIGINT AS n_tokens,
+       SUM(length(text))::BIGINT AS n_chars,
+       COUNT(DISTINCT md5(text))::BIGINT AS distinct_texts,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM documents
+GROUP BY source ORDER BY source
+"""
