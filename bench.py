@@ -69,6 +69,15 @@ QUERY_NAMES = [
     "token_cooccurrence",
     "doc_pii_scrub",
     "event_value_quantiles",
+    "substring_span_dedup",
+    "shuffled_export",
+    "doc_classifier_scores",
+    "corpus_source_report",
+    "customer_order_counts",
+    "customer_order_gaps",
+    "corpus_diff",
+    "image_dup_clusters",
+    "image_caption_alignment",
 ]
 
 
