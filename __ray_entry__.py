@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CLIP-style image-caption alignment gate (rows-only: two-tower
         # scoring over decoded pixels; deterministic fake towers)
         "image_caption_alignment": multimodal.image_caption_alignment,
+        # flagship image-corpus curation: alignment -> quality -> phash
+        # dedup keep-one, first-failing-reason verdict (rows-only)
+        "image_corpus_curation": multimodal.image_corpus_curation,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)

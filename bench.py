@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "corpus_diff",
     "image_dup_clusters",
     "image_caption_alignment",
+    "image_corpus_curation",
 ]
 
 

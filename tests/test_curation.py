@@ -63,3 +63,34 @@ def test_curation_reason_precedence(ray_session, tmp_path):
     assert r[5] == "repetition"
     assert r[6] == "quality"
     assert got["kept"].equals(got["reason"] == "kept")
+
+
+def test_image_corpus_curation_planted_truth(ray_session):
+    """Every planted failure is attributed to its FIRST failing gate and
+    dedup keeps exactly the min-id member of each duplicate cluster."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.multimodal import image_corpus_curation
+
+    sf = "/root/testdata/sf0.001"
+    out = image_corpus_curation(sf).to_pandas().set_index("image_id")
+    all_ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    assert len(out) == len(all_ids)
+    id_set = set(int(i) for i in all_ids)
+    for d in sorted(id_set):
+        ff = out.loc[d, "first_fail"]
+        if d % 10 == 7:
+            assert ff == "misaligned", (d, ff)
+        elif d % 10 == 3:
+            assert ff == "low_quality", (d, ff)
+        elif d % 10 in (1, 6) and d - 1 in id_set:
+            assert ff == "duplicate", (d, ff)
+        else:
+            assert ff == "", (d, ff)
+    assert (out["keep"] == (out["first_fail"] == "")).all()
+    kept = int(out["keep"].sum())
+    assert 0 < kept < len(out)
+    assert isinstance(kept, int) and np.bool_ is not None
