@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship image-corpus curation: alignment -> quality -> phash
         # dedup keep-one, first-failing-reason verdict (rows-only)
         "image_corpus_curation": multimodal.image_corpus_curation,
+        # per-label embedding centroids (fixed-point exact vector aggregate)
+        "embedding_label_centroids": similarity.embedding_label_centroids,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)
@@ -269,4 +271,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": similarity.knn_sql(),
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
         "embedding_dedup_clusters": clusters.embedding_dedup_clusters_sql(),
+        "embedding_label_centroids": similarity.EMBEDDING_LABEL_CENTROIDS_SQL,
     }

@@ -523,3 +523,81 @@ def ann_lsh_topk(
     )
     partials = bucketed.map_batches(CosineTopK(q, k), batch_format="pyarrow")
     return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def embedding_label_centroids(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Per-label embedding CENTROIDS — the vector-column aggregation
+    archetype (k-means update step / class prototypes / SemDeDup cluster
+    centers). Output is long-format (label, dim, centroid).
+
+    Exactness: float sums are order-dependent, so partials are FIXED-POINT —
+    floor(e * 2^20) int64 per element (scaling a float32 by a power of two
+    is exact in double, and floor matches DuckDB's floor — unlike round,
+    whose half-away-from-zero ties differ from numpy's half-to-even). The
+    centroid is the same fx_sum / (n * 2^20) division on both sides, so the
+    driver's exact hash compare holds at any block split.
+
+    Shape: per-batch combiner sums the scaled matrix per label (one
+    (labels x dims)-row partial per batch — corpus-independent); ONE coarse
+    (label, dim) exchange folds partials. No broadcasts, no driver math."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    SCALE = float(1 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        fx = np.floor(mat * SCALE).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dims = fx.shape[1]
+        sums = np.zeros((len(uniq), dims), np.int64)
+        np.add.at(sums, inv, fx)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab_col = np.repeat(uniq, dims)
+        dim_col = np.tile(np.arange(dims, dtype=np.int64), len(uniq))
+        key = lab_col * dims + dim_col
+        return pa.table(
+            {"label": pa.array(lab_col, pa.int64()),
+             "dim": pa.array(dim_col, pa.int64()),
+             "fx": pa.array(sums.ravel(), pa.int64()),
+             "n": pa.array(np.repeat(counts, dims), pa.int64()),
+             "part": pa.array(key % n_parts, pa.int64())}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        s = df.groupby(["label", "dim"], sort=False)[["fx", "n"]].sum()
+        s = s.reset_index()
+        return pa.table(
+            {"label": pa.array(s["label"].to_numpy(np.int64)),
+             "dim": pa.array(s["dim"].to_numpy(np.int64)),
+             "centroid": pa.array(
+                 s["fx"].to_numpy(np.float64)
+                 / (s["n"].to_numpy(np.float64) * SCALE),
+                 pa.float64(),
+             )}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH el AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           FLOOR(unnest(embedding) * 1048576.0) AS fx
+    FROM embeddings
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       SUM(fx) / (COUNT(*) * 1048576.0) AS centroid
+FROM el GROUP BY label, dim
+"""
