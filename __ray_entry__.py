@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": textops.doc_quality_scores,
         # batched model-scoring archetype: hashing-trick linear classifier
         "doc_classifier_scores": textops.doc_classifier_scores,
+        # CCNet-style unigram LM fluency gate (integer floor-log2 exact)
+        "doc_lm_scores": textops.doc_lm_scores,
         "doc_bpe_token_count": textops.doc_bpe_token_count,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
         "doc_repetition_metrics": textops.doc_repetition_metrics,
@@ -239,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textops.doc_lang_id_sql(),
         "doc_quality_scores": textops.doc_quality_sql(),
         "doc_classifier_scores": textops.doc_classifier_sql(),
+        "doc_lm_scores": textops.DOC_LM_SCORES_SQL,
         "doc_bpe_token_count": textops.DOC_BPE_TOKENS_SQL,
         "doc_repetition_metrics": textops.doc_repetition_sql(),
         "doc_benchmark_overlap": textops.doc_benchmark_overlap_sql(),

@@ -1795,3 +1795,150 @@ SELECT source,
 FROM documents
 GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# CCNet-style unigram LM perplexity-proxy gate
+# --------------------------------------------------------------------------
+
+
+def doc_lm_scores(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Unigram language-model fluency score per doc — the CCNet/KenLM
+    perplexity-gate archetype (docs of common, well-distributed tokens
+    score high; gibberish scores low). The "model" is the corpus's own
+    unigram counts; the score is the mean INTEGER floor-log2 of each
+    token's corpus frequency — exact in both engines (numpy frexp exponent
+    vs DuckDB printf('%b') length), so unlike float log-prob sums the
+    result is independent of accumulation order and hash-exact vs SQL.
+
+    Scale shape — the OPEN-VOCABULARY path (contrast with doc_top_tfidf's
+    guarded vocab broadcast): pass 1 folds (token, count) partials through
+    one coarse token-hash exchange; pass 2 re-emits doc token rows on the
+    same token-hash key, co-locating each token's rows with its count —
+    the per-partition attach emits (doc_id, sum_ilog2, n) PARTIALS, and one
+    final doc-hash exchange folds them per doc. Nothing is broadcast; no
+    state exceeds a partition."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    _TOK_SCHEMA = pa.schema(
+        [("tok", pa.string()), ("doc_id", pa.int64()),
+         ("cnt", pa.int64()), ("part", pa.int64())]
+    )
+
+    def tok_rows(df: pd.DataFrame) -> pa.Table:
+        toks_per = df["text"].str.strip().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        if not int(lens.sum()):
+            return pa.table(
+                {"tok": [], "doc_id": [], "cnt": [], "part": []}
+            ).cast(_TOK_SCHEMA)
+        flat = np.concatenate(toks_per.to_numpy())
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        part = (pd.util.hash_array(flat) % n_parts).astype(np.int64)
+        return pa.table(
+            {"tok": pa.array(flat, pa.string()),
+             "doc_id": pa.array(doc, pa.int64()),
+             "cnt": pa.nulls(len(flat), pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        ).cast(_TOK_SCHEMA)
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        toks_per = df["text"].str.strip().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        if not int(lens.sum()):
+            return pa.table(
+                {"tok": [], "doc_id": [], "cnt": [], "part": []}
+            ).cast(_TOK_SCHEMA)
+        flat = np.concatenate(toks_per.to_numpy())
+        uniq, cnt = np.unique(flat, return_counts=True)
+        part = (pd.util.hash_array(uniq) % n_parts).astype(np.int64)
+        return pa.table(
+            {"tok": pa.array(uniq, pa.string()),
+             "doc_id": pa.nulls(len(uniq), pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        ).cast(_TOK_SCHEMA)
+
+    _PART_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("s", pa.int64()),
+         ("n", pa.int64()), ("part", pa.int64())]
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        is_cnt = df["cnt"].notna()
+        counts = df[is_cnt].groupby("tok", sort=False)["cnt"].sum()
+        rows = df[~is_cnt]
+        c = counts.reindex(rows["tok"]).to_numpy(np.int64)
+        ilog2 = (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+        agg = pd.DataFrame(
+            {"doc_id": rows["doc_id"].to_numpy(np.int64), "il": ilog2}
+        ).groupby("doc_id", sort=False)["il"].agg(["sum", "size"])
+        doc = agg.index.to_numpy(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "s": pa.array(agg["sum"].to_numpy(np.int64)),
+             "n": pa.array(agg["size"].to_numpy(np.int64)),
+             "part": pa.array(doc % n_parts, pa.int64())}
+        ).cast(_PART_SCHEMA)
+
+    def manifest(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(doc), np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "s": pa.array(z), "n": pa.array(z),
+             "part": pa.array(doc % n_parts, pa.int64())}
+        ).cast(_PART_SCHEMA)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("doc_id", sort=False)[["s", "n"]].sum()
+        s = df["s"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        score = np.where(n == 0, 0.0, s / np.maximum(n, 1).astype(np.float64))
+        return pa.table(
+            {"doc_id": pa.array(df.index.to_numpy(np.int64), pa.int64()),
+             "sum_ilog2": pa.array(s, pa.int64()),
+             "lm_score": pa.array(score, pa.float64())}
+        )
+
+    partials = (
+        docs.map_batches(tok_rows, batch_format="pandas")
+        .union(docs.map_batches(count_partial, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return (
+        partials.union(
+            docs.map_batches(manifest, batch_format="pyarrow")
+        )
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+        .select_columns(["doc_id", "sum_ilog2", "lm_score"])
+    )
+
+
+DOC_LM_SCORES_SQL = r"""
+WITH lists AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS tk
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+sc AS (
+    SELECT t.doc_id,
+           SUM(length(printf('%b', c.c)) - 1)::BIGINT AS s,
+           COUNT(*)::BIGINT AS n
+    FROM toks t JOIN cnt c USING (tok) GROUP BY t.doc_id
+)
+SELECT l.doc_id,
+       COALESCE(sc.s, 0)::BIGINT AS sum_ilog2,
+       CASE WHEN sc.n IS NULL THEN 0.0
+            ELSE sc.s / sc.n::DOUBLE END AS lm_score
+FROM lists l LEFT JOIN sc USING (doc_id)
+"""
