@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 70 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 59 have a DuckDB twin in
+``queries()`` exposes 73 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 61 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -26,13 +26,16 @@ windows), an incremental-refresh corpus snapshot delta, hashing-trick
 classifier inference with integer margins, a deterministic seeded
 global-shuffle rank computed as order statistics, a per-source
 dataset-card report, a LEFT OUTER join aggregate with in-task zero fill,
-a LAG gap window, and the existing families' conformance held). The
-genuinely non-SQL-expressible eleven get the weaker rows-only driver check
+a LAG gap window, per-label embedding centroids via fixed-point
+partials, and a CCNet-style unigram LM fluency gate scored by integer
+floor-log2 token frequencies). The
+genuinely non-SQL-expressible twelve get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
-paths, image duplicate clusters and the CLIP-style image-caption alignment
-gate — both planted-truth exact in tests).
+paths, image duplicate clusters, the CLIP-style image-caption alignment
+gate and the flagship image-corpus curation chain — all planted-truth
+exact in tests).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
