@@ -273,3 +273,54 @@ def test_corpus_diff_statuses(ray_session):
     )["doc_id"].to_numpy()
     both_gone = all_ids[(all_ids % 7 == 3) & (all_ids % 11 == 4)]
     assert not np.isin(both_gone, ids).any()
+
+
+def test_substring_span_dedup_random_brute_force(ray_session, tmp_path):
+    """Randomized corpora (tiny vocab -> dense chance window collisions)
+    checked against a pure-Python brute force: window marking, interval
+    union, self-repetition and reconstruction must all agree exactly."""
+    from collections import Counter
+
+    from crawler_ray.pipelines.dedup import substring_span_dedup
+
+    k = 4
+    rng = np.random.default_rng(99)
+    vocab = [f"v{i}" for i in range(6)]
+    docs = []
+    for d in range(60):
+        n = int(rng.integers(0, 30))
+        docs.append(
+            {"doc_id": d, "text": " ".join(rng.choice(vocab, size=n))}
+        )
+    pq.write_table(
+        pa.Table.from_pylist(docs), f"{tmp_path}/documents.parquet"
+    )
+
+    wins = Counter()
+    toks_all = {r["doc_id"]: r["text"].split() for r in docs}
+    for toks in toks_all.values():
+        for i in range(len(toks) - k + 1):
+            wins[tuple(toks[i : i + k])] += 1
+    expected = {}
+    for d, toks in toks_all.items():
+        n = len(toks)
+        marked = [
+            i for i in range(max(n - k + 1, 0))
+            if wins[tuple(toks[i : i + k])] >= 2
+        ]
+        covered = set()
+        for i in marked:
+            covered.update(range(i, min(i + k, n)))
+        clean = " ".join(t for j, t in enumerate(toks) if j not in covered)
+        expected[d] = (n, len(marked), len(covered), clean)
+
+    out = substring_span_dedup(str(tmp_path), k=k).to_pandas()
+    assert len(out) == len(docs)
+    for r in out.itertuples():
+        exp = expected[int(r.doc_id)]
+        got = (
+            int(r.n_tokens), int(r.n_dup_windows),
+            int(r.n_removed_tokens), r.clean_text,
+        )
+        assert got == exp, (r.doc_id, got, exp)
+    assert any(v[1] > 0 for v in expected.values()), "need dup windows"
