@@ -476,7 +476,7 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM memb WHERE doc_id <> cluster_id)
 
 def image_dup_clusters(
     sf_dir: str,
-    max_hamming: int = 6,
+    max_hamming: int = 4,
     seed: int = 42,
     n_buckets: int = 8,
 ) -> rd.Dataset:
@@ -494,7 +494,16 @@ def image_dup_clusters(
     encoding — phash lands within Hamming ≤ 2, unrelated images sit ~24
     apart). Expected clusters are therefore {10k, 10k+1, (10k+5, 10k+6)}
     triples of pairs, asserted exactly in tests; the driver check is
-    rows-only (pixel synthesis is not SQL-expressible)."""
+    rows-only (pixel synthesis is not SQL-expressible).
+
+    Radius vs occupancy: ``max_hamming + 1`` bands split the 64-bit phash,
+    so radius 6 leaves ~9-bit bands whose 512 values SATURATE beyond ~10k
+    images and the in-bucket pair walk goes quadratic (measured 33x time
+    for 10x images at the 50k smoke). Radius 4 (5 bands x ~13 bits) keeps
+    expected bucket occupancy bounded far longer while still catching the
+    perturbed copies (Hamming <= 2); for larger radii at corpus scale,
+    split the walk by a second band (multi-probe) instead of widening
+    buckets."""
     from crawler_ray.functions.codecs import decode_image, encode_image, sniff_fmt
     from crawler_ray.functions.hashing import phash64
     from crawler_ray.pipelines.reports import images_phash_near_dups
