@@ -20,7 +20,7 @@ scoring, cross-document boilerplate n-grams, Misra-Gries two-pass exact
 frequent tokens, dedup text normalization, a ROLLUP subtotal report,
 zero-exchange context-window chunking, inverted-index postings,
 per-source token affinity by integer cross-product, and staged
-email/phone/IPv4 PII scrubbing; late round 3 added eight more exact twins:
+email/phone/IPv4 PII scrubbing; late round 3 added nine more exact twins:
 exact substring-span dedup (Lee et al. ExactSubstr as duplicate k-token
 windows), an incremental-refresh corpus snapshot delta, hashing-trick
 classifier inference with integer margins, a deterministic seeded

@@ -504,25 +504,19 @@ def image_dup_clusters(
     perturbed copies (Hamming <= 2); for larger radii at corpus scale,
     split the walk by a second band (multi-probe) instead of widening
     buckets."""
-    from crawler_ray.functions.codecs import decode_image, encode_image, sniff_fmt
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
     from crawler_ray.functions.hashing import phash64
     from crawler_ray.pipelines.reports import images_phash_near_dups
     from crawler_ray.sources.io import read_parquet_sized
-    from crawler_ray.sources.synthetic import make_pixels
+    from crawler_ray.sources.synthetic import planted_image_batch
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth_phash(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, _caps = planted_image_batch(ids, seed, dup=True)
         out_ph = np.empty(len(ids), np.int64)
-        for i, d in enumerate(ids):
-            d = int(d)
-            base = d - 1 if d % 10 in (1, 6) else d
-            px = make_pixels(f"img{base}", 32, 32, seed)
-            if d % 10 == 6:
-                px = px.copy()
-                px[::7, ::5] ^= 3
-            data = encode_image(px, "png")
+        for i, data in enumerate(payloads):
             out_ph[i] = phash64(decode_image(data, sniff_fmt(data)))
         return pa.table(
             {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),

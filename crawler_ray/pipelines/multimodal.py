@@ -288,12 +288,12 @@ class ImageCaptionAlignStage:
 
 
 def image_caption_alignment(
-    sf_dir: str, tau: float = 0.9, seed: int = 42, mismatch_mod: int = 10
+    sf_dir: str, tau: float = 0.9, seed: int = 42
 ) -> "object":
     """LAION/DataComp-style image-caption ALIGNMENT GATE over a synthesized
     (image, caption) corpus: one watermarked PNG + caption per documents-row
     doc_id (the sandbox stand-in for the crawl's Lance images table), with
-    planted MISMATCHES — doc_id % mismatch_mod == 7 carries its neighbor's
+    planted MISMATCHES — doc_id % 10 == 7 carries its neighbor's
     caption, exactly the noise a crawled alt-text corpus contains. The
     actor-pool :class:`ImageCaptionAlignStage` decodes and scores each pair;
     output is (image_id, clip_score, aligned). Rows-only driver check
@@ -305,28 +305,15 @@ def image_caption_alignment(
     import ray.data as rd  # noqa: F401
 
     from crawler_ray.sources.io import read_parquet_sized
-    from crawler_ray.sources.synthetic import _caption, make_pixels
+    from crawler_ray.sources.synthetic import planted_image_batch
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_bytes, out_caps = [], []
-        for d in ids:
-            d = int(d)
-            cid = f"img{d}"
-            true_cap = _caption(cid, seed)
-            px = make_pixels(cid, 32, 32, seed).copy()
-            px[0, :16, 0] = np.frombuffer(
-                hashlib.md5(true_cap.encode("utf-8")).digest(), np.uint8
-            )
-            out_bytes.append(encode_image(px, "png"))
-            # planted mismatch: neighbor's caption
-            cap = (
-                _caption(f"img{d + 1}", seed)
-                if d % mismatch_mod == 7 else true_cap
-            )
-            out_caps.append(cap)
+        out_bytes, out_caps = planted_image_batch(
+            ids, seed, mismatch=True, watermark=True
+        )
         return pa.table(
             {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),
              "bytes": pa.array(out_bytes, pa.binary()),
@@ -424,30 +411,15 @@ def image_corpus_curation(
     from crawler_ray.pipelines.clusters import connected_components
     from crawler_ray.pipelines.reports import images_phash_near_dups
     from crawler_ray.sources.io import read_parquet_sized
-    from crawler_ray.sources.synthetic import _caption, make_pixels
+    from crawler_ray.sources.synthetic import planted_image_batch
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_bytes, out_caps = [], []
-        for d in ids:
-            d = int(d)
-            base = d - 1 if d % 10 in (1, 6) else d
-            cid = f"img{base}"
-            true_cap = _caption(cid, seed)
-            px = make_pixels(cid, 32, 32, seed).copy()
-            if d % 10 == 3:
-                px[1:] = 128  # near-uniform: fails the quality gate
-            if d % 10 == 6:
-                px[1::7, ::5] ^= 3  # perturbed copy (watermark row kept)
-            px[0, :16, 0] = np.frombuffer(
-                hashlib.md5(true_cap.encode("utf-8")).digest(), np.uint8
-            )
-            out_bytes.append(encode_image(px, "png"))
-            out_caps.append(
-                _caption(f"img{d + 1}", seed) if d % 10 == 7 else true_cap
-            )
+        out_bytes, out_caps = planted_image_batch(
+            ids, seed, dup=True, mismatch=True, lowq=True, watermark=True
+        )
         return pa.table(
             {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),
              "bytes": pa.array(out_bytes, pa.binary()),

@@ -1592,11 +1592,13 @@ def shuffled_export(sf_dir: str, seed: int = 42) -> rd.Dataset:
 
     Shape: the global rank is distributed ORDER STATISTICS, not a global
     sort: md5 keys are uniform, so the first key byte range-partitions the
-    key space into 256 ordered buckets. Pass 1 folds per-bucket counts
-    (combiner per batch; only the 256-row aggregate reaches the driver,
-    which turns it into exclusive prefix offsets — the doc_pack_spans
-    pattern). Pass 2 sorts WITHIN each bucket and adds the bucket's offset.
-    Both passes read only the doc_id column."""
+    key space into 256 ordered buckets. The slim keyed table (doc_id,
+    key, bucket) is computed and materialized ONCE; pass 1 folds its
+    per-bucket counts (combiner per batch; only the 256-row aggregate
+    reaches the driver, which turns it into exclusive prefix offsets —
+    the doc_pack_spans pattern); pass 2 sorts WITHIN each bucket and adds
+    the bucket's offset. The corpus itself is scanned once, doc_id column
+    only."""
     import hashlib
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -1609,7 +1611,7 @@ def shuffled_export(sf_dir: str, seed: int = 42) -> rd.Dataset:
         return pd.DataFrame({"doc_id": ids, "skey": skey, "bucket": bucket})
 
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        g = keyed(df).groupby("bucket", sort=False).size()
+        g = df.groupby("bucket", sort=False).size()
         return pd.DataFrame(
             {"bucket": g.index.to_numpy(np.int64),
              "cnt": g.to_numpy(np.int64)}
@@ -1617,7 +1619,12 @@ def shuffled_export(sf_dir: str, seed: int = 42) -> rd.Dataset:
 
     from ray.data.aggregate import Sum
 
-    ds = _read_docs(sf_dir, ["doc_id"])
+    # keyed rows are computed (and the md5 permutation keys hashed) ONCE:
+    # the materialized slim table feeds both the count pass and the rank
+    # pass — no second corpus scan
+    ds = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        keyed, batch_format="pandas"
+    ).materialize()
     counts = (
         ds.map_batches(bucket_counts, batch_format="pandas")
         .groupby("bucket")
@@ -1643,11 +1650,7 @@ def shuffled_export(sf_dir: str, seed: int = 42) -> rd.Dataset:
             }
         )
 
-    return (
-        ds.map_batches(keyed, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(rank, batch_format="pandas")
-    )
+    return ds.groupby("bucket").map_groups(rank, batch_format="pandas")
 
 
 def shuffled_export_sql(seed: int = 42) -> str:
@@ -1754,7 +1757,10 @@ def corpus_source_report(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
             s["n_docs"] = 0
             s["n_tokens"] = 0
             s["n_chars"] = 0
-            s["langs"] = ""
+            # None (not "") marks the no-langs placeholder: a GENUINE
+            # empty-string lang value must survive to match the SQL twin's
+            # string_agg(DISTINCT lang)
+            s["langs"] = None
         return pa.Table.from_pandas(
             s[["source", "n_docs", "n_tokens", "n_chars",
                "distinct_texts", "langs"]],
@@ -1767,7 +1773,8 @@ def corpus_source_report(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
             n_chars=("n_chars", "sum"),
             distinct_texts=("distinct_texts", "sum"),
             langs=("langs", lambda x: ",".join(
-                sorted(set(",".join(x).split(",")) - {""})
+                sorted({v for s_ in x if isinstance(s_, str)
+                        for v in s_.split(",")})
             )),
         ).reset_index()
         return g
@@ -1812,12 +1819,13 @@ def doc_lm_scores(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
     result is independent of accumulation order and hash-exact vs SQL.
 
     Scale shape — the OPEN-VOCABULARY path (contrast with doc_top_tfidf's
-    guarded vocab broadcast): pass 1 folds (token, count) partials through
-    one coarse token-hash exchange; pass 2 re-emits doc token rows on the
-    same token-hash key, co-locating each token's rows with its count —
-    the per-partition attach emits (doc_id, sum_ilog2, n) PARTIALS, and one
-    final doc-hash exchange folds them per doc. Nothing is broadcast; no
-    state exceeds a partition."""
+    guarded vocab broadcast): ONE tokenize pass dual-emits occurrence rows
+    and per-batch (token, count) partials into the same coarse token-hash
+    exchange, co-locating each token's rows with its count — the
+    per-partition attach emits (doc_id, sum_ilog2, n) PARTIALS, and one
+    final doc-hash exchange folds them per doc (zero-token docs join via
+    a manifest row). Nothing is broadcast; no state exceeds a partition;
+    the corpus is read and tokenized exactly once."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     _TOK_SCHEMA = pa.schema(
@@ -1825,7 +1833,11 @@ def doc_lm_scores(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
          ("cnt", pa.int64()), ("part", pa.int64())]
     )
 
-    def tok_rows(df: pd.DataFrame) -> pa.Table:
+    def tok_and_count_rows(df: pd.DataFrame) -> pa.Table:
+        # ONE tokenize pass emits BOTH row kinds (occurrence rows with a
+        # doc_id, per-batch count partials with a null doc_id) — the
+        # dual-emit combiner pattern of corpus_source_report; tokenizing
+        # is the dominant CPU cost, so it is paid once, not twice
         toks_per = df["text"].str.strip().str.split()
         lens = toks_per.str.len().to_numpy(dtype=np.int64)
         if not int(lens.sum()):
@@ -1834,28 +1846,19 @@ def doc_lm_scores(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
             ).cast(_TOK_SCHEMA)
         flat = np.concatenate(toks_per.to_numpy())
         doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
-        part = (pd.util.hash_array(flat) % n_parts).astype(np.int64)
-        return pa.table(
-            {"tok": pa.array(flat, pa.string()),
-             "doc_id": pa.array(doc, pa.int64()),
-             "cnt": pa.nulls(len(flat), pa.int64()),
-             "part": pa.array(part, pa.int64())}
-        ).cast(_TOK_SCHEMA)
-
-    def count_partial(df: pd.DataFrame) -> pa.Table:
-        toks_per = df["text"].str.strip().str.split()
-        lens = toks_per.str.len().to_numpy(dtype=np.int64)
-        if not int(lens.sum()):
-            return pa.table(
-                {"tok": [], "doc_id": [], "cnt": [], "part": []}
-            ).cast(_TOK_SCHEMA)
-        flat = np.concatenate(toks_per.to_numpy())
         uniq, cnt = np.unique(flat, return_counts=True)
-        part = (pd.util.hash_array(uniq) % n_parts).astype(np.int64)
+        tok = np.concatenate([flat, uniq])
+        part = (pd.util.hash_array(tok) % n_parts).astype(np.int64)
         return pa.table(
-            {"tok": pa.array(uniq, pa.string()),
-             "doc_id": pa.nulls(len(uniq), pa.int64()),
-             "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            {"tok": pa.array(tok, pa.string()),
+             "doc_id": pa.concat_arrays(
+                 [pa.array(doc, pa.int64()),
+                  pa.nulls(len(uniq), pa.int64())]
+             ),
+             "cnt": pa.concat_arrays(
+                 [pa.nulls(len(flat), pa.int64()),
+                  pa.array(cnt.astype(np.int64), pa.int64())]
+             ),
              "part": pa.array(part, pa.int64())}
         ).cast(_TOK_SCHEMA)
 
@@ -1903,8 +1906,7 @@ def doc_lm_scores(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
         )
 
     partials = (
-        docs.map_batches(tok_rows, batch_format="pandas")
-        .union(docs.map_batches(count_partial, batch_format="pandas"))
+        docs.map_batches(tok_and_count_rows, batch_format="pandas")
         .groupby("part")
         .map_groups(attach, batch_format="pyarrow")
     )

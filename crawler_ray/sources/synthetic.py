@@ -418,3 +418,55 @@ def write_site(site: Site, out_dir: str) -> None:
         json.dump(sorted(site.expected_seen), f)
     if site.expected_images is not None:
         pq.write_table(site.expected_images, f"{out_dir}/expected_images.parquet")
+
+
+def planted_image_batch(
+    ids,
+    seed: int = 42,
+    *,
+    dup: bool = False,
+    mismatch: bool = False,
+    lowq: bool = False,
+    watermark: bool = False,
+    w: int = 32,
+    h: int = 32,
+) -> tuple[list[bytes], list[str]]:
+    """Shared planted-failure image generator for the image-suite pipelines
+    (one encoded PNG + caption per integer id) — the single source of truth
+    for the id % 10 planting rules the planted-truth tests assert against:
+
+    - ``dup``:      % 10 == 1 reuses the neighbor's content verbatim;
+                    % 10 == 6 is a perturbed copy (rows 1+ only, so the
+                    watermark row survives; phash lands within Hamming ≤ 2)
+    - ``mismatch``: % 10 == 7 carries its NEIGHBOR's caption (misaligned)
+    - ``lowq``:     % 10 == 3 is near-uniform, below the pixel quality gates
+    - ``watermark``: row 0 carries md5(true caption) so the declared-fake
+      CLIP image tower can read the signature back from decoded pixels
+
+    Returns (bytes_list, caption_list)."""
+    import hashlib
+
+    from crawler_ray.functions.codecs import encode_image
+
+    out_b: list[bytes] = []
+    out_c: list[str] = []
+    for d in ids:
+        d = int(d)
+        base = d - 1 if dup and d % 10 in (1, 6) else d
+        cid = f"img{base}"
+        true_cap = _caption(cid, seed)
+        px = make_pixels(cid, w, h, seed).copy()
+        if lowq and d % 10 == 3:
+            px[1:] = 128
+        if dup and d % 10 == 6:
+            px[1::7, ::5] ^= 3
+        if watermark:
+            px[0, :16, 0] = np.frombuffer(
+                hashlib.md5(true_cap.encode("utf-8")).digest(), np.uint8
+            )
+        out_b.append(encode_image(px, "png"))
+        out_c.append(
+            _caption(f"img{d + 1}", seed)
+            if mismatch and d % 10 == 7 else true_cap
+        )
+    return out_b, out_c

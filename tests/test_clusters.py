@@ -140,7 +140,7 @@ def test_near_dup_clusters_oracle(ray_session, tmp_path):
 def test_image_dup_clusters_planted(ray_session):
     """Planted exact-dup (10k, 10k+1) and near-dup (10k+5, 10k+6) image
     pairs are recovered as exactly the expected 2-clusters; nothing else
-    clusters (unrelated phashes sit ~24 bits apart vs max_hamming=6)."""
+    clusters (unrelated phashes sit ~24 bits apart vs the default radius 4)."""
     import numpy as np
 
     import pyarrow.parquet as pq

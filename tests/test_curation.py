@@ -68,7 +68,6 @@ def test_curation_reason_precedence(ray_session, tmp_path):
 def test_image_corpus_curation_planted_truth(ray_session):
     """Every planted failure is attributed to its FIRST failing gate and
     dedup keeps exactly the min-id member of each duplicate cluster."""
-    import numpy as np
     import pyarrow.parquet as pq
 
     from crawler_ray.pipelines.multimodal import image_corpus_curation
@@ -93,4 +92,3 @@ def test_image_corpus_curation_planted_truth(ray_session):
     assert (out["keep"] == (out["first_fail"] == "")).all()
     kept = int(out["keep"].sum())
     assert 0 < kept < len(out)
-    assert isinstance(kept, int) and np.bool_ is not None
