@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_export": textops.shuffled_export,
         # per-source dataset-card report (docs/tokens/distinct/langs)
         "corpus_source_report": textops.corpus_source_report,
+        # curriculum ordering: distributed sample sort over computed keys
+        "curriculum_export": textops.curriculum_export,
         # dedup suite (documents)
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "token_set_dup_pairs": dedup.token_set_dup_pairs,
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": textops.token_cooccurrence_sql(),
         "shuffled_export": textops.shuffled_export_sql(),
         "corpus_source_report": textops.CORPUS_SOURCE_REPORT_SQL,
+        "curriculum_export": textops.curriculum_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

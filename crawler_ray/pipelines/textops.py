@@ -1944,3 +1944,129 @@ SELECT l.doc_id,
             ELSE sc.s / sc.n::DOUBLE END AS lm_score
 FROM lists l LEFT JOIN sc USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Quality-curriculum ordering: distributed SAMPLE SORT over a computed key
+# --------------------------------------------------------------------------
+
+
+def curriculum_export(
+    sf_dir: str, n_ranges: int = 32, per_block_sample: int = 8
+) -> rd.Dataset:
+    """Curriculum-training order: every doc ranked by (classifier margin
+    DESC, doc_id) — highest-quality first. The rank is a distributed
+    SAMPLE SORT: unlike ``shuffled_export`` (whose md5 keys are uniform, so
+    256 static byte buckets range-partition for free), a computed quality
+    key is arbitrarily skewed, so the cut points must be SAMPLED — the
+    TeraSort recipe. Sampling skew affects only range BALANCE, never rank
+    correctness.
+
+    Shape: (1) the slim (doc_id, key) table is computed once and
+    materialized — key packs (-margin, doc_id) into one int64 so ascending
+    key order IS the output order (asserted bounds: \|margin\| < 2^30,
+    doc_id < 2^32); (2) each block contributes ``per_block_sample`` evenly
+    spaced sorted keys — an O(blocks) driver sample that yields the
+    n_ranges-quantile cut points; (3) per-range counts fold to exclusive
+    offsets (O(n_ranges) driver rows); (4) ranges sort internally and add
+    their offset. Two passes over the materialized key table, none over
+    the corpus text."""
+    scorer = HashingTrickScorer()
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = scorer(df)
+        margin = m["margin"].to_numpy(np.int64)
+        ids = m["doc_id"].to_numpy(np.int64)
+        assert (np.abs(margin) < (1 << 30)).all() and (
+            (ids >= 0) & (ids < (1 << 32))
+        ).all()
+        key = ((1 << 30) - margin) * (1 << 32) + ids
+        return pd.DataFrame({"doc_id": ids, "key": key})
+
+    keys = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(key_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    def block_sample(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(df["key"].to_numpy(np.int64))
+        if not len(k):
+            return pd.DataFrame({"key": np.array([], np.int64)})
+        idx = np.linspace(0, len(k) - 1, num=per_block_sample).astype(int)
+        return pd.DataFrame({"key": k[idx]})
+
+    sample = np.sort(
+        keys.map_batches(block_sample, batch_format="pandas")
+        .to_pandas()["key"]
+        .to_numpy(np.int64)
+    )
+    qs = np.linspace(0, len(sample) - 1, num=n_ranges + 1).astype(int)[1:-1]
+    cuts = np.unique(sample[qs]) if len(sample) else np.array([], np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rng"] = np.searchsorted(cuts, df["key"].to_numpy(np.int64),
+                                    side="right").astype(np.int64)
+        return df
+
+    from ray.data.aggregate import Sum
+
+    def rng_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rng", sort=False).size()
+        return pd.DataFrame(
+            {"rng": g.index.to_numpy(np.int64), "cnt": g.to_numpy(np.int64)}
+        )
+
+    assigned = keys.map_batches(assign, batch_format="pandas").materialize()
+    counts = (
+        assigned.map_batches(rng_counts, batch_format="pandas")
+        .groupby("rng")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(
+            counts["rng"].to_numpy(np.int64),
+            np.cumsum(counts["cnt"].to_numpy(np.int64))
+            - counts["cnt"].to_numpy(np.int64),
+        )
+    )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key", kind="mergesort")
+        base = offsets[int(g["rng"].iloc[0])]
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "curriculum_rank": base
+             + np.arange(1, len(g) + 1, dtype=np.int64)}
+        )
+
+    return assigned.groupby("rng").map_groups(rank, batch_format="pandas")
+
+
+def curriculum_export_sql(bias: int = 3, mod: int = 21, off: int = 10) -> str:
+    return rf"""
+WITH lists AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS tk
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+m AS (
+    SELECT doc_id,
+           SUM(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+               % {mod} - {off})::BIGINT AS s
+    FROM toks GROUP BY doc_id
+)
+SELECT l.doc_id,
+       ROW_NUMBER() OVER (
+           ORDER BY ({bias} + COALESCE(m.s, 0)) DESC, l.doc_id
+       )::BIGINT AS curriculum_rank
+FROM lists l LEFT JOIN m USING (doc_id)
+"""

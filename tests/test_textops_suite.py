@@ -431,3 +431,25 @@ def test_shuffled_export_is_permutation_and_seed_sensitive(ray_session):
     # a different seed yields a different permutation
     c = shuffled_export(sf, seed=43).to_pandas().sort_values("doc_id")
     assert (a["shuffle_rank"].to_numpy() != c["shuffle_rank"].to_numpy()).any()
+
+
+def test_curriculum_export_orders_by_margin(ray_session):
+    """Ranks are a 1..n permutation; walking rank order, margins are
+    non-increasing with doc_id as tiebreak (the curriculum contract) —
+    regardless of how the sampled range cut points fell."""
+    from crawler_ray.pipelines.textops import (
+        curriculum_export,
+        doc_classifier_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = curriculum_export(sf).to_pandas()
+    assert sorted(out["curriculum_rank"]) == list(range(1, len(out) + 1))
+    margins = (
+        doc_classifier_scores(sf).to_pandas().set_index("doc_id")["margin"]
+    )
+    o = out.sort_values("curriculum_rank")
+    m = margins.loc[o["doc_id"]].to_numpy()
+    ids = o["doc_id"].to_numpy()
+    for i in range(1, len(m)):
+        assert (m[i] < m[i - 1]) or (m[i] == m[i - 1] and ids[i] > ids[i - 1])
