@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_order_per_customer": relational.first_order_per_customer,
         "part_type_stats": relational.part_type_stats,
         "lineitem_price_quantiles": relational.lineitem_price_quantiles,
+        # interpolated percentile_cont twin of the disc quantiles
+        "lineitem_price_percentiles_cont":
+            relational.lineitem_price_percentiles_cont,
         # ROWS-window rolling aggregate (one partition exchange + cumsum)
         "customer_rolling_spend": relational.customer_rolling_spend,
         # LAG window: days since previous order (NULL on firsts)
@@ -267,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_export": textops.curriculum_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
+        "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,
         "customer_order_gaps": relational.CUSTOMER_ORDER_GAPS_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,

@@ -485,6 +485,7 @@ def lineitem_price_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
     n_parts: int = 32,
     merge_threshold: int = 20_000_000,
+    interpolated: bool = False,
 ) -> rd.Dataset:
     """EXACT per-group quantiles (``quantile_disc`` semantics: the data
     value at 1-based rank ``ceil(q*n)``) of l_extendedprice per
@@ -542,9 +543,23 @@ def lineitem_price_quantiles(
         # mirroring the oracle's arithmetic
         vals = {}
         for q in qs:
-            rank = int(np.ceil(np.float64(q) * n))
-            idx = int(np.searchsorted(cum, rank, side="left"))
-            vals[f"p{int(round(q * 100)):02d}"] = v[idx]
+            if interpolated:
+                # percentile_cont: 0-indexed position q*(n-1), DuckDB's
+                # lo*(1-frac) + hi*frac blend (1 ulp off the lo+(hi-lo)*frac
+                # form — verified empirically against the oracle)
+                pos = np.float64(q) * (n - 1)
+                frac = pos - np.floor(pos)
+                lo = v[int(np.searchsorted(cum, int(np.floor(pos)) + 1,
+                                           side="left"))]
+                hi = v[int(np.searchsorted(cum, int(np.ceil(pos)) + 1,
+                                           side="left"))]
+                vals[f"p{int(round(q * 100)):02d}"] = (
+                    lo * (1.0 - frac) + hi * frac
+                )
+            else:
+                rank = int(np.ceil(np.float64(q) * n))
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                vals[f"p{int(round(q * 100)):02d}"] = v[idx]
         cols = {"l_returnflag": pa.array([flag], pa.string())}
         for name, val in vals.items():
             cols[name] = pa.array([float(val)], pa.float64())
@@ -773,4 +788,24 @@ SELECT o_orderkey, o_custkey,
               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           )) / 86400e6 AS gap_days
 FROM orders
+"""
+
+
+def lineitem_price_percentiles_cont(sf_dir: str) -> rd.Dataset:
+    """INTERPOLATED per-group percentiles (``percentile_cont`` semantics) —
+    same distributed value-histogram engine as the quantile_disc twin, with
+    the linear blend at the finish; hash-exact vs DuckDB because the blend
+    reproduces its lo*(1-frac)+hi*frac arithmetic on the same doubles."""
+    return lineitem_price_quantiles(sf_dir, interpolated=True)
+
+
+LINEITEM_PCT_CONT_SQL = """
+SELECT l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+       percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag
 """
