@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_corpus_curation": multimodal.image_corpus_curation,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
+        # distributed Lloyd k-means (iterative ML; rows-only — bit-exact
+        # vs a single-node numpy reference in tests)
+        "embedding_kmeans": similarity.embedding_kmeans,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)

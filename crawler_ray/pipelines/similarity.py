@@ -601,3 +601,135 @@ SELECT label::BIGINT AS label, dim::BIGINT AS dim,
        SUM(fx) / (COUNT(*) * 1048576.0) AS centroid
 FROM el GROUP BY label, dim
 """
+
+
+def _kmeans_seed_ids(sf_dir: str, k: int) -> list[int]:
+    """Deterministic, data-independent seed choice: the k vec_ids with the
+    smallest md5(str(vec_id)) — reproducible on any engine without reading
+    vector data."""
+    import hashlib
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ids = t["vec_id"].to_numpy()
+    keys = sorted(
+        (hashlib.md5(str(int(i)).encode()).hexdigest(), int(i)) for i in ids
+    )
+    return [i for _, i in keys[:k]]
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, iters: int = 5
+) -> rd.Dataset:
+    """Distributed Lloyd k-means over the full embeddings table — the
+    iterative-ML archetype, composed from the engine's existing kernels:
+    per round, the k x d centroid matrix is broadcast ONCE via ``ray.put``,
+    each batch does a vectorized cosine assignment (argmax against unit
+    centroids) and emits FIXED-POINT per-cluster partial sums
+    (floor(e * 2^20) int64 — the embedding_label_centroids kernel), and the
+    driver folds the O(k x d) aggregate into renormalized centroids. R
+    rounds = R corpus passes with ZERO shuffles; driver state is k x d.
+
+    Because the update is fixed-point (order-independent) and the
+    assignment/seeding are deterministic, the distributed result is
+    BIT-IDENTICAL to a single-node numpy Lloyd reference at any batch
+    split — asserted in tests (the non-SQL analogue of the hash oracle).
+    Rows-only driver check; returns (vec_id, cluster)."""
+    SCALE = float(1 << 20)
+    seed_ids = _kmeans_seed_ids(sf_dir, k)
+    st = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", seed_ids)],
+    )
+    order = np.argsort(st["vec_id"].to_numpy())
+    cents = _normalize(
+        np.stack(st["embedding"].to_numpy(zero_copy_only=False))
+        .astype(np.float64)[order]
+    )
+
+    def make_partial(cents_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            mat = _normalize(
+                np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64)
+            )
+            assign = np.argmax(mat @ c.T, axis=1)
+            fx = np.floor(mat * SCALE).astype(np.int64)
+            dims = fx.shape[1]
+            sums = np.zeros((k, dims), np.int64)
+            np.add.at(sums, assign, fx)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {"cluster": pa.array(
+                    np.repeat(np.arange(k, dtype=np.int64), dims)
+                 ),
+                 "dim": pa.array(
+                     np.tile(np.arange(dims, dtype=np.int64), k)
+                 ),
+                 "fx": pa.array(sums.ravel(), pa.int64()),
+                 "n": pa.array(np.repeat(counts, dims), pa.int64())}
+            )
+
+        return partial
+
+    ds = _read_emb(sf_dir)
+    for _ in range(iters):
+        ref = ray.put(cents)
+        agg = (
+            ds.map_batches(make_partial(ref), batch_format="pyarrow")
+            .to_pandas()  # k x d rows per batch; O(k x d x blocks) total
+            .groupby(["cluster", "dim"], sort=True)[["fx", "n"]]
+            .sum()
+            .reset_index()
+        )
+        dims = int(agg["dim"].max()) + 1
+        new = cents.copy()
+        fx = np.zeros((k, dims), np.float64)
+        n = np.zeros(k, np.float64)
+        fx[agg["cluster"].to_numpy(), agg["dim"].to_numpy()] = (
+            agg["fx"].to_numpy(np.float64)
+        )
+        n_per = agg.groupby("cluster")["n"].first()
+        n[n_per.index.to_numpy()] = n_per.to_numpy(np.float64)
+        nz = n > 0
+        new[nz] = fx[nz] / (n[nz, None] * SCALE)
+        cents = _normalize(new)
+
+    ref = ray.put(cents)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(
+            np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64)
+        )
+        return pa.table(
+            {"vec_id": batch["vec_id"],
+             "cluster": pa.array(
+                 np.argmax(mat @ c.T, axis=1).astype(np.int64), pa.int64()
+             )}
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def kmeans_reference(
+    emb: np.ndarray, ids: np.ndarray, seed_vec: np.ndarray, iters: int
+) -> np.ndarray:
+    """Single-node numpy Lloyd with the IDENTICAL fixed-point update — the
+    bit-exactness oracle for :func:`embedding_kmeans` in tests."""
+    SCALE = float(1 << 20)
+    k = len(seed_vec)
+    cents = _normalize(seed_vec.astype(np.float64))
+    mat = _normalize(emb.astype(np.float64))
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        fx = np.floor(mat * SCALE).astype(np.int64)
+        sums = np.zeros((k, mat.shape[1]), np.int64)
+        np.add.at(sums, assign, fx)
+        counts = np.bincount(assign, minlength=k)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / (counts[nz, None].astype(np.float64) * SCALE)
+        cents = _normalize(new)
+    return np.argmax(mat @ cents.T, axis=1)

@@ -290,3 +290,37 @@ def test_ann_ivf_topk_query_runs(ray_session):
 
     df = ann_ivf_topk(SF_DIR, query_vec_id=0, k=10).to_pandas()
     assert len(df) == 10 and 0 not in set(df["vec_id"])
+
+
+def test_embedding_kmeans_matches_numpy_reference(ray_session):
+    """The distributed Lloyd run is BIT-IDENTICAL to the single-node numpy
+    reference with the same fixed-point update — the non-SQL analogue of
+    the hash oracle (also proves batch-split independence, since the
+    pipeline's blocks differ from the reference's single array)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.similarity import (
+        _kmeans_seed_ids,
+        embedding_kmeans,
+        kmeans_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        embedding_kmeans(sf, k=8, iters=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    seeds = _kmeans_seed_ids(sf, 8)
+    seed_vec = emb[np.isin(ids, seeds)]
+    ref = kmeans_reference(emb, ids, seed_vec, iters=4)
+    assert (out["vec_id"].to_numpy() == ids).all()
+    assert (out["cluster"].to_numpy() == ref).all()
+    assert len(np.unique(ref)) > 1
