@@ -79,6 +79,10 @@ QUERY_NAMES = [
     "image_dup_clusters",
     "image_caption_alignment",
     "image_corpus_curation",
+    "doc_lm_scores",
+    "curriculum_export",
+    "lineitem_price_percentiles_cont",
+    "embedding_kmeans",
 ]
 
 
