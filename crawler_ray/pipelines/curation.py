@@ -120,7 +120,12 @@ def corpus_curation_sql(
     dup_threshold: float = 0.95,
 ) -> str:
     """One DuckDB statement composing the sub-oracles (each nested WITH is
-    the standalone query's own oracle, so any divergence localizes)."""
+    the standalone query's own oracle, so any divergence localizes).
+
+    The duplicate test is a LEFT JOIN against the MATERIALIZED loser set —
+    the earlier `IN (SELECT ...)` inside the CASE made DuckDB's planner
+    re-expand the quadratic pair/closure CTEs per probe at sf0.1 (>80 GB
+    of temp spill; the join form runs in seconds)."""
     from crawler_ray.pipelines.clusters import _cluster_ctes
     from crawler_ray.pipelines.textops import (
         doc_lang_id_sql,
@@ -129,7 +134,9 @@ def corpus_curation_sql(
     )
 
     return f"""{_cluster_ctes(dup_threshold)},
-losers AS (SELECT doc_id FROM memb WHERE doc_id <> cluster_id),
+losers AS MATERIALIZED (
+    SELECT DISTINCT doc_id FROM memb WHERE doc_id <> cluster_id
+),
 lang AS ({doc_lang_id_sql()}),
 qual AS ({doc_quality_sql()}),
 rep AS ({doc_repetition_sql()})
@@ -140,12 +147,13 @@ FROM (
                WHEN l.lang_pred <> '{lang_keep}' THEN 'lang'
                WHEN q.quality < {min_quality} THEN 'quality'
                WHEN NOT r.keep THEN 'repetition'
-               WHEN d.doc_id IN (SELECT doc_id FROM losers) THEN 'duplicate'
+               WHEN lo.doc_id IS NOT NULL THEN 'duplicate'
                ELSE 'kept'
            END AS reason
     FROM documents d
     JOIN lang l USING (doc_id)
     JOIN qual q USING (doc_id)
     JOIN rep r USING (doc_id)
+    LEFT JOIN losers lo USING (doc_id)
 )
 """
