@@ -422,9 +422,14 @@ def _closure_ctes(pairs_sql: str, a: str, b: str, id_name: str) -> str:
     """DuckDB CTE prefix shared by every cluster oracle: a pair relation →
     symmetric edges → recursive transitive closure → per-node component
     membership (``memb``) with cluster_id = min id reachable."""
+    # pairs/edges/memb carry MATERIALIZED hints: when these CTEs embed in a
+    # larger statement (corpus_curation composes them with three more
+    # sub-oracles), DuckDB's inlining re-plans the quadratic pair relation
+    # and the recursion's working set per consumer — measured >80 GB of
+    # temp spill at sf0.1; materialization keeps each computed once
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
     SELECT {a} AS src, {b} AS dst FROM pairs
     UNION ALL
     SELECT {b}, {a} FROM pairs
@@ -434,7 +439,7 @@ reach(src, dst) AS (
     UNION
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
-memb AS (
+memb AS MATERIALIZED (
     SELECT src AS {id_name}, LEAST(src, MIN(dst))::BIGINT AS cluster_id
     FROM reach GROUP BY src
 )"""
