@@ -212,6 +212,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)
+        # correlated-subquery verb: rows above their group average,
+        # decorrelated into one custkey exchange (integer cross-multiply)
+        "orders_above_customer_avg": relational.orders_above_customer_avg,
+        # CUBE grouping sets (finest-level aggregate, re-fold the rest)
+        "revenue_cube": relational.revenue_cube,
+        # NTILE equal-frequency buckets by global order statistics
+        "order_price_ntile": relational.order_price_ntile,
+        # reservoir-style deterministic uniform k-sample (bounded fold)
+        "uniform_sample_docs": textops.uniform_sample_docs,
+        # fixed-point PageRank over a derived link graph (BSP supersteps;
+        # iterative graph oracle via unrolled integer CTE chain)
+        "doc_link_pagerank": clusters.doc_link_pagerank,
     }
 
 
@@ -291,4 +303,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
         "embedding_dedup_clusters": clusters.embedding_dedup_clusters_sql(),
         "embedding_label_centroids": similarity.EMBEDDING_LABEL_CENTROIDS_SQL,
+        "orders_above_customer_avg": relational.ORDERS_ABOVE_CUST_AVG_SQL,
+        "revenue_cube": relational.REVENUE_CUBE_SQL,
+        "order_price_ntile": relational.order_price_ntile_sql(),
+        "uniform_sample_docs": textops.uniform_sample_sql(),
+        "doc_link_pagerank": clusters.doc_link_pagerank_sql(),
     }

@@ -547,3 +547,145 @@ def image_dup_clusters(
         batch_format="pyarrow",
     )
     return _labels_to_clusters(labeled, "image_id", n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# PageRank: the other BSP graph verb (crawl priority scoring)
+
+
+def doc_link_pagerank(
+    sf_dir: str, n_iters: int = 5, n_parts: int = 32
+) -> rd.Dataset:
+    """Fixed-point PageRank over a deterministic synthetic link graph —
+    the crawl-priority verb (rank frontier hosts/pages by link authority;
+    the reference's staleness priority O1 is the degenerate no-graph
+    case). The graph derives from the documents table itself: doc d links
+    to ``(d*7+1) % N``, ``(d*13+5) % N`` and ``(d*31+11) % N`` (self-loops
+    dropped) — expressible identically in SQL, so the whole ITERATIVE
+    pipeline is hash-oracled exactly, which floating-point PageRank never
+    is. All arithmetic is int64 fixed point (SCALE=1e9): per iteration
+    ``r' = 0.15*SCALE + (85 * Σ in-contribs) // 100`` with per-edge
+    contribution ``r // outdeg``.
+
+    Scale shape (the BSP pattern shared with ``connected_components``):
+    the rank table lives in the object store between supersteps; each
+    superstep is ONE map_batches (emit out-contributions — the successor
+    list is computed from the node id, so no edge table is ever joined or
+    even materialized) + ONE coarse-partition fold (groupby-sum of
+    contributions, zero self-rows keep rankless nodes alive). Only
+    nothing-but-paths state sits on the driver; per superstep the
+    exchange moves O(E) slim int rows. A real link graph replaces
+    ``_succ`` with an edges Dataset and one partitioned hash join per
+    superstep — the fold/fixed-point machinery is unchanged.
+
+    Assumes doc_ids are contiguous 0..N-1 (true of the driver tables) so
+    every derived successor is a real node; arbitrary ids would need an
+    id-densification pass before the graph derivation.
+    """
+    import pyarrow.parquet as pq
+
+    SCALE = np.int64(1_000_000_000)
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    n_docs = pf.metadata.num_rows  # footer read, not a scan
+
+    def _succ(ids: np.ndarray) -> np.ndarray:
+        # (n, 3) successor matrix; self-loops marked -1
+        s = np.stack(
+            [(ids * 7 + 1) % n_docs, (ids * 13 + 5) % n_docs,
+             (ids * 31 + 11) % n_docs],
+            axis=1,
+        )
+        return np.where(s == ids[:, None], -1, s)
+
+    def contribs(t: pa.Table) -> pa.Table:
+        ids = t["node"].to_numpy()
+        r = t["r"].to_numpy()
+        s = _succ(ids)
+        deg = (s >= 0).sum(axis=1).astype(np.int64)
+        share = r // np.maximum(deg, 1)
+        dst = s.ravel()
+        keep = dst >= 0
+        # zero self-contribution rows keep in-link-less nodes in the fold
+        dst = np.concatenate([dst[keep], ids])
+        c = np.concatenate([np.repeat(share, 3)[keep], np.zeros(len(ids), np.int64)])
+        return pa.table(
+            {
+                "part": pa.array((dst % n_parts).astype(np.int64), pa.int64()),
+                "node": pa.array(dst, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        s = df.groupby("node", sort=False)["c"].sum()
+        nodes = s.index.to_numpy(np.int64)
+        newr = 150_000_000 + (np.int64(85) * s.to_numpy(np.int64)) // 100
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "r": pa.array(newr, pa.int64())}
+        )
+
+    ranks = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": t["doc_id"],
+             "r": pa.array(np.full(t.num_rows, SCALE), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    for _ in range(n_iters):
+        ranks = (
+            ranks.map_batches(contribs, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rank_scaled": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+def doc_link_pagerank_sql(n_iters: int = 5) -> str:
+    """The SAME fixed-point iteration unrolled as generated CTEs (standard
+    SQL forbids aggregation inside a recursive CTE, so each superstep is
+    its own materialized CTE — and being integer arithmetic end-to-end,
+    the unrolled chain is hash-exact vs the distributed run)."""
+    ctes = [
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents)",
+        """edges AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents
+    ) WHERE src <> dst
+)""",
+        """deg AS MATERIALIZED (
+    SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src
+)""",
+        "r0 AS (SELECT doc_id AS node, 1000000000::BIGINT AS r FROM documents)",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"""c{i + 1} AS (
+    SELECT e.dst AS node, SUM(r.r // d.outdeg)::BIGINT AS s
+    FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+    SELECT doc.doc_id AS node,
+           (150000000 + (85 * COALESCE(c.s, 0)) // 100)::BIGINT AS r
+    FROM documents doc LEFT JOIN c{i + 1} c ON doc.doc_id = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, r AS rank_scaled FROM r{n_iters}"
+    )

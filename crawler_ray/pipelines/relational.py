@@ -809,3 +809,198 @@ SELECT l_returnflag,
        COUNT(*)::BIGINT AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape: rows above their group's average
+
+
+def orders_above_customer_avg(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Orders strictly above their customer's average order value — the
+    correlated-subquery verb (``WHERE price > (SELECT AVG(...) ... same
+    customer)``). Decorrelated the classic way: per-customer aggregate +
+    join back, but fused into ONE custkey-hash exchange — each partition
+    holds every order of its customers, so the per-customer mean and the
+    filter both happen in-task; no second pass over the fact and no
+    |customers|-row table ever reaches the driver.
+
+    Exactness: the comparison is integer cross-multiplied
+    (``cents * cnt > sum_cents``) — no float average crosses the filter
+    boundary, so the row set is independent of block structure. The
+    reported ``cust_avg`` reproduces the oracle's arithmetic on the same
+    doubles ((sum/100.0)/cnt)."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (t["o_custkey"].to_numpy() % n_parts).astype(np.int64), pa.int64()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def above_avg(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        grp = g.groupby("o_custkey")["o_totalprice"]
+        # exact per-customer integer partials, aligned back to rows
+        s = (
+            pd.Series(cents, index=g.index)
+            .groupby(g["o_custkey"])
+            .transform("sum")
+            .to_numpy(np.int64)
+        )
+        cnt = grp.transform("size").to_numpy(np.int64)
+        keep = cents * cnt > s
+        out = g.loc[keep, ["o_orderkey", "o_custkey", "o_totalprice"]].copy()
+        out["cust_avg"] = (s[keep].astype(np.float64) / 100.0) / cnt[keep]
+        return out
+
+    return orders.groupby("part").map_groups(above_avg, batch_format="pandas")
+
+
+ORDERS_ABOVE_CUST_AVG_SQL = """
+WITH c AS (
+    SELECT o_custkey AS ck,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_c,
+           COUNT(*)::BIGINT AS cnt
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice,
+       (sum_c / 100.0) / cnt AS cust_avg
+FROM orders JOIN c ON o_custkey = ck
+WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * cnt > sum_c
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping sets over two dimensions
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus) — every grouping set
+    ((pri,status), (pri), (status), ()) with 'ALL' placeholders, the
+    other subtotal verb beside ``revenue_rollup``'s hierarchy. Same scale
+    shape: ONE pass over the fact with an integer-cents combiner feeds a
+    groupby at the finest (|pri|×|status|, tiny) level; the three coarser
+    sets re-aggregate that result driver-side — the fact table is never
+    re-scanned and never shuffled more than once."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            cents=np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        )
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)["cents"]
+            .agg(rev_c="sum", n_p="size")
+            .reset_index()
+        )
+
+    finest = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
+        .to_pandas()  # |priorities| x |statuses| rows by construction
+    )
+    finest = finest.rename(
+        columns={"o_orderpriority": "priority", "o_orderstatus": "status"}
+    )
+    by_pri = (
+        finest.groupby("priority", as_index=False)[["rev_c", "n"]]
+        .sum()
+        .assign(status="ALL")
+    )
+    by_status = (
+        finest.groupby("status", as_index=False)[["rev_c", "n"]]
+        .sum()
+        .assign(priority="ALL")
+    )
+    total = pd.DataFrame(
+        {"priority": ["ALL"], "status": ["ALL"],
+         "rev_c": [finest["rev_c"].sum()], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat([finest, by_pri, by_status, total], ignore_index=True)
+    return pd.DataFrame(
+        {"priority": out["priority"], "status": out["status"],
+         "revenue": out["rev_c"].astype("int64") / 100.0,
+         "n_orders": out["n"].astype("int64")}
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE: equal-frequency bucketing by global order statistics
+
+
+def order_price_ntile(sf_dir: str, n: int = 10) -> rd.Dataset:
+    """``NTILE(n) OVER (ORDER BY o_totalprice, o_orderkey)`` — global
+    equal-frequency buckets (price deciles), the window verb that needs a
+    GLOBAL sort position. Shape: the slim (orderkey, key) table — key
+    packs (cents, orderkey) into one int64 so ascending key order IS the
+    window order — goes through ``ordering.global_sort_rank`` (sampled
+    range partitioning; only O(ranges) rows reach the driver), then the
+    rank→tile map is a pure vectorized formula using the total count the
+    rank pass already knows. The fact table is scanned once, two columns.
+
+    Tile sizes follow the SQL standard: the first ``total % n`` tiles get
+    one extra row.
+    """
+    from crawler_ray.pipelines.ordering import global_sort_rank
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        ids = t["o_orderkey"].to_numpy()
+        assert (cents >= 0).all() and (cents < (1 << 29)).all()
+        assert (ids >= 0).all() and (ids < (1 << 33)).all()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ids, pa.int64()),
+                "key": pa.array(cents * (1 << 33) + ids, pa.int64()),
+            }
+        )
+
+    keys = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        key_rows, batch_format="pyarrow"
+    )
+    ranks, total = global_sort_rank(
+        keys, id_col="o_orderkey", key_col="key", rank_col="rank"
+    )
+    q, rem = divmod(total, n)
+    big = rem * (q + 1)
+
+    def to_tile(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy()
+        if q == 0:  # fewer rows than tiles: tile == rank
+            tile = r
+        else:
+            tile = np.where(
+                r <= big, (r - 1) // (q + 1) + 1, rem + (r - big - 1) // q + 1
+            ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "tile": pa.array(tile, pa.int64())}
+        )
+
+    return ranks.map_batches(to_tile, batch_format="pyarrow")
+
+
+def order_price_ntile_sql(n: int = 10) -> str:
+    return f"""
+SELECT o_orderkey,
+       NTILE({n}) OVER (
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey
+       )::BIGINT AS tile
+FROM orders
+"""

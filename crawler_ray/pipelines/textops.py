@@ -2070,3 +2070,64 @@ SELECT l.doc_id,
        )::BIGINT AS curriculum_rank
 FROM lists l LEFT JOIN m USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Uniform k-sample: reservoir-style bounded fold, no global rank
+# --------------------------------------------------------------------------
+
+
+def uniform_sample_docs(sf_dir: str, k: int = 50, seed: int = 7) -> pd.DataFrame:
+    """Deterministic uniform k-sample of the corpus — the reservoir-sample
+    archetype, made resumable/rerunnable by replacing randomness with a
+    seeded hash order: the sample IS the k smallest md5('seed:doc_id')
+    keys. Contrast ``shuffled_export`` (full global rank, two exchanges):
+    a k-sample never needs ranks — each block folds to its own k smallest
+    keys (bounded partial top-k), and only O(k × blocks) slim rows reach
+    the final reduce. No shuffle of the corpus, no driver scan; text is
+    attached afterwards by a pruned filtered read of just the k winners.
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        skey = np.array(
+            [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        order = np.lexsort((ids, skey))[:k]
+        return pd.DataFrame({"doc_id": ids[order], "skey": skey[order]})
+
+    parts = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()  # O(k * blocks) rows by construction
+    )
+    win = parts.sort_values(["skey", "doc_id"], kind="mergesort").head(k)
+    win = win.assign(
+        sample_rank=np.arange(1, len(win) + 1, dtype=np.int64)
+    ).reset_index(drop=True)
+    # attach text via a filtered read of ONLY the winners (row-group pruned)
+    ids = sorted(int(i) for i in win["doc_id"])
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    ).to_pandas()
+    out = win.merge(t, on="doc_id")
+    return out[["doc_id", "sample_rank", "text"]]
+
+
+def uniform_sample_sql(k: int = 50, seed: int = 7) -> str:
+    return f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+           ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), doc_id
+       )::BIGINT AS sample_rank,
+       text
+FROM documents
+ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {k}
+"""
