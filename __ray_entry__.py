@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-point PageRank over a derived link graph (BSP supersteps;
         # iterative graph oracle via unrolled integer CTE chain)
         "doc_link_pagerank": clusters.doc_link_pagerank,
+        # incremental near-dedup: probe a new snapshot against a PERSISTED
+        # base-corpus MinHash band index; cross-side-only candidate walk
+        # (rows-only: LSH — brute-force value-oracled in tests)
+        "cross_snapshot_near_dups": dedup.cross_snapshot_near_dups,
     }
 
 

@@ -1380,3 +1380,264 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'unchanged' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot (incremental) near-dedup: probe a new crawl against a
+# persisted MinHash band index of the existing corpus
+
+
+def build_minhash_band_index(
+    sf_dir: str, index_dir: str, ngram: int = 3, seed: int = 13,
+    n_parts: int = 16,
+) -> int:
+    """Persist the BASE corpus' MinHash band rows (bucket, doc_id, bands,
+    minisig, part) — the index an incremental recrawl probes so the base
+    corpus is signed ONCE, not per probe run. Base = docs with even
+    doc_id (deterministic stand-in for "the existing corpus"; a real
+    deployment points this at the previous snapshot's table).
+
+    Layout: plain parquet with the coarse partition id as a column —
+    band hashes are uniform, so hive-partitioning by ``part`` would prune
+    nothing for a snapshot-sized probe (every part is hit); the index's
+    value is the amortized signature/banding compute and the slim 272 B/row
+    band layout. Single-document probes can still push
+    ``filters=[("bucket", "in", ...)]`` into the read (row-group stats).
+    Returns the number of indexed docs."""
+    import os
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    bands = (
+        docs.map_batches(make_minhash_fn(ngram, seed), batch_format="pandas")
+        .map_batches(sig_to_bands, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "part",
+                pa.array((t["bucket"].to_numpy() % n_parts).astype(np.int64),
+                         pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    bands.write_parquet(index_dir)
+    return int(docs.count())
+
+
+def _cross_pairs_multi(threshold: float):
+    """Cross-side candidate walk: per bucket segment, pairs are
+    (base row) × (probe row) ONLY — the base corpus is never self-paired,
+    which is the whole point of incremental probing (base×base work would
+    re-run the full-corpus dedup every refresh). Same chunked estimate
+    prefilter and canonical-band dedup as ``_estimate_pairs_multi``."""
+    min_est_count = int(np.ceil((threshold - _EST_MARGIN) * _N_PERM))
+    pair_chunk = 1 << 16
+
+    def cross_index_chunks(starts, base_cnt, probe_cnt):
+        buf_a, buf_b, buf_n = [], [], 0
+        for s, nb, npr in zip(starts.tolist(), base_cnt.tolist(),
+                              probe_cnt.tolist()):
+            if nb == 0 or npr == 0:
+                continue
+            # base rows occupy [s, s+nb), probe rows [s+nb, s+nb+npr)
+            rb = max(1, pair_chunk // nb)
+            for p0 in range(0, npr, rb):
+                pr = np.arange(p0, min(p0 + rb, npr))
+                ai = np.repeat(pr, nb) + s + nb  # probe side
+                bi = np.tile(np.arange(nb), len(pr)) + s  # base side
+                if buf_n and buf_n + len(ai) > pair_chunk:
+                    yield np.concatenate(buf_a), np.concatenate(buf_b)
+                    buf_a, buf_b, buf_n = [], [], 0
+                buf_a.append(ai)
+                buf_b.append(bi)
+                buf_n += len(ai)
+                if buf_n >= pair_chunk:
+                    yield np.concatenate(buf_a), np.concatenate(buf_b)
+                    buf_a, buf_b, buf_n = [], [], 0
+        if buf_n:
+            yield np.concatenate(buf_a), np.concatenate(buf_b)
+
+    def est_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_base, out_new = [], []
+        if n >= 2:
+            bkt = g["bucket"].to_numpy()
+            ids = g["doc_id"].to_numpy()
+            side = g["side"].to_numpy()
+            mini = _binary_col_to_mat(g["minisig"], _N_PERM, n, dtype=np.uint8)
+            bands = _binary_col_to_mat(g["bands"], _N_BANDS * 8, n)
+            order = np.lexsort((ids, side, bkt))
+            bkt, ids, side = bkt[order], ids[order], side[order]
+            mini, bands = mini[order], bands[order]
+            starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+            ends = np.r_[starts[1:], n]
+            # per segment: side is sorted, so base rows (0) precede probe (1)
+            cum = np.r_[0, np.cumsum(side)]
+            probe_cnt = cum[ends] - cum[starts]
+            base_cnt = (ends - starts) - probe_cnt
+            for ai, bi in cross_index_chunks(starts, base_cnt, probe_cnt):
+                est_ok = (mini[ai] == mini[bi]).sum(axis=1) >= min_est_count
+                if not est_ok.any():
+                    continue
+                sel = np.flatnonzero(est_ok)
+                band_eq = bands[ai[sel]] == bands[bi[sel]]
+                cur = bkt[ai[sel]].astype(np.uint64) >> np.uint64(58)
+                keep = (~band_eq.any(axis=1)) | (band_eq.argmax(axis=1) == cur)
+                if keep.any():
+                    out_new.append(ids[ai[sel[keep]]])
+                    out_base.append(ids[bi[sel[keep]]])
+        bd = np.concatenate(out_base) if out_base else np.array([], np.int64)
+        nd = np.concatenate(out_new) if out_new else np.array([], np.int64)
+        return pa.table({"doc_a": pa.array(bd, pa.int64()),
+                         "doc_b": pa.array(nd, pa.int64())})
+
+    return est_pairs
+
+
+def cross_snapshot_near_dups(
+    sf_dir: str, ngram: int = 3, threshold: float = 0.8, n_parts: int = 16
+) -> rd.Dataset:
+    """Incremental near-dedup: which NEW docs (odd doc_id — the "fresh
+    crawl" stand-in) near-duplicate an EXISTING base-corpus doc (even
+    doc_id)? The production shape for a recurring crawl: the base side
+    comes from a PERSISTED band index (built once by
+    ``build_minhash_band_index``, cached/atomically published like the ANN
+    indexes), so each refresh signs only the new snapshot and the
+    candidate walk never pairs base×base — probe cost scales with the
+    delta, not the corpus.
+
+    Emits (base_doc, new_doc, jaccard) pairs with EXACT char n-gram
+    Jaccard ≥ threshold, verified via the same fused single-exchange text
+    attach as ``minhash_near_dup_pairs``."""
+    import os
+    import tempfile
+
+    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
+    idx = os.path.join(
+        tempfile.gettempdir(), f"crawler_ray_bands_{key}_{ngram}"
+    )
+    if not os.path.isdir(idx):  # the atomic rename IS the done marker
+        stage = f"{idx}.tmp-{os.getpid()}"
+        build_minhash_band_index(sf_dir, stage, ngram=ngram, n_parts=n_parts)
+        try:
+            os.rename(stage, idx)  # atomic publish; losers keep serving
+        except OSError:  # pragma: no cover - concurrent builder won
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+
+    base_bands = rd.read_parquet(idx).map_batches(
+        lambda t: t.append_column(
+            "side", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    probe_docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 1)
+        ),
+        batch_format="pyarrow",
+    )
+    probe_bands = (
+        probe_docs.map_batches(make_minhash_fn(ngram), batch_format="pandas")
+        .map_batches(sig_to_bands, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "part",
+                pa.array((t["bucket"].to_numpy() % n_parts).astype(np.int64),
+                         pa.int64()),
+            ).append_column(
+                "side", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    candidates = (
+        base_bands.union(probe_bands)
+        .groupby("part")
+        .map_groups(_cross_pairs_multi(threshold), batch_format="pyarrow")
+    )
+
+    # fused single-exchange text attach (the minhash_near_dup_pairs shape):
+    # pair half-rows + doc rows share ONE doc_id-partition exchange
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    nb = n_parts
+
+    def halves(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        n = len(da)
+        jkey = np.concatenate([da, db])
+        return pa.table(
+            {"jkey": pa.array(jkey, pa.int64()),
+             "jpart": pa.array((jkey % nb).astype(np.int64), pa.int64()),
+             "doc_a": pa.array(np.concatenate([da, da]), pa.int64()),
+             "doc_b": pa.array(np.concatenate([db, db]), pa.int64()),
+             "side": pa.array(
+                 np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)], pa.int64()
+             ),
+             "text": pa.nulls(2 * n, pa.string())}
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"jkey": t["doc_id"],
+             "jpart": pa.array((ids % nb).astype(np.int64), pa.int64()),
+             "doc_a": pa.nulls(t.num_rows, pa.int64()),
+             "doc_b": pa.nulls(t.num_rows, pa.int64()),
+             "side": pa.nulls(t.num_rows, pa.int64()),
+             "text": t["text"]}
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_doc = pa.compute.is_valid(g["text"])
+        dt = g.filter(is_doc)
+        ht = g.filter(pa.compute.invert(is_doc))
+        if ht.num_rows == 0:
+            return pa.table(
+                {"vpart": pa.array([], pa.int64()),
+                 "doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        lookup = dict(zip(dt["jkey"].to_numpy(), dt["text"].to_pylist()))
+        jk = ht["jkey"].to_numpy()
+        da = ht["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = ht["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vpart = ((da * np.int64(1000003) + db) % nb).astype(np.int64)
+        return pa.table(
+            {"vpart": pa.array(vpart, pa.int64()),
+             "doc_a": pa.array(da, pa.int64()),
+             "doc_b": pa.array(db, pa.int64()),
+             "side": ht["side"],
+             "text": pa.array([lookup[k] for k in jk], pa.string())}
+        )
+
+    verifier = PairVerifier(ngram, threshold)
+
+    def pair_up(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas()
+        a = df[df["side"] == 0][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        v = verifier(a.merge(b, on=["doc_a", "doc_b"]))
+        return v.rename(columns={"doc_a": "base_doc", "doc_b": "new_doc"})
+
+    return (
+        candidates.map_batches(halves, batch_format="pyarrow")
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+        .groupby("jpart")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("vpart")
+        .map_groups(pair_up, batch_format="pyarrow")
+    )

@@ -324,3 +324,37 @@ def test_substring_span_dedup_random_brute_force(ray_session, tmp_path):
         )
         assert got == exp, (r.doc_id, got, exp)
     assert any(v[1] > 0 for v in expected.values()), "need dup windows"
+
+
+def test_cross_snapshot_near_dups_brute_force_oracle(ray_session):
+    """Cross-snapshot probe vs a full brute-force cross-side sweep: every
+    emitted (base, new) pair's exact char-3gram Jaccard must match, and
+    every true pair with jaccard clearly above threshold (>= 0.9 — where
+    16-band LSH recall is ~certain) must be found."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.text import char_ngrams, jaccard
+    from crawler_ray.pipelines.dedup import cross_snapshot_near_dups
+    from tests.conftest import SF_DIR
+
+    res = cross_snapshot_near_dups(SF_DIR, threshold=0.8).to_pandas()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    shingles = {r.doc_id: char_ngrams(r.text, 3) for r in docs.itertuples()}
+    truth = {}
+    for b in docs.doc_id[docs.doc_id % 2 == 0]:
+        for n in docs.doc_id[docs.doc_id % 2 == 1]:
+            j = jaccard(shingles[b], shingles[n])
+            if j >= 0.8:
+                truth[(b, n)] = round(j, 6)
+    got = dict(zip(zip(res.base_doc, res.new_doc), res.jaccard))
+    # no false positives, values exact
+    for pair, j in got.items():
+        assert pair in truth and abs(truth[pair] - j) < 1e-9
+    # recall guaranteed-by-probability region
+    for pair, j in truth.items():
+        if j >= 0.9:
+            assert pair in got, f"missed high-jaccard pair {pair} ({j})"
+    # parity contract: base side even, new side odd
+    assert (res.base_doc % 2 == 0).all() and (res.new_doc % 2 == 1).all()
