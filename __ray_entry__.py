@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)
+        # PQ-compressed ANN: m-byte codes scan + LUT ADC + exact rerank
+        # (rows-only: approximate — recall vs brute force tested)
+        "ann_pq_topk": similarity.ann_pq_topk,
         # correlated-subquery verb: rows above their group average,
         # decorrelated into one custkey exchange (integer cross-multiply)
         "orders_above_customer_avg": relational.orders_above_customer_avg,

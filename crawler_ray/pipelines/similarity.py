@@ -733,3 +733,178 @@ def kmeans_reference(
         new[nz] = sums[nz] / (counts[nz, None].astype(np.float64) * SCALE)
         cents = _normalize(new)
     return np.argmax(mat @ cents.T, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN — the 100 TB scale path
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, ks: int, seed: int, n_iters: int = 10
+) -> np.ndarray:
+    """Deterministic per-subspace euclidean Lloyd on a BOUNDED sample →
+    (m, ks, d/m) codebooks. Subvectors are not unit vectors, so this is
+    plain euclidean k-means (unlike the spherical `_train_centroids`)."""
+    n, d = sample.shape
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.empty((m, ks, dsub), np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(n, size=min(ks, n), replace=False)
+        cents = sub[np.sort(idx)].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < ks:  # tiny-sample corner: repeat last centroid
+            books[j, len(cents):] = cents[-1]
+    return books
+
+
+class PqEncodeStage:
+    """vector → m uint8 codes (one (ks, dsub) argmin per subspace, fully
+    vectorized; codebooks ship inside the pickled callable — small,
+    corpus-independent state). Output is m bytes/vector: at dim=64/f32
+    that is a 32× shrink of what a scan must read."""
+
+    def __init__(self, books: np.ndarray):
+        self.books = books  # (m, ks, dsub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _stack(batch)
+        mat = _normalize(mat)
+        m, ks, dsub = self.books.shape
+        codes = np.empty((len(ids), m), np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # ||x-c||^2 argmin == argmax(c@x - ||c||^2/2), one matmul
+            scores = sub @ self.books[j].T - 0.5 * (self.books[j] ** 2).sum(1)
+            codes[:, j] = np.argmax(scores, axis=1).astype(np.uint8)
+        from crawler_ray.pipelines.dedup import _fixed_binary_from_mat
+
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "code": _fixed_binary_from_mat(codes, m),
+            }
+        )
+
+
+def build_pq_index(
+    sf_dir: str, index_dir: str, m: int = 8, ks: int = 32, seed: int = 11,
+    sample_rows: int = 2048,
+) -> int:
+    """Train PQ codebooks on a bounded sample (first row groups — driver
+    cost is corpus-size-independent) and encode the whole corpus in one
+    distributed pass to an m-byte/vector codes table. Codebooks persist
+    beside the codes so any process can build lookup tables and serve."""
+    import json
+    import os
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    rows = []
+    got = 0
+    for g in range(pf.metadata.num_row_groups):
+        t = pf.read_row_group(g, columns=["embedding"])
+        rows.append(np.array(t["embedding"].to_pylist(), np.float64))
+        got += rows[-1].shape[0]
+        if got >= sample_rows:
+            break
+    sample = _normalize(np.concatenate(rows)[:sample_rows])
+    books = _train_pq_codebooks(sample, m, ks, seed)
+    ds = _read_emb(sf_dir).map_batches(PqEncodeStage(books), batch_format="pyarrow")
+    # codes live in their own subdir so sidecar files (codebooks, meta)
+    # never collide with the parquet scan
+    os.makedirs(os.path.join(index_dir, "codes"), exist_ok=True)
+    ds.write_parquet(os.path.join(index_dir, "codes"))
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"m": m, "ks": ks, "seed": seed}, f)
+    return got
+
+
+def ann_pq_topk(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, rerank: int = 16
+) -> rd.Dataset:
+    """ANN via PQ asymmetric distance: scan the m-byte codes table (32×
+    less I/O than raw vectors), score each vector as a LUT-gather sum
+    (``Σ_j LUT[j][code_j]`` ≈ cosine), keep per-batch partial top
+    ``k*rerank`` candidates, then RERANK the shortlist with EXACT cosine
+    via a filtered read of only those vec_ids — so reported similarities
+    are exact and recall loss comes only from shortlist misses. The index
+    (codes + codebooks) builds once and publishes atomically, like the
+    LSH/IVF indexes."""
+    import json
+    import os
+    import tempfile
+
+    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"crawler_ray_pq_{key}")
+    if not os.path.isdir(idx):
+        stage = f"{idx}.tmp-{os.getpid()}"
+        build_pq_index(sf_dir, stage)
+        try:
+            os.rename(stage, idx)  # atomic publish; losers keep serving
+        except OSError:  # pragma: no cover - concurrent builder won
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+
+    books = np.load(os.path.join(idx, "codebooks.npy"))
+    with open(os.path.join(idx, "meta.json")) as f:
+        m = json.load(f)["m"]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", query_vec_id)],
+    )
+    q = np.asarray(qt["embedding"].to_pylist()[0], np.float64)
+    q = q / np.linalg.norm(q)
+    dsub = books.shape[2]
+    # (m, ks) dot-product lookup tables: ADC score = sum_j lut[j, code_j]
+    lut = np.einsum("mkd,md->mk", books, q.reshape(m, dsub))
+    shortlist = k * rerank
+
+    def adc_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        from crawler_ray.pipelines.dedup import _binary_col_to_mat
+
+        codes = _binary_col_to_mat(t["code"], m, n, dtype=np.uint8)
+        scores = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        ids = t["vec_id"].to_numpy()
+        top = np.argsort(-scores, kind="stable")[: shortlist]
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
+                         "adc": pa.array(scores[top], pa.float64())})
+
+    parts = (
+        rd.read_parquet(os.path.join(idx, "codes"))
+        .map_batches(adc_partial, batch_format="pyarrow")
+        .to_pandas()  # O(shortlist × blocks) slim rows by construction
+    )
+    cand = (
+        parts.sort_values(["adc", "vec_id"], ascending=[False, True])
+        .head(shortlist)["vec_id"]
+        .astype(int)
+        .tolist()
+    )
+    cand = [c for c in cand if c != query_vec_id]
+    # exact rerank: filtered read of ONLY the shortlist rows
+    rt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", sorted(cand))],
+    )
+    ids = rt["vec_id"].to_numpy()
+    mat = _normalize(np.array(rt["embedding"].to_pylist(), np.float64))
+    sims = mat @ q
+    order = np.lexsort((ids, -sims))[:k]
+    return rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                  "cos_sim": pa.array(round_np(sims[order], 4), pa.float64())})
+    )

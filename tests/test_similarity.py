@@ -324,3 +324,48 @@ def test_embedding_kmeans_matches_numpy_reference(ray_session):
     assert (out["vec_id"].to_numpy() == ids).all()
     assert (out["cluster"].to_numpy() == ref).all()
     assert len(np.unique(ref)) > 1
+
+
+def test_ann_pq_topk_recall_and_exact_rerank(ray_session):
+    """PQ ADC shortlist + exact rerank: recall vs brute force stays high
+    and every reported similarity is the EXACT cosine (the rerank reads
+    true vectors), so overlap rows match brute force bit-for-bit."""
+    import numpy as np
+
+    from crawler_ray.pipelines import similarity
+    from tests.conftest import SF_DIR
+
+    recalls = []
+    for qid in [0, 7, 23]:
+        pqr = similarity.ann_pq_topk(SF_DIR, query_vec_id=qid, k=10).to_pandas()
+        bf = similarity.knn_brute_force(SF_DIR, query_vec_id=qid, k=10).to_pandas()
+        assert len(pqr) == 10 and qid not in set(pqr.vec_id)
+        recalls.append(len(set(pqr.vec_id) & set(bf.vec_id)) / 10)
+        m = pqr.merge(bf, on="vec_id", suffixes=("_pq", "_bf"))
+        assert np.array_equal(m.cos_sim_pq.to_numpy(), m.cos_sim_bf.to_numpy())
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_pq_codes_layout(ray_session, tmp_path):
+    """Index contract: codes table is m bytes/vector with every corpus id
+    present exactly once; codebooks persist beside it."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import similarity
+    from tests.conftest import SF_DIR
+
+    idx = str(tmp_path / "pq")
+    n = similarity.build_pq_index(SF_DIR, idx, m=8, ks=32)
+    books = np.load(os.path.join(idx, "codebooks.npy"))
+    assert books.shape[0] == 8 and books.shape[1] == 32
+    import glob
+
+    files = glob.glob(os.path.join(idx, "codes", "*.parquet"))
+    t = pq.read_table(files)
+    assert t.num_rows == n
+    ids = t["vec_id"].to_numpy()
+    assert len(np.unique(ids)) == n
+    assert t.schema.field("code").type == __import__("pyarrow").binary(8)
