@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 76 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 63 have a DuckDB twin in
+``queries()`` exposes 83 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 68 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -30,15 +30,24 @@ a LAG gap window, per-label embedding centroids via fixed-point
 partials, and a CCNet-style unigram LM fluency gate scored by integer
 floor-log2 token frequencies; plus a TeraSort-style curriculum
 ordering via sampled range partitioning and an interpolated
-percentile_cont twin of the grouped quantiles). The
-genuinely non-SQL-expressible thirteen get the weaker rows-only driver check
+percentile_cont twin of the grouped quantiles; and five more exact twins
+late in round 3: a CUBE grouping-set report, the correlated
+above-customer-average filter via integer cross-multiply, NTILE
+equal-frequency buckets by sampled global order statistics, a
+deterministic reservoir-style uniform k-sample, and int64 fixed-point
+PageRank over a derived link graph oracled by an unrolled integer CTE
+chain — the iterative-graph family SQL usually can't check). The
+genuinely non-SQL-expressible fifteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
 paths, image duplicate clusters, the CLIP-style image-caption alignment
 gate, the flagship image-corpus curation chain — all planted-truth
-exact in tests — and distributed Lloyd k-means, bit-identical to a
-single-node numpy reference via fixed-point centroid folds).
+exact in tests — distributed Lloyd k-means, bit-identical to a
+single-node numpy reference via fixed-point centroid folds, the
+cross-snapshot incremental near-dedup probe (brute-force value-oracled
+in tests), and the PQ-compressed ANN serve whose exact-rerank rows are
+bit-equal to brute force on the overlap).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.

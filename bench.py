@@ -83,6 +83,11 @@ QUERY_NAMES = [
     "curriculum_export",
     "lineitem_price_percentiles_cont",
     "embedding_kmeans",
+    "orders_above_customer_avg",
+    "order_price_ntile",
+    "doc_link_pagerank",
+    "cross_snapshot_near_dups",
+    "ann_pq_topk",
 ]
 
 
