@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # base-corpus MinHash band index; cross-side-only candidate walk
         # (rows-only: LSH — brute-force value-oracled in tests)
         "cross_snapshot_near_dups": dedup.cross_snapshot_near_dups,
+        # bloom-prefiltered SEMI join (EXISTS): broadcast bit array cuts
+        # the probe fact's shuffle to ~matches before the exact fold
+        "orders_from_event_users": joins.orders_from_event_users,
+        # grouped mean/variance from exact int64 sufficient statistics
+        "part_price_dispersion": relational.part_price_dispersion,
     }
 
 
@@ -324,4 +329,6 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ntile": relational.order_price_ntile_sql(),
         "uniform_sample_docs": textops.uniform_sample_sql(),
         "doc_link_pagerank": clusters.doc_link_pagerank_sql(),
+        "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
+        "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,
     }

@@ -592,3 +592,153 @@ FROM customer c LEFT JOIN (
     FROM orders GROUP BY o_custkey
 ) o ON c.c_custkey = o.o_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered SEMI join (EXISTS) — completes the join-verb family
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+class _BloomProbe:
+    """Task-mode bloom prefilter: the packed bit array ships once via
+    ``ray.put`` and is resolved lazily per worker (the BroadcastJoiner
+    convention). No false negatives — survivors still get exact
+    verification downstream; the bloom only cuts shuffle volume."""
+
+    def __init__(self, state_ref, key: str, n_parts: int):
+        self.ref = state_ref
+        self.key = key
+        self.n_parts = n_parts
+        self._f = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        from crawler_ray.state.filters import BloomFilter
+
+        if self._f is None:
+            st = ray.get(self.ref) if isinstance(self.ref, ray.ObjectRef) else self.ref
+            self._f = BloomFilter.from_state(st)
+        keys = t[self.key].to_numpy()
+        hit = self._f.contains(_splitmix64(keys))
+        t = t.filter(pa.array(hit))
+        return t.append_column(
+            "part",
+            pa.array((t[self.key].to_numpy() % self.n_parts).astype(np.int64),
+                     pa.int64()),
+        )
+
+
+def orders_from_event_users(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """SEMI join (``WHERE EXISTS``): orders whose customer appears in the
+    events stream (testdata convention: ``events.user_id`` keys the
+    customer domain) — the bloom-join shape for a fact⋈fact exists-check
+    at scale:
+
+    1. distinct build keys via one slim partition fold (per-batch unique
+       → coarse key-hash exchange → in-task unique),
+    2. a Bloom filter over the distinct keys is OR-folded from per-block
+       partials — only fixed-size bit arrays reach the driver — and
+       broadcast once with ``ray.put``,
+    3. the probe fact PREFILTERS against the bloom inside ``map_batches``
+       (no false negatives), so only ~matching + ε·FP rows enter
+    4. the exact semi fold (probe rows ∪ distinct build keys co-located
+       by key-hash; in-task membership test removes bloom false
+       positives).
+
+    The probe side's shuffle volume shrinks from |orders| to
+    |semi matches| + FP — the entire point of a bloom join when the probe
+    fact is 100× the match rate. Output is exact regardless of FP rate."""
+    import ray
+
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.state.filters import BloomFilter
+
+    events = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def distinct_batch(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy())
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()),
+             "part": pa.array((u % n_parts).astype(np.int64), pa.int64())}
+        )
+
+    def distinct_fold(g: pa.Table) -> pa.Table:
+        u = np.unique(g["user_id"].to_numpy())
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()),
+             "part": pa.array((u % n_parts).astype(np.int64), pa.int64())}
+        )
+
+    users = (
+        events.map_batches(distinct_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct_fold, batch_format="pyarrow")
+        .materialize()  # slim (user_id, part) rows; reused twice below
+    )
+
+    cap = max(1024, int(users.count()))
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        f = BloomFilter(cap)
+        f.add(_splitmix64(t["user_id"].to_numpy()))
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    parts = users.map_batches(block_bloom, batch_format="pyarrow").to_pandas()
+    bloom = BloomFilter(cap)
+    for b in parts["bits"]:
+        bloom.bits |= np.frombuffer(b, dtype=np.uint8)
+    state_ref = ray.put(bloom.state())
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        target_rows_per_block=4096,
+    )
+    prefiltered = orders.map_batches(
+        _BloomProbe(state_ref, "o_custkey", n_parts), batch_format="pyarrow"
+    )
+
+    def semi(g: pa.Table) -> pa.Table:
+        is_build = pa.compute.is_valid(g["user_id"])
+        build = g.filter(is_build)["user_id"].to_numpy(zero_copy_only=False)
+        probe = g.filter(pa.compute.invert(is_build))
+        keep = np.isin(
+            probe["o_custkey"].to_numpy(zero_copy_only=False), build
+        )
+        out = probe.filter(pa.array(keep))
+        return out.select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    probe_rows = prefiltered.map_batches(
+        lambda t: t.append_column("user_id", pa.nulls(t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    build_rows = users.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+             "o_custkey": pa.nulls(t.num_rows, pa.int64()),
+             "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
+             "part": t["part"],
+             "user_id": t["user_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        probe_rows.union(build_rows)
+        .groupby("part")
+        .map_groups(semi, batch_format="pyarrow")
+    )
+
+
+ORDERS_FROM_EVENT_USERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o_custkey)
+"""

@@ -1004,3 +1004,73 @@ SELECT o_orderkey,
        )::BIGINT AS tile
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped second moment: sufficient-statistics combiner (mean + variance)
+
+
+def part_price_dispersion(sf_dir: str) -> rd.Dataset:
+    """Per part type: count, mean and POPULATION variance of retail price —
+    the sufficient-statistics pattern every distributed moment aggregate
+    reduces to: each batch folds (n, Σc, Σc²) in exact int64 cents
+    (order- and block-structure-independent), one tiny groupby merges
+    them, and the floating-point mean/variance are derived ONCE at the
+    end with the same double expression the oracle uses
+    (``s2/n − (s/n)²`` — divisions first, so magnitudes stay small and
+    the arithmetic is bit-identical). Bounds: cents < 2^31 and
+    Σc² < 2^63 hold through sf ≈ 5000 for this table (asserted)."""
+    parts = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["p_retailprice"].to_numpy() * 100.0).astype(np.int64)
+        assert (np.abs(cents) < (1 << 31)).all()
+        g = pd.DataFrame({"p_type": df["p_type"], "c": cents, "c2": cents * cents})
+        out = g.groupby("p_type", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum")
+        )
+        return out.reset_index()
+
+    agg = (
+        parts.map_batches(partial, batch_format="pandas")
+        .groupby("p_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        s2 = df["s2"].to_numpy(np.int64)
+        mean_c = s.astype(np.float64) / n
+        var_c = s2.astype(np.float64) / n - mean_c * mean_c
+        return pd.DataFrame(
+            {"p_type": df["p_type"],
+             "n_parts": n,
+             "mean_price": mean_c / 100.0,
+             "var_price_cents": var_c}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+PART_PRICE_DISPERSION_SQL = """
+WITH s AS (
+    SELECT p_type,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS s,
+           SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+               * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS s2
+    FROM part GROUP BY p_type
+)
+SELECT p_type,
+       n AS n_parts,
+       (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
+       CAST(s2 AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+           AS var_price_cents
+FROM s
+"""

@@ -220,3 +220,35 @@ def test_customer_order_counts_zero_fill(ray_session):
     zeros = out[out["n_orders"] == 0]
     assert len(zeros) == orderless
     assert (zeros["total_spend"] == 0.0).all()
+
+
+def test_bloom_semi_join_matches_naive(ray_session):
+    """Bloom prefilter must be output-invisible (no false negatives; FPs
+    removed by the exact fold): result equals the naive pandas semi join."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.joins import orders_from_event_users
+    from tests.conftest import SF_DIR
+
+    got = (
+        orders_from_event_users(SF_DIR)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    users = np.unique(
+        pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])[
+            "user_id"
+        ].to_numpy()
+    )
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).to_pandas()
+    naive = (
+        orders[orders.o_custkey.isin(users)]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert got.equals(naive)
