@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 83 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 68 have a DuckDB twin in
+``queries()`` exposes 85 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 70 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -36,7 +36,9 @@ above-customer-average filter via integer cross-multiply, NTILE
 equal-frequency buckets by sampled global order statistics, a
 deterministic reservoir-style uniform k-sample, and int64 fixed-point
 PageRank over a derived link graph oracled by an unrolled integer CTE
-chain — the iterative-graph family SQL usually can't check). The
+chain — the iterative-graph family SQL usually can't check; a
+bloom-prefiltered EXISTS semi join; and grouped variance from exact
+integer sufficient statistics). The
 genuinely non-SQL-expressible fifteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash

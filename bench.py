@@ -88,6 +88,8 @@ QUERY_NAMES = [
     "doc_link_pagerank",
     "cross_snapshot_near_dups",
     "ann_pq_topk",
+    "orders_from_event_users",
+    "part_price_dispersion",
 ]
 
 
