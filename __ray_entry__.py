@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
+        # sliding (hopping) windows: combine-then-replicate partials
+        "sliding_event_counts": events.sliding_event_counts,
         "sessionize": events.sessionize,
         "props_key_sum": events.props_key_sum,
         "distinct_users_hll": events.distinct_users_hll,  # rows-only (sketch)
@@ -215,6 +217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship image-corpus curation: alignment -> quality -> phash
         # dedup keep-one, first-failing-reason verdict (rows-only)
         "image_corpus_curation": multimodal.image_corpus_curation,
+        # audio near-dup pairs: WAV decode -> energy-delta fingerprint ->
+        # the SAME banded-Hamming walk as image phash (rows-only;
+        # planted-truth exact in tests)
+        "audio_dup_pairs": multimodal.audio_dup_pairs,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # distributed Lloyd k-means (iterative ML; rows-only — bit-exact
@@ -282,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": relational.PART_TYPE_SQL,
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         "hourly_event_counts": events.HOURLY_EVENTS_SQL,
+        "sliding_event_counts": events.sliding_event_counts_sql(),
         "sessionize": events.SESSIONIZE_SQL,
         "props_key_sum": events.PROPS_KEY_SUM_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,

@@ -421,3 +421,87 @@ def user_event_counts_cms(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def sliding_event_counts(
+    sf_dir: str, window_min: int = 60, slide_min: int = 15
+) -> rd.Dataset:
+    """SLIDING (overlapping) windows per event type — the hopping-window
+    verb `hourly_event_counts`'s tumbling windows can't express. An event
+    belongs to ``window/slide`` consecutive windows; the naive plan emits
+    that many rows PER EVENT into the shuffle. This one combines per
+    (slide-bucket, type) IN BATCH first (the factorize+bincount kernel),
+    then expands only the combined partials to their member windows — the
+    exchange moves O(slide_buckets × types × replication) rows,
+    independent of event count. Window = [start, start + window); both
+    engines share the integer slide-bucket arithmetic, so values are
+    hash-exact."""
+    assert window_min % slide_min == 0
+    repl = window_min // slide_min
+    slide_s = slide_min * 60
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        sec = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        sb = sec // slide_s
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        code_arr, uniq = pd.factorize(t["event_type"].to_pandas())
+        code_arr = code_arr.astype(np.int64)
+        comb = sb * np.int64(max(len(uniq), 1)) + code_arr
+        u, inv = np.unique(comb, return_inverse=True)
+        n_events = np.bincount(inv)
+        sum_cents = np.bincount(inv, weights=cents).astype(np.int64)
+        b = u // max(len(uniq), 1)
+        c = u % max(len(uniq), 1)
+        et = np.asarray(uniq, dtype=object)[c]
+        # expand combined partials to their member windows (start bucket
+        # = slide bucket - k): replication happens AFTER the combine
+        ks = np.arange(repl, dtype=np.int64)
+        win_b = (b[:, None] - ks[None, :]).ravel()
+        et_r = np.repeat(et, repl)
+        n_r = np.repeat(n_events, repl)
+        s_r = np.repeat(sum_cents, repl)
+        win_key = np.char.add(
+            np.char.add(et_r.astype(str), "|"), win_b.astype(str)
+        )
+        return pa.table(
+            {"win_key": pa.array(win_key.tolist(), pa.string()),
+             "n_events": pa.array(n_r, pa.int64()),
+             "sum_cents": pa.array(s_r, pa.int64())}
+        )
+
+    partial = ds.map_batches(bucket, batch_format="pyarrow")
+    agg = partial.groupby("win_key").aggregate(
+        Sum("n_events", alias_name="n_events_f"),
+        Sum("sum_cents", alias_name="sum_cents_f"),
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["win_key"].str.split("|", expand=True, regex=False)
+        ws = pd.to_datetime(
+            parts[1].astype("int64") * slide_s, unit="s"
+        ).dt.strftime("%Y-%m-%d %H:%M:%S")
+        return pd.DataFrame(
+            {"window_start": ws,
+             "event_type": parts[0],
+             "n_events": df["n_events_f"].astype("int64"),
+             "sum_value": df["sum_cents_f"].astype("int64") / 100.0}
+        )
+
+    return agg.map_batches(split, batch_format="pandas")
+
+
+def sliding_event_counts_sql(window_min: int = 60, slide_min: int = 15) -> str:
+    repl = window_min // slide_min
+    slide_s = slide_min * 60
+    ks = ", ".join(f"({k})" for k in range(repl))
+    return f"""
+SELECT strftime(to_timestamp(
+           (date_diff('second', TIMESTAMP '1970-01-01', ts) // {slide_s} - k.k)
+           * {slide_s}), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events, (VALUES {ks}) k(k)
+GROUP BY 1, 2
+"""

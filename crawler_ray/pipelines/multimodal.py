@@ -521,3 +521,114 @@ def image_corpus_curation(
         .map_groups(verdict, batch_format="pyarrow")
         .select_columns(["image_id", "keep", "first_fail"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup fingerprinting (the audio-side twin of the phash pipeline)
+
+
+def _pcm16_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 writer (stdlib only)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.clip(samples, -32768, 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _synth_clip_samples(
+    clip_id: int, seed: int, n_frames: int = 64, frame_len: int = 64
+) -> np.ndarray:
+    """Deterministic clip: a sine carrier under a per-clip random-walk
+    amplitude ENVELOPE — the envelope (not the carrier) is what the
+    fingerprint sees, so distinct clips get ~independent fingerprints
+    while amplitude-scaled copies fingerprint identically."""
+    rng = np.random.Generator(np.random.PCG64((seed << 32) ^ clip_id))
+    steps = rng.standard_normal(n_frames)
+    env = np.abs(np.cumsum(steps)) + 0.15
+    env = env / env.max()
+    t = np.arange(n_frames * frame_len, dtype=np.float64)
+    carrier = np.sin(2 * np.pi * (220.0 + (clip_id % 13) * 11.0) * t / 4000.0)
+    wave_f = (env.repeat(frame_len) * carrier) * 0.85
+    return (wave_f * 32767).astype(np.int16)
+
+
+def audio_fingerprint64(samples: np.ndarray, n_frames: int = 64) -> int:
+    """64-bit energy-delta fingerprint: the clip splits into ``n_frames``+1
+    equal frames; bit i = (rms energy of frame i+1 > frame i). Invariant
+    to uniform amplitude scaling (monotone transform preserves every
+    comparison) and robust to small additive noise — the audio analogue of
+    the image phash's DCT-sign bits."""
+    x = samples.astype(np.float64)
+    usable = len(x) - len(x) % (n_frames + 1)
+    if usable <= 0:
+        return 0
+    frames = x[:usable].reshape(n_frames + 1, -1)
+    e = (frames * frames).mean(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def audio_dup_pairs(
+    sf_dir: str, max_hamming: int = 4, seed: int = 27
+) -> rd.Dataset:
+    """AUDIO near-dup pairs: decode → 64-bit energy-delta fingerprint →
+    the SAME banded-Hamming single-exchange walk as the image phash
+    pipeline (``reports.images_phash_near_dups`` reused verbatim — the
+    engine is payload-agnostic once content becomes a 64-bit sign hash).
+
+    The corpus derives deterministically from the documents table's
+    doc_ids (the sandbox stand-in for a crawled audio table): one WAV clip
+    per doc, with planted SCALED duplicates (doc_id % 10 == 1 is its
+    neighbor's clip amplitude-scaled ×0.5 — the energy-delta comparisons
+    are scale-invariant up to PCM16 quantization, which may flip a couple
+    of near-tie bits, so Hamming stays ≤ ~2) and planted NEAR duplicates
+    (doc_id % 10 == 6 adds small noise to its neighbor's clip — a few
+    energy-delta signs flip where envelope steps are small). The full real
+    plumbing runs per clip: synthesize → PCM16 WAV encode → stdlib decode
+    → fingerprint. Rows-only driver check (waveform synthesis is not
+    SQL-expressible); planted truths asserted exactly in tests."""
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+    from crawler_ray.sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fps = np.empty(len(ids), np.int64)
+        for i, d in enumerate(ids):
+            d = int(d)
+            if d % 10 == 1 and d > 0:
+                samples = (
+                    _synth_clip_samples(d - 1, seed).astype(np.float64) * 0.5
+                ).astype(np.int16)
+            elif d % 10 == 6 and d > 0:
+                base = _synth_clip_samples(d - 1, seed).astype(np.float64)
+                rng = np.random.Generator(np.random.PCG64(d))
+                samples = (base + rng.standard_normal(len(base)) * 350.0).astype(
+                    np.int16
+                )
+            else:
+                samples = _synth_clip_samples(d, seed)
+            wav = _pcm16_wav(samples, 4000)
+            decoded, _sr = _decode_audio(wav)
+            fps[i] = np.int64(np.uint64(audio_fingerprint64(decoded)))
+        return pa.table(
+            {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),
+             "phash": pa.array(fps, pa.int64())}
+        )
+
+    clips = docs.map_batches(synth_fp, batch_format="pyarrow")
+    pairs = images_phash_near_dups(clips, max_hamming=max_hamming)
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {"audio_a": t["img_a"], "audio_b": t["img_b"],
+             "hamming": t["hamming"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -369,3 +369,36 @@ def test_pq_codes_layout(ray_session, tmp_path):
     ids = t["vec_id"].to_numpy()
     assert len(np.unique(ids)) == n
     assert t.schema.field("code").type == __import__("pyarrow").binary(8)
+
+
+def test_audio_dup_pairs_planted_truth(ray_session):
+    """Every emitted pair is a planted family pair ((10k, 10k+1) scaled,
+    (10k+5, 10k+6) noised), all 100 planted pairs are recovered, and
+    scaled copies stay within quantization Hamming (≤2)."""
+    from crawler_ray.pipelines import multimodal
+    from tests.conftest import SF_DIR
+
+    df = multimodal.audio_dup_pairs(SF_DIR).to_pandas()
+    a = df.audio_a.astype(int).to_numpy()
+    b = df.audio_b.astype(int).to_numpy()
+    fam = ((a % 10 == 0) & (b == a + 1)) | ((a % 10 == 5) & (b == a + 1))
+    assert fam.all()
+    scaled = df[(a % 10 == 0)]
+    near = df[(a % 10 == 5)]
+    assert len(scaled) == 50 and scaled.hamming.max() <= 2
+    assert len(near) == 50 and near.hamming.max() <= 4
+
+
+def test_audio_fingerprint_scale_invariance():
+    """The fingerprint is exactly invariant to float amplitude scaling
+    (no quantization): comparisons are monotone-transform stable."""
+    import numpy as np
+
+    from crawler_ray.pipelines.multimodal import (
+        _synth_clip_samples,
+        audio_fingerprint64,
+    )
+
+    s = _synth_clip_samples(123, 27).astype(np.float64)
+    assert audio_fingerprint64(s) == audio_fingerprint64(s * 0.25)
+    assert audio_fingerprint64(s) == audio_fingerprint64(s * 7.5)
