@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 85 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 70 have a DuckDB twin in
+``queries()`` exposes 87 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 71 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -37,9 +37,10 @@ equal-frequency buckets by sampled global order statistics, a
 deterministic reservoir-style uniform k-sample, and int64 fixed-point
 PageRank over a derived link graph oracled by an unrolled integer CTE
 chain — the iterative-graph family SQL usually can't check; a
-bloom-prefiltered EXISTS semi join; and grouped variance from exact
-integer sufficient statistics). The
-genuinely non-SQL-expressible fifteen get the weaker rows-only driver check
+bloom-prefiltered EXISTS semi join; grouped variance from exact
+integer sufficient statistics; and a sliding hopping-window aggregate
+whose exchange is event-count-independent). The
+genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -49,7 +50,8 @@ exact in tests — distributed Lloyd k-means, bit-identical to a
 single-node numpy reference via fixed-point centroid folds, the
 cross-snapshot incremental near-dedup probe (brute-force value-oracled
 in tests), and the PQ-compressed ANN serve whose exact-rerank rows are
-bit-equal to brute force on the overlap).
+bit-equal to brute force on the overlap; and the audio energy-delta
+fingerprint near-dup pairs, planted-truth exact in tests).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
