@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 87 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 71 have a DuckDB twin in
+``queries()`` exposes 88 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 72 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -38,8 +38,9 @@ deterministic reservoir-style uniform k-sample, and int64 fixed-point
 PageRank over a derived link graph oracled by an unrolled integer CTE
 chain — the iterative-graph family SQL usually can't check; a
 bloom-prefiltered EXISTS semi join; grouped variance from exact
-integer sufficient statistics; and a sliding hopping-window aggregate
-whose exchange is event-count-independent). The
+integer sufficient statistics; a sliding hopping-window aggregate
+whose exchange is event-count-independent; and ordered STRING_AGG
+per-key sequences). The
 genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -255,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_from_event_users": joins.orders_from_event_users,
         # grouped mean/variance from exact int64 sufficient statistics
         "part_price_dispersion": relational.part_price_dispersion,
+        # ordered STRING_AGG (order-sensitive aggregate, one exchange)
+        "customer_priority_history": relational.customer_priority_history,
     }
 
 
@@ -342,4 +345,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_link_pagerank": clusters.doc_link_pagerank_sql(),
         "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
         "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,
+        "customer_priority_history": relational.CUSTOMER_PRIORITY_HISTORY_SQL,
     }

@@ -1074,3 +1074,54 @@ SELECT p_type,
            AS var_price_cents
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (STRING_AGG ... ORDER BY)
+
+
+def customer_priority_history(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Per customer, the comma-joined sequence of order priorities in
+    (o_orderdate, o_orderkey) order — the ordered STRING_AGG / LIST
+    aggregation verb (think: per-user session history strings, per-doc
+    ordered chunk manifests). Order-sensitive aggregates cannot be folded
+    commutatively, so the shape is ONE custkey-hash exchange with the
+    in-task mergesort + segment join — same exchange budget as the LAG
+    window, and the driver never sees a row."""
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                           "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array((t["o_custkey"].to_numpy() % n_parts).astype(np.int64),
+                     pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        out = g.groupby("o_custkey", sort=False)["o_orderpriority"].agg(
+            ",".join
+        )
+        n = g.groupby("o_custkey", sort=False).size()
+        return pd.DataFrame(
+            {"o_custkey": out.index.to_numpy(np.int64),
+             "priority_seq": out.to_numpy(object),
+             "n_orders": n.to_numpy(np.int64)}
+        )
+
+    return orders.groupby("part").map_groups(agg, batch_format="pandas")
+
+
+CUSTOMER_PRIORITY_HISTORY_SQL = """
+SELECT o_custkey,
+       STRING_AGG(o_orderpriority, ','
+                  ORDER BY o_orderdate, o_orderkey) AS priority_seq,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
