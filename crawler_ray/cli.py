@@ -184,6 +184,47 @@ def cmd_bench_ingest(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline by name over an sf-style table dir:
+    ``query --name q1_pricing_summary --sf /root/testdata/sf0.01
+    [--out /tmp/result] [--list]``. Writes parquet when --out is given,
+    else prints the first rows."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    if args.list:
+        for name in sorted(qs):
+            mark = "oracle" if name in entry_mod.oracle_sql() else "rows-only"
+            print(f"{name}\t{mark}")
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    _init_ray(args.cpus)
+    res = qs[args.name](args.sf)
+    if args.out:
+        if hasattr(res, "write_parquet"):
+            res.write_parquet(args.out)
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(res, preserve_index=False),
+                os.path.join(args.out, "part-0.parquet"),
+            )
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        print(df.head(20).to_string())
+        print(json.dumps({"query": args.name, "rows": int(len(df))}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="crawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -250,6 +291,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--px", type=int, default=64)
     b.add_argument("--cpus", type=int, default=None)
     b.set_defaults(fn=cmd_bench_ingest)
+
+    q = sub.add_parser("query", help="run a registered pipeline by name")
+    q.add_argument("--name", default="")
+    q.add_argument("--sf", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None)
+    q.add_argument("--cpus", type=int, default=None)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
