@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 88 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 72 have a DuckDB twin in
+``queries()`` exposes 91 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 75 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -39,8 +39,10 @@ PageRank over a derived link graph oracled by an unrolled integer CTE
 chain — the iterative-graph family SQL usually can't check; a
 bloom-prefiltered EXISTS semi join; grouped variance from exact
 integer sufficient statistics; a sliding hopping-window aggregate
-whose exchange is event-count-independent; and ordered STRING_AGG
-per-key sequences). The
+whose exchange is event-count-independent; ordered STRING_AGG
+per-key sequences; a FULL OUTER join of per-key aggregates; exact
+COUNT(DISTINCT) per group as a presence-pair fold; and a deterministic
+90/5/5 train/val/test hash split). The
 genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -258,6 +260,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_dispersion": relational.part_price_dispersion,
         # ordered STRING_AGG (order-sensitive aggregate, one exchange)
         "customer_priority_history": relational.customer_priority_history,
+        # FULL OUTER join of two per-key aggregates (zero fill both sides)
+        "customer_order_event_counts": joins.customer_order_event_counts,
+        # exact COUNT(DISTINCT) per group as a presence-pair fold
+        "daily_active_users": events.daily_active_users,
+        # deterministic 90/5/5 train/val/test hash split (zero exchanges)
+        "doc_split_assign": textops.doc_split_assign,
     }
 
 
@@ -346,4 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
         "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,
         "customer_priority_history": relational.CUSTOMER_PRIORITY_HISTORY_SQL,
+        "customer_order_event_counts": joins.CUSTOMER_ORDER_EVENT_COUNTS_SQL,
+        "daily_active_users": events.DAILY_ACTIVE_USERS_SQL,
+        "doc_split_assign": textops.doc_split_assign_sql(),
     }

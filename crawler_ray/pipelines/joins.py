@@ -742,3 +742,70 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o_custkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join aggregate — completes the outer-join family
+
+
+def customer_order_event_counts(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """FULL OUTER join of two per-key aggregates: order count per customer
+    vs event count per user (testdata convention: ``events.user_id`` keys
+    the customer domain), zero-filled on BOTH sides — keys present in
+    either fact survive. Shape: each fact folds its per-key combiner in
+    batch, the two slim partial streams union into ONE key-hash exchange,
+    and the in-task pivot sums each side with zero fill. No driver-side
+    rows, no second pass over either fact."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        target_rows_per_block=4096,
+    )
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        target_rows_per_block=4096,
+    )
+
+    def partial(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k, cnt = np.unique(t[col].to_numpy(), return_counts=True)
+            return pa.table(
+                {"key_id": pa.array(k, pa.int64()),
+                 "part": pa.array((k % n_parts).astype(np.int64), pa.int64()),
+                 "side": pa.array(np.full(len(k), side, np.int64), pa.int64()),
+                 "n": pa.array(cnt.astype(np.int64), pa.int64())}
+            )
+
+        return fn
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        p = df.pivot_table(
+            index="key_id", columns="side", values="n", aggfunc="sum",
+            fill_value=0,
+        ).reindex(columns=[0, 1], fill_value=0)
+        return pa.table(
+            {"key_id": pa.array(p.index.to_numpy(np.int64), pa.int64()),
+             "n_orders": pa.array(p[0].to_numpy(np.int64), pa.int64()),
+             "n_events": pa.array(p[1].to_numpy(np.int64), pa.int64())}
+        )
+
+    return (
+        orders.map_batches(partial("o_custkey", 0), batch_format="pyarrow")
+        .union(events.map_batches(partial("user_id", 1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+CUSTOMER_ORDER_EVENT_COUNTS_SQL = """
+WITH o AS (SELECT o_custkey AS k, COUNT(*)::BIGINT AS n_orders
+           FROM orders GROUP BY 1),
+     e AS (SELECT user_id AS k, COUNT(*)::BIGINT AS n_events
+           FROM events GROUP BY 1)
+SELECT COALESCE(o.k, e.k) AS key_id,
+       COALESCE(n_orders, 0)::BIGINT AS n_orders,
+       COALESCE(n_events, 0)::BIGINT AS n_events
+FROM o FULL OUTER JOIN e ON o.k = e.k
+"""

@@ -2131,3 +2131,47 @@ FROM documents
 ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), doc_id
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# --------------------------------------------------------------------------
+
+
+def doc_split_assign(sf_dir: str, seed: int = 3) -> rd.Dataset:
+    """Deterministic 90/5/5 train/val/test assignment — the export step
+    every training-data build ends with, made resumable by hashing instead
+    of sampling: split = md5(seed:doc_id) mod 100 bucketed into
+    [0,90)/[90,95)/[95,100). Zero exchanges (pure per-batch map); re-runs,
+    resharded inputs and the SQL twin agree bit-for-bit, and the expected
+    proportions hold corpus-wide without any coordination."""
+    import hashlib
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        h = np.array(
+            [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) % 100
+             for i in ids],
+            dtype=np.int64,
+        )
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pd.DataFrame({"doc_id": ids, "split": split})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pandas"
+    )
+
+
+def doc_split_assign_sql(seed: int = 3) -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END
+           AS split
+FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(
+               md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 AS h
+    FROM documents
+)
+"""
