@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 91 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 75 have a DuckDB twin in
+``queries()`` exposes 93 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 77 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -41,8 +41,9 @@ bloom-prefiltered EXISTS semi join; grouped variance from exact
 integer sufficient statistics; a sliding hopping-window aggregate
 whose exchange is event-count-independent; ordered STRING_AGG
 per-key sequences; a FULL OUTER join of per-key aggregates; exact
-COUNT(DISTINCT) per group as a presence-pair fold; and a deterministic
-90/5/5 train/val/test hash split). The
+COUNT(DISTINCT) per group as a presence-pair fold; a deterministic
+90/5/5 train/val/test hash split; per-user Markov transition counts;
+and next-day retention cohorts). The
 genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -264,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_event_counts": joins.customer_order_event_counts,
         # exact COUNT(DISTINCT) per group as a presence-pair fold
         "daily_active_users": events.daily_active_users,
+        # per-user Markov transition counts (sequence analytics)
+        "event_type_transitions": events.event_type_transitions,
+        # next-day retention cohorts on the presence-pair fold
+        "user_retention": events.user_retention,
         # deterministic 90/5/5 train/val/test hash split (zero exchanges)
         "doc_split_assign": textops.doc_split_assign,
     }
@@ -356,5 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_priority_history": relational.CUSTOMER_PRIORITY_HISTORY_SQL,
         "customer_order_event_counts": joins.CUSTOMER_ORDER_EVENT_COUNTS_SQL,
         "daily_active_users": events.DAILY_ACTIVE_USERS_SQL,
+        "event_type_transitions": events.EVENT_TYPE_TRANSITIONS_SQL,
+        "user_retention": events.USER_RETENTION_SQL,
         "doc_split_assign": textops.doc_split_assign_sql(),
     }

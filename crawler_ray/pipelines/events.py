@@ -565,3 +565,149 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
 FROM events
 GROUP BY 1
 """
+
+
+def event_type_transitions(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Per-user consecutive event-type transition counts (the Markov /
+    funnel matrix): for each user's events in (ts, event_id) order, count
+    (from_type → to_type) pairs corpus-wide. Sequence analytics needs
+    per-key ORDER, so the shape is one user-hash exchange + in-task
+    mergesort + shifted vectorized compare; the per-partition (from, to)
+    combiner means the final groupby sees O(n_parts × types²) rows, not
+    one per transition."""
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pa.array((t["user_id"].to_numpy() % n_parts).astype(np.int64),
+                     pa.int64()),
+        )
+
+    def fold(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        same_user = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        frm = df["event_type"].to_numpy()[:-1][same_user]
+        to = df["event_type"].to_numpy()[1:][same_user]
+        out = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out
+
+    agg = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: df.assign(n=df["n"].astype("int64")), batch_format="pandas"
+    )
+
+
+EVENT_TYPE_TRANSITIONS_SQL = """
+WITH s AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, COUNT(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def user_retention(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Next-day retention cohorts: for each day D, how many of its active
+    users were also active on D+1 (plus the cohort size) — the metric
+    every engagement pipeline derives from the raw event stream. Built on
+    the same exact presence-pair fold as ``daily_active_users``: each
+    distinct (day, user) emits itself AND a (day−1, user) \"came back\"
+    marker; one pair-hash exchange co-locates a user's two adjacent days,
+    the in-task fold counts cohort and retained exactly, and the per-day
+    re-aggregate is tiny."""
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        uid = t["user_id"].to_numpy()
+        comb = np.unique(day * np.int64(1 << 32) + uid)
+        d = comb >> np.int64(32)
+        u = comb & np.int64((1 << 32) - 1)
+        # side 0: active on day d; side 1: marker for day d-1's cohort
+        dd = np.concatenate([d, d - 1])
+        uu = np.concatenate([u, u])
+        side = np.r_[np.zeros(len(d), np.int64), np.ones(len(d), np.int64)]
+        return pa.table(
+            {"day": pa.array(dd, pa.int64()),
+             "user_id": pa.array(uu, pa.int64()),
+             "side": pa.array(side, pa.int64()),
+             "part": pa.array(
+                 ((dd * np.int64(1000003) + uu) % n_parts).astype(np.int64),
+                 pa.int64())}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["day", "user_id", "side"])
+        p = df.pivot_table(
+            index=["day", "user_id"], columns="side", values="part",
+            aggfunc="size", fill_value=0,
+        ).reindex(columns=[0, 1], fill_value=0)
+        active = p[0] > 0
+        retained = active & (p[1] > 0)
+        by_day = pd.DataFrame(
+            {"cohort": active.groupby(level=0).sum(),
+             "retained": retained.groupby(level=0).sum()}
+        ).reset_index()
+        return pa.table(
+            {"day": pa.array(by_day["day"].to_numpy(np.int64), pa.int64()),
+             "cohort_p": pa.array(by_day["cohort"].to_numpy(np.int64), pa.int64()),
+             "retained_p": pa.array(
+                 by_day["retained"].to_numpy(np.int64), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("cohort_p", alias_name="cohort"),
+            Sum("retained_p", alias_name="retained"),
+        )
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(df["day"].astype("int64"), unit="D").dt.strftime(
+            "%Y-%m-%d"
+        )
+        out = pd.DataFrame(
+            {"day": day,
+             "cohort": df["cohort"].astype("int64"),
+             "retained_next_day": df["retained"].astype("int64")}
+        )
+        return out[out["cohort"] > 0]
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+USER_RETENTION_SQL = """
+WITH act AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+    FROM events
+)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       COUNT(*)::BIGINT AS cohort,
+       COUNT(b.user_id)::BIGINT AS retained_next_day
+FROM act a LEFT JOIN act b
+    ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY 1
+"""
