@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 93 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 77 have a DuckDB twin in
+``queries()`` exposes 94 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 78 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -43,7 +43,8 @@ whose exchange is event-count-independent; ordered STRING_AGG
 per-key sequences; a FULL OUTER join of per-key aggregates; exact
 COUNT(DISTINCT) per group as a presence-pair fold; a deterministic
 90/5/5 train/val/test hash split; per-user Markov transition counts;
-and next-day retention cohorts). The
+next-day retention cohorts; and a watermark late-arrival audit built
+on a distributed prefix-max scan). The
 genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -269,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": events.event_type_transitions,
         # next-day retention cohorts on the presence-pair fold
         "user_retention": events.user_retention,
+        # watermark late-arrival audit: distributed prefix-max scan over
+        # a deterministic replayed arrival order
+        "late_event_audit": events.late_event_audit,
         # deterministic 90/5/5 train/val/test hash split (zero exchanges)
         "doc_split_assign": textops.doc_split_assign,
     }
@@ -363,5 +367,6 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": events.DAILY_ACTIVE_USERS_SQL,
         "event_type_transitions": events.EVENT_TYPE_TRANSITIONS_SQL,
         "user_retention": events.USER_RETENTION_SQL,
+        "late_event_audit": events.late_event_audit_sql(),
         "doc_split_assign": textops.doc_split_assign_sql(),
     }

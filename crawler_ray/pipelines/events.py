@@ -711,3 +711,109 @@ FROM act a LEFT JOIN act b
     ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
 GROUP BY 1
 """
+
+
+def late_event_audit(
+    sf_dir: str, delay_s: int = 1800, jitter_s: int = 3600, seed: int = 7
+) -> rd.Dataset:
+    """Watermark / late-arrival audit — the streaming-semantics verb over
+    a replayed stream: each event ARRIVES at ``ts + jitter`` where jitter
+    is a deterministic md5-derived displacement in [−jitter_s, +jitter_s)
+    (the stand-in for network delay), the watermark is the running max
+    EVENT time over everything that arrived earlier, and an event is late
+    when its own time sits more than ``delay_s`` behind that watermark.
+
+    This is a distributed PREFIX-MAX SCAN (the running-max twin of
+    ``doc_pack_spans``'s prefix sum): arrival times range-partition into
+    ordered DAY buckets (jitter is bounded, so bucket count is bounded by
+    the stream's span); pass 1 folds per-bucket max event times into
+    exclusive cross-bucket prefix maxima on the driver (O(days) rows),
+    pass 2 computes the in-bucket EXCLUSIVE cummax seeded with its
+    bucket's prefix — two passes over a slim materialized key table.
+
+    Output: (event_id, late ∈ {0,1}, lateness_s) — exact, hash-oracled
+    vs the ROWS UNBOUNDED PRECEDING window twin."""
+    import hashlib
+
+    ds = _read_events(sf_dir, ["event_id", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy()
+        tsec = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        jit = np.array(
+            [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+             % (2 * jitter_s) for i in ids],
+            dtype=np.int64,
+        ) - jitter_s
+        arr = tsec + jit
+        return pd.DataFrame(
+            {"event_id": ids, "tsec": tsec, "arr": arr,
+             "bucket": arr // 86400}
+        )
+
+    keys = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", sort=False)["tsec"].max()
+        return pd.DataFrame(
+            {"bucket": g.index.to_numpy(np.int64),
+             "mx": g.to_numpy(np.int64)}
+        )
+
+    from ray.data.aggregate import Max
+
+    bm = (
+        keys.map_batches(bucket_max, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    # exclusive cross-bucket prefix max (bucket order IS arrival order)
+    NEG = np.int64(-(1 << 62))
+    pref = np.r_[NEG, np.maximum.accumulate(bm["mx"].to_numpy(np.int64))[:-1]]
+    seeds = dict(zip(bm["bucket"].to_numpy(np.int64), pref))
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["arr", "event_id"], kind="mergesort")
+        tsec = g["tsec"].to_numpy(np.int64)
+        seed0 = seeds[int(g["bucket"].iloc[0])]
+        prior = np.r_[NEG, np.maximum.accumulate(tsec)[:-1]]
+        prior = np.maximum(prior, seed0)
+        lateness = np.maximum(prior - np.int64(delay_s) - tsec, 0)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "late": (lateness > 0).astype(np.int64),
+             "lateness_s": lateness}
+        )
+
+    return keys.groupby("bucket").map_groups(audit, batch_format="pandas")
+
+
+def late_event_audit_sql(
+    delay_s: int = 1800, jitter_s: int = 3600, seed: int = 7
+) -> str:
+    return f"""
+WITH s AS (
+    SELECT event_id,
+           date_diff('second', TIMESTAMP '1970-01-01', ts) AS tsec,
+           date_diff('second', TIMESTAMP '1970-01-01', ts)
+               + CAST(concat('0x', substr(
+                     md5('{seed}' || ':' || CAST(event_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % {2 * jitter_s} - {jitter_s} AS arr
+    FROM events
+),
+m AS (
+    SELECT event_id, tsec,
+           MAX(tsec) OVER (
+               ORDER BY arr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+    FROM s
+)
+SELECT event_id,
+       (CASE WHEN wm IS NOT NULL AND wm - {delay_s} - tsec > 0
+             THEN 1 ELSE 0 END)::BIGINT AS late,
+       (CASE WHEN wm IS NOT NULL AND wm - {delay_s} - tsec > 0
+             THEN wm - {delay_s} - tsec ELSE 0 END)::BIGINT AS lateness_s
+FROM m
+"""
