@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 94 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 78 have a DuckDB twin in
+``queries()`` exposes 95 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 79 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -43,8 +43,10 @@ whose exchange is event-count-independent; ordered STRING_AGG
 per-key sequences; a FULL OUTER join of per-key aggregates; exact
 COUNT(DISTINCT) per group as a presence-pair fold; a deterministic
 90/5/5 train/val/test hash split; per-user Markov transition counts;
-next-day retention cohorts; and a watermark late-arrival audit built
-on a distributed prefix-max scan). The
+next-day retention cohorts; a watermark late-arrival audit built
+on a distributed prefix-max scan; and the composed text-axis flagship
+training_data_build — curation → split → sequence packing over
+survivors, oracled by composing the sub-oracles verbatim). The
 genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -105,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship composition: lang -> quality -> repetition -> dedup,
         # per-doc verdict + first-failing-reason report
         "corpus_curation": curation.corpus_curation,
+        # text-axis flagship BUILD: curation -> train/val/test split ->
+        # sequence packing over survivors, one manifest
+        "training_data_build": curation.training_data_build,
         # both-sides-large partitioned hash join
         "order_lineitem_join_totals": joins.order_lineitem_join_totals,
         # join family Ray Data has no native verb for: as-of (point-in-time),
@@ -292,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_curation": curation.corpus_curation_sql(),
+        "training_data_build": curation.training_data_build_sql(),
         "order_lineitem_join_totals": joins.ORDER_LINEITEM_JOIN_SQL,
         "events_asof_order_join": joins.EVENTS_ASOF_SQL,
         "user_events_next_hour": joins.USER_EVENTS_NEXT_HOUR_SQL,

@@ -157,3 +157,155 @@ FROM (
     LEFT JOIN losers lo USING (doc_id)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Text-axis flagship: curation → split → sequence packing, one manifest
+
+
+def training_data_build(
+    sf_dir: str,
+    ctx: int = 256,
+    split_seed: int = 3,
+    n_parts: int = 32,
+    **curation_kwargs,
+) -> rd.Dataset:
+    """The end-to-end TRAINING-DATA BUILD a pretraining run consumes: the
+    full curation chain decides who survives, survivors get deterministic
+    90/5/5 train/val/test assignment, and the kept corpus is sequence-
+    packed (GPT-style, in doc_id order over SURVIVORS ONLY) into ``ctx``-
+    token windows. One manifest row per kept doc:
+    (doc_id, split, n_tokens, tok_start, bin_start, bin_end).
+
+    Composition shape (no stage re-reads another's input): the curation
+    verdicts and the per-doc token counts are computed in their own
+    passes, co-located by ONE doc-hash exchange (in-task semi join keeps
+    survivor counts), then the pack-spans prefix-sum machinery runs over
+    the surviving slim rows — per-range totals to the driver (O(n_parts)),
+    exclusive offsets back, in-range cumsum. The md5 split assignment is
+    a pure map on the final fold. The oracle composes the curation
+    statement and the window-cumsum twin verbatim, so any divergence
+    localizes to a sub-oracle."""
+    import hashlib
+
+    from crawler_ray.pipelines.dedup import _read_docs
+    from crawler_ray.pipelines.textops import _docid_bounds
+
+    verdicts = corpus_curation(sf_dir, n_parts=16, **curation_kwargs)
+
+    lo, hi = _docid_bounds(f"{sf_dir}/documents.parquet")
+    rng = max(1, -(-(hi - lo + 1) // n_parts))
+
+    def count_rows(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        toks = df["text"].str.count(r"\S+").astype("int64").to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "jpart": pa.array(ids % n_parts, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "kept": pa.nulls(len(ids), pa.bool_())}
+        )
+
+    def kept_rows(t: pa.Table) -> pa.Table:
+        k = t.filter(t["kept"])
+        ids = k["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "jpart": pa.array(ids % n_parts, pa.int64()),
+             "n_tokens": pa.nulls(len(ids), pa.int64()),
+             "kept": pa.array(np.ones(len(ids), bool), pa.bool_())}
+        )
+
+    def semi(g: pa.Table) -> pa.Table:
+        keep_ids = g.filter(pa.compute.is_valid(g["kept"]))["doc_id"].to_numpy(
+            zero_copy_only=False
+        )
+        cnt = g.filter(pa.compute.invert(pa.compute.is_valid(g["kept"])))
+        ids = cnt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.isin(ids, keep_ids)
+        ids = ids[sel]
+        toks = cnt["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "part": pa.array((ids - lo) // rng, pa.int64())}
+        )
+
+    counts = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_rows, batch_format="pandas")
+        .union(verdicts.map_batches(kept_rows, batch_format="pyarrow"))
+        .groupby("jpart")
+        .map_groups(semi, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from ray.data.aggregate import Sum
+
+    totals = counts.groupby("part").aggregate(
+        Sum("n_tokens", alias_name="t")
+    ).take_all()
+    base, offsets = 0, {}
+    for row in sorted(totals, key=lambda r: r["part"]):
+        offsets[int(row["part"])] = base
+        base += int(row["t"])
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids, toks = ids[order], toks[order]
+        start = np.cumsum(toks) - toks + offsets[int((ids[0] - lo) // rng)]
+        end_tok = start + np.maximum(toks, 1) - 1
+        h = np.array(
+            [int(hashlib.md5(f"{split_seed}:{i}".encode()).hexdigest()[:8], 16)
+             % 100 for i in ids],
+            dtype=np.int64,
+        )
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "split": pa.array(split, pa.string()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "tok_start": pa.array(start, pa.int64()),
+             "bin_start": pa.array(start // ctx, pa.int64()),
+             "bin_end": pa.array(end_tok // ctx, pa.int64())}
+        )
+
+    return counts.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
+def training_data_build_sql(ctx: int = 256, split_seed: int = 3) -> str:
+    return rf"""
+WITH kept AS MATERIALIZED (
+    SELECT doc_id FROM ({corpus_curation_sql()}) WHERE kept
+),
+toks AS (
+    SELECT d.doc_id,
+           CASE WHEN trim(d.text) = '' THEN 0
+                ELSE length(string_split_regex(trim(d.text), '\s+')) END::BIGINT
+               AS n_tokens
+    FROM documents d JOIN kept USING (doc_id)
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END
+           AS split,
+       n_tokens,
+       (cum - n_tokens) AS tok_start,
+       ((cum - n_tokens) // {ctx})::BIGINT AS bin_start,
+       ((cum - n_tokens + GREATEST(n_tokens, 1) - 1) // {ctx})::BIGINT
+           AS bin_end
+FROM (
+    SELECT *,
+           CAST(concat('0x', substr(
+               md5('{split_seed}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 AS h
+    FROM c
+)
+"""
