@@ -90,6 +90,18 @@ QUERY_NAMES = [
     "ann_pq_topk",
     "orders_from_event_users",
     "part_price_dispersion",
+    "customer_priority_history",
+    "sliding_event_counts",
+    "daily_active_users",
+    "event_type_transitions",
+    "user_retention",
+    "late_event_audit",
+    "customer_order_event_counts",
+    "doc_split_assign",
+    "uniform_sample_docs",
+    "revenue_cube",
+    "audio_dup_pairs",
+    "training_data_build",
 ]
 
 
