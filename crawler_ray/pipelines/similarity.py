@@ -908,3 +908,45 @@ def ann_pq_topk(
         pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                   "cos_sim": pa.array(round_np(sims[order], 4), pa.float64())})
     )
+
+
+def append_to_ivf_index(
+    index_dir: str, new_vectors: rd.Dataset
+) -> int:
+    """INCREMENTAL index maintenance: assign a batch of NEW vectors
+    (columns vec_id, embedding) to the EXISTING coarse quantizer and
+    append them as additional parquet files inside the matching
+    ``list_id=<c>/`` partitions — no rebuild, no touch of existing files,
+    and ``ivf_query`` picks the appended rows up transparently (it lists
+    each probed partition dir). The write is retry-idempotent: each task's
+    file name derives from the content md5 of its rows, so a re-executed
+    task overwrites its own file rather than duplicating rows. Centroids
+    are immutable here — the standard IVF maintenance trade-off (quality
+    decays if the data drifts far from the trained quantizer; monitor and
+    rebuild offline), documented rather than hidden. Returns rows added."""
+    import hashlib
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    assigned = new_vectors.map_batches(
+        IvfAssignStage(cents), batch_format="pyarrow"
+    )
+
+    def write_part_files(t: pa.Table) -> pa.Table:
+        added = 0
+        df = t.to_pandas()
+        for lid, g in df.groupby("list_id"):
+            sub = pa.Table.from_pandas(
+                g[["vec_id", "embedding"]], preserve_index=False
+            )
+            d = os.path.join(index_dir, f"list_id={int(lid)}")
+            os.makedirs(d, exist_ok=True)
+            stem = hashlib.md5(
+                np.ascontiguousarray(g["vec_id"].to_numpy(np.int64)).tobytes()
+            ).hexdigest()[:16]
+            pq.write_table(sub, os.path.join(d, f"append-{stem}.parquet"))
+            added += len(g)
+        return pa.table({"n": pa.array([added], pa.int64())})
+
+    parts = assigned.map_batches(write_part_files, batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum())

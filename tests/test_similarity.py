@@ -402,3 +402,45 @@ def test_audio_fingerprint_scale_invariance():
     s = _synth_clip_samples(123, 27).astype(np.float64)
     assert audio_fingerprint64(s) == audio_fingerprint64(s * 0.25)
     assert audio_fingerprint64(s) == audio_fingerprint64(s * 7.5)
+
+
+def test_ivf_append_serves_new_vectors(ray_session, tmp_path):
+    """Incremental IVF maintenance: appended vectors are found by
+    ivf_query without a rebuild, pre-existing results are unchanged, and
+    the append is retry-idempotent (same content -> same file name)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines import similarity
+    from tests.conftest import SF_DIR
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(SF_DIR, idx)
+
+    # a new vector equal to vec 7's embedding but with a fresh id: it must
+    # land in the same posting list and surface as an exact match
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 7)],
+    )
+    q = np.asarray(t["embedding"].to_pylist()[0], np.float64)
+    new = rd.from_arrow(
+        pa.table({"vec_id": pa.array([100000], pa.int64()),
+                  "embedding": t["embedding"]})
+    )
+    n_files_before = len(glob.glob(os.path.join(idx, "list_id=*", "*.parquet")))
+    assert similarity.append_to_ivf_index(idx, new) == 1
+    res = similarity.ivf_query(idx, q, k=3).to_pandas()
+    assert 100000 in set(res.vec_id)
+    assert res[res.vec_id == 100000].cos_sim.iloc[0] >= 0.9999
+    # idempotence: re-appending identical content adds no new file
+    n_files = len(glob.glob(os.path.join(idx, "list_id=*", "*.parquet")))
+    similarity.append_to_ivf_index(idx, new)
+    assert len(glob.glob(os.path.join(idx, "list_id=*", "*.parquet"))) == n_files
+    assert n_files == n_files_before + 1
