@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 95 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 79 have a DuckDB twin in
+``queries()`` exposes 99 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 82 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -46,8 +46,10 @@ COUNT(DISTINCT) per group as a presence-pair fold; a deterministic
 next-day retention cohorts; a watermark late-arrival audit built
 on a distributed prefix-max scan; and the composed text-axis flagship
 training_data_build — curation → split → sequence packing over
-survivors, oracled by composing the sub-oracles verbatim). The
-genuinely non-SQL-expressible sixteen get the weaker rows-only driver check
+survivors, oracled by composing the sub-oracles verbatim; grouped MODE; a
+fixed-width integer-bin histogram; and Pearson correlation from exact
+cross-moment partials). The
+genuinely non-SQL-expressible seventeen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -58,7 +60,8 @@ single-node numpy reference via fixed-point centroid folds, the
 cross-snapshot incremental near-dedup probe (brute-force value-oracled
 in tests), and the PQ-compressed ANN serve whose exact-rerank rows are
 bit-equal to brute force on the overlap; and the audio energy-delta
-fingerprint near-dup pairs, planted-truth exact in tests).
+fingerprint near-dup pairs, planted-truth exact in tests; and the zlib compression-ratio
+redundancy signal, property-tested for monotonicity).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
@@ -267,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_dispersion": relational.part_price_dispersion,
         # ordered STRING_AGG (order-sensitive aggregate, one exchange)
         "customer_priority_history": relational.customer_priority_history,
+        # grouped MODE (most frequent value, deterministic ties)
+        "part_common_size": relational.part_common_size,
+        # fixed-width histogram on exact integer bins
+        "order_price_histogram": relational.order_price_histogram,
+        # Pearson correlation from exact cross-moment partials
+        "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         # FULL OUTER join of two per-key aggregates (zero fill both sides)
         "customer_order_event_counts": joins.customer_order_event_counts,
         # exact COUNT(DISTINCT) per group as a presence-pair fold
@@ -280,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_audit": events.late_event_audit,
         # deterministic 90/5/5 train/val/test hash split (zero exchanges)
         "doc_split_assign": textops.doc_split_assign,
+        # zlib redundancy signal (rows-only: no zlib in SQL; monotonicity
+        # property-tested)
+        "doc_compression_ratio": textops.doc_compression_ratio,
     }
 
 
@@ -369,6 +381,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
         "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,
         "customer_priority_history": relational.CUSTOMER_PRIORITY_HISTORY_SQL,
+        "part_common_size": relational.PART_COMMON_SIZE_SQL,
+        "order_price_histogram": relational.order_price_histogram_sql(),
+        "lineitem_qty_price_corr": relational.LINEITEM_QTY_PRICE_CORR_SQL,
         "customer_order_event_counts": joins.CUSTOMER_ORDER_EVENT_COUNTS_SQL,
         "daily_active_users": events.DAILY_ACTIVE_USERS_SQL,
         "event_type_transitions": events.EVENT_TYPE_TRANSITIONS_SQL,

@@ -1125,3 +1125,184 @@ SELECT o_custkey,
 FROM orders
 GROUP BY o_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent value)
+
+
+def part_common_size(sf_dir: str) -> rd.Dataset:
+    """Per part type, the MODE of p_size (ties broken by smaller size) and
+    its frequency — the most-frequent-value verb. Shape: per-batch
+    (type, size) count combiner → one tiny groupby on the pair → the
+    per-type argmax folds over the |types|×|sizes| aggregate, never the
+    fact table."""
+    parts = _read(sf_dir, "part", ["p_type", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["p_type", "p_size"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    agg = (
+        parts.map_batches(partial, batch_format="pandas")
+        .groupby(["p_type", "p_size"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types| x |sizes| rows by construction
+    )
+    agg = agg.sort_values(["p_type", "n", "p_size"],
+                          ascending=[True, False, True])
+    top = agg.groupby("p_type", as_index=False).head(1)
+    return rd.from_arrow(
+        pa.table(
+            {"p_type": pa.array(top["p_type"].to_numpy(object), pa.string()),
+             "mode_size": pa.array(top["p_size"].to_numpy(np.int64), pa.int64()),
+             "n_at_mode": pa.array(top["n"].to_numpy(np.int64), pa.int64())}
+        )
+    )
+
+
+PART_COMMON_SIZE_SQL = """
+SELECT p_type,
+       arg_min(p_size, (-n)::BIGINT * 1000 + p_size)::BIGINT AS mode_size,
+       MAX(n)::BIGINT AS n_at_mode
+FROM (
+    SELECT p_type, p_size, COUNT(*)::BIGINT AS n
+    FROM part GROUP BY 1, 2
+)
+GROUP BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+
+
+def order_price_histogram(sf_dir: str, bin_width: int = 25000) -> rd.Dataset:
+    """Fixed-width histogram of o_totalprice (bin = floor(price/width)) —
+    the distribution-profiling verb. The bin id is integer arithmetic on
+    exact cents, so bucket boundaries cannot float-drift; per-batch bin
+    combiners mean the exchange carries O(bins) rows per block."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    width_c = bin_width * 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        b = cents // width_c
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {"bin_low": df["bin"].astype("int64") * bin_width,
+             "n_orders": df["n_orders"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def order_price_histogram_sql(bin_width: int = 25000) -> str:
+    return f"""
+SELECT (CAST(ROUND(o_totalprice * 100) AS BIGINT) // {bin_width * 100})
+           * {bin_width} AS bin_low,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact sufficient statistics
+
+
+def lineitem_qty_price_corr(sf_dir: str) -> rd.Dataset:
+    """Per return flag, the Pearson correlation of quantity vs extended
+    price — second-moment sufficient statistics generalized to the CROSS
+    moment: each batch folds exact int64 (n, Σx, Σy, Σx², Σy², Σxy)
+    partials (x = quantity units, y = price cents), one tiny groupby
+    merges them, and the correlation derives once at the end with the
+    same double expression as the oracle (covariance / sqrt(varx·vary),
+    divisions first). Bounds asserted: Σxy < 2^63 through sf ≈ 400."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        assert (np.abs(y) < (1 << 31)).all() and (np.abs(x) < (1 << 16)).all()
+        g = pd.DataFrame(
+            {"f": df["l_returnflag"], "x": x, "y": y,
+             "xx": x * x, "yy": y * y, "xy": x * y}
+        )
+        out = g.groupby("f", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+        return out.reset_index()
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("f")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64).astype(np.float64)
+        sx = df["sx"].to_numpy(np.int64).astype(np.float64)
+        sy = df["sy"].to_numpy(np.int64).astype(np.float64)
+        sxx = df["sxx"].to_numpy(np.int64).astype(np.float64)
+        syy = df["syy"].to_numpy(np.int64).astype(np.float64)
+        sxy = df["sxy"].to_numpy(np.int64).astype(np.float64)
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        corr = cov / np.sqrt(vx * vy)
+        return pd.DataFrame(
+            {"l_returnflag": df["f"],
+             "n_rows": df["n"].astype("int64"),
+             "corr_qty_price": corr}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+LINEITEM_QTY_PRICE_CORR_SQL = """
+WITH s AS (
+    SELECT l_returnflag AS f,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+           SUM(CAST(ROUND(l_quantity) AS BIGINT)
+               * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy,
+           SUM(CAST(ROUND(l_quantity) AS BIGINT)
+               * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy
+    FROM lineitem GROUP BY 1
+)
+SELECT f AS l_returnflag,
+       n AS n_rows,
+       (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+            * (CAST(sy AS DOUBLE) / n))
+       / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                   * (CAST(sx AS DOUBLE) / n))
+              * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+                    * (CAST(sy AS DOUBLE) / n))) AS corr_qty_price
+FROM s
+"""

@@ -2175,3 +2175,37 @@ FROM (
     FROM documents
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib)
+# --------------------------------------------------------------------------
+
+
+def doc_compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the CCNet/
+    RefinedWeb-style redundancy signal: highly repetitive or templated
+    text compresses far below natural prose, and near-random strings
+    don't compress at all. Zero exchanges (pure per-batch map); zlib is
+    deterministic for a fixed level, so re-runs agree bit-for-bit.
+    Rows-only driver check (no zlib in SQL); monotonicity properties are
+    asserted in tests against constructed texts."""
+    import zlib
+
+    def ratios(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        raw = [t.encode("utf-8") for t in df["text"]]
+        comp = np.array(
+            [len(zlib.compress(b, level)) for b in raw], dtype=np.int64
+        )
+        n = np.array([len(b) for b in raw], dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "raw_bytes": n,
+             "compressed_bytes": comp,
+             "compression_ratio": comp / np.maximum(n, 1)}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ratios, batch_format="pandas"
+    )

@@ -453,3 +453,33 @@ def test_curriculum_export_orders_by_margin(ray_session):
     ids = o["doc_id"].to_numpy()
     for i in range(1, len(m)):
         assert (m[i] < m[i - 1]) or (m[i] == m[i - 1] and ids[i] > ids[i - 1])
+
+
+def test_compression_ratio_orders_redundancy(ray_session, tmp_path):
+    """Repetitive text must compress harder than varied text, and the
+    ratio columns must be exact byte counts."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.textops import doc_compression_ratio
+
+    rep = "spam ham " * 200
+    var = " ".join(f"w{i}{i*7%97}" for i in range(400))
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([rep, var], pa.string())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    df = (
+        doc_compression_ratio(str(d))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[0, "compression_ratio"] < df.loc[1, "compression_ratio"]
+    assert df.loc[0, "compressed_bytes"] == len(zlib.compress(rep.encode(), 6))
+    assert df.loc[1, "raw_bytes"] == len(var.encode())
