@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 99 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 82 have a DuckDB twin in
+``queries()`` exposes 100 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -48,7 +48,7 @@ on a distributed prefix-max scan; and the composed text-axis flagship
 training_data_build — curation → split → sequence packing over
 survivors, oracled by composing the sub-oracles verbatim; grouped MODE; a
 fixed-width integer-bin histogram; and Pearson correlation from exact
-cross-moment partials). The
+cross-moment partials; and a TPC-H-Q4-style EXISTS aggregate). The
 genuinely non-SQL-expressible seventeen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom-prefiltered SEMI join (EXISTS): broadcast bit array cuts
         # the probe fact's shuffle to ~matches before the exact fold
         "orders_from_event_users": joins.orders_from_event_users,
+        # EXISTS-aggregate (TPC-H Q4 shape): combiner-first co-location
+        "late_ship_priority_counts": joins.late_ship_priority_counts,
         # grouped mean/variance from exact int64 sufficient statistics
         "part_price_dispersion": relational.part_price_dispersion,
         # ordered STRING_AGG (order-sensitive aggregate, one exchange)
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample_docs": textops.uniform_sample_sql(),
         "doc_link_pagerank": clusters.doc_link_pagerank_sql(),
         "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
+        "late_ship_priority_counts": joins.late_ship_priority_counts_sql(),
         "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,
         "customer_priority_history": relational.CUSTOMER_PRIORITY_HISTORY_SQL,
         "part_common_size": relational.PART_COMMON_SIZE_SQL,

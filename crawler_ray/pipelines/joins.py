@@ -809,3 +809,99 @@ SELECT COALESCE(o.k, e.k) AS key_id,
        COALESCE(n_events, 0)::BIGINT AS n_events
 FROM o FULL OUTER JOIN e ON o.k = e.k
 """
+
+
+# ---------------------------------------------------------------------------
+# EXISTS-aggregate (TPC-H Q4 shape): late-shipped order counts by priority
+
+
+def late_ship_priority_counts(
+    sf_dir: str, grace_days: int = 30, n_parts: int = 32
+) -> rd.Dataset:
+    """Per order priority, how many orders had at least one line item
+    shipped more than ``grace_days`` after the order date — the TPC-H Q4
+    shape (aggregate over an EXISTS correlated to another fact). ONE
+    orderkey-hash exchange co-locates each order with its line items'
+    per-batch MAX-shipdate partials (combiner: one slim row per
+    (batch, orderkey), never one per line item); the in-task exists-test
+    emits per-priority count partials and the final groupby folds
+    |priorities| rows."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        target_rows_per_block=4096,
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"],
+        target_rows_per_block=4096,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(),
+             "ship": t["l_shipdate"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64)}
+        )
+        g = df.groupby("key", sort=False)["ship"].max()
+        k = g.index.to_numpy(np.int64)
+        return pa.table(
+            {"key": pa.array(k, pa.int64()),
+             "part": pa.array((k % n_parts).astype(np.int64), pa.int64()),
+             "ship_max": pa.array(g.to_numpy(np.int64), pa.int64()),
+             "odate": pa.nulls(len(k), pa.int64()),
+             "priority": pa.nulls(len(k), pa.string())}
+        )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        od = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {"key": pa.array(k, pa.int64()),
+             "part": pa.array((k % n_parts).astype(np.int64), pa.int64()),
+             "ship_max": pa.nulls(len(k), pa.int64()),
+             "odate": pa.array(od, pa.int64()),
+             "priority": t["o_orderpriority"]}
+        )
+
+    def fold(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas()
+        is_li = df["ship_max"].notna()
+        mx = df[is_li].groupby("key")["ship_max"].max()
+        od = df[~is_li].drop(columns=["ship_max"]).set_index("key")
+        joined = od.join(mx, how="inner")
+        late = joined[
+            joined["ship_max"] > joined["odate"] + np.int64(grace_days)
+        ]
+        out = late.groupby("priority", sort=False).size().rename("n_p")
+        return out.reset_index()
+
+    agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(Sum("n_p", alias_name="late_orders"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderpriority": df["priority"],
+             "late_orders": df["late_orders"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def late_ship_priority_counts_sql(grace_days: int = 30) -> str:
+    return f"""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {grace_days} DAY
+)
+GROUP BY 1
+"""
