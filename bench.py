@@ -102,6 +102,11 @@ QUERY_NAMES = [
     "revenue_cube",
     "audio_dup_pairs",
     "training_data_build",
+    "part_common_size",
+    "order_price_histogram",
+    "lineitem_qty_price_corr",
+    "doc_compression_ratio",
+    "late_ship_priority_counts",
 ]
 
 
