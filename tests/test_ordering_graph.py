@@ -78,3 +78,74 @@ def test_uniform_sample_is_prefix_of_shuffle_order(ray_session):
     expect = set(rank.nsmallest(k, "shuffle_rank")["doc_id"])
     assert set(samp["doc_id"]) == expect
     assert samp["sample_rank"].tolist() == list(range(1, k + 1))
+
+
+def test_global_sort_rank_matches_argsort_property(ray_session):
+    """Property: for arbitrary (possibly skewed) int64 keys, the sample-
+    sort rank equals the single-node argsort rank, for several shapes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.ordering import global_sort_rank
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    for n, skew in [(1, False), (7, False), (500, True), (2000, False)]:
+        if skew:  # heavy ties broken by packing id into low bits
+            base = rng.integers(0, 3, size=n) * (1 << 32)
+        else:
+            base = rng.integers(0, 1 << 40, size=n)
+        ids = rng.permutation(n).astype(np.int64)
+        keys = (base + ids).astype(np.int64)
+        ds = rd.from_arrow(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "key": pa.array(keys, pa.int64())})
+        ).repartition(5)
+        ranks, total = global_sort_rank(ds, id_col="id", key_col="key")
+        got = ranks.to_pandas().sort_values("id").reset_index(drop=True)
+        expect = pd.DataFrame({"id": ids, "key": keys})
+        expect["rank"] = expect["key"].rank(method="first").astype("int64")
+        expect = expect.sort_values("id").reset_index(drop=True)[["id", "rank"]]
+        assert total == n
+        pd.testing.assert_frame_equal(got, expect)
+
+
+def test_pagerank_matches_numpy_reference(ray_session, tmp_path):
+    """Property: the distributed fixed-point supersteps equal a single-
+    node numpy implementation of the identical integer recurrence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.clusters import doc_link_pagerank
+
+    n = 137
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["x"] * n, pa.string())}),
+        str(d / "documents.parquet"),
+    )
+    got = (
+        doc_link_pagerank(str(d), n_iters=4)
+        .to_pandas()
+        .sort_values("doc_id")["rank_scaled"]
+        .to_numpy()
+    )
+    r = np.full(n, 1_000_000_000, dtype=np.int64)
+    succ = np.stack(
+        [(np.arange(n) * 7 + 1) % n, (np.arange(n) * 13 + 5) % n,
+         (np.arange(n) * 31 + 11) % n], axis=1
+    )
+    succ = np.where(succ == np.arange(n)[:, None], -1, succ)
+    deg = (succ >= 0).sum(axis=1)
+    for _ in range(4):
+        share = r // np.maximum(deg, 1)
+        s = np.zeros(n, dtype=np.int64)
+        for j in range(3):
+            ok = succ[:, j] >= 0
+            np.add.at(s, succ[ok, j], share[ok])
+        r = 150_000_000 + (85 * s) // 100
+    assert np.array_equal(got, r)
