@@ -74,3 +74,30 @@ def to_url_encode(s: str) -> str:
     """Percent-encode with uppercase hex (the reference upper-cases hex digits,
     StringExtension.cs:55-61); ``quote`` already emits uppercase hex."""
     return quote(s, safe="")
+
+
+_TRACKING_PARAMS = frozenset(
+    {"gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src", "spm"}
+)
+
+
+def strip_tracking_params(url: str) -> str:
+    """Remove advertising/analytics query parameters (utm_*, gclid,
+    fbclid, …) while preserving parameter ORDER of what remains — the
+    canonicalization step that collapses campaign-tagged duplicates of
+    the same page before the seen-set. Opt-in (not part of
+    ``normalize_url``): some sites genuinely route on these params, so
+    the default crawl key stays conservative."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    s = urlsplit(url)
+    if not s.query:
+        return url
+    kept = [
+        (k, v)
+        for k, v in parse_qsl(s.query, keep_blank_values=True)
+        if not k.lower().startswith("utm_") and k.lower() not in _TRACKING_PARAMS
+    ]
+    return urlunsplit(
+        (s.scheme, s.netloc, s.path, urlencode(kept), s.fragment)
+    )

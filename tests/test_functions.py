@@ -222,3 +222,13 @@ def test_multipart_encoder_reference_layout():
     assert parts[0].get_payload(decode=True) == b"42"
     assert parts[1].get_payload(decode=True) == b"\x89PNG\x00binary"
     assert parts[2].get_content_type() == "text/plain"
+
+
+def test_strip_tracking_params():
+    from crawler_ray.functions.urls import strip_tracking_params
+
+    u = ("https://h/p?id=3&utm_source=x&gclid=abc&q=term&UTM_Medium=y"
+         "&fbclid=z&keep=")
+    assert strip_tracking_params(u) == "https://h/p?id=3&q=term&keep="
+    assert strip_tracking_params("https://h/p") == "https://h/p"
+    assert strip_tracking_params("https://h/p?utm_a=1") == "https://h/p"
