@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 100 pipelines over the driver testdata (one entry per
+``queries()`` exposes 101 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -49,7 +49,7 @@ training_data_build — curation → split → sequence packing over
 survivors, oracled by composing the sub-oracles verbatim; grouped MODE; a
 fixed-width integer-bin histogram; and Pearson correlation from exact
 cross-moment partials; and a TPC-H-Q4-style EXISTS aggregate). The
-genuinely non-SQL-expressible seventeen get the weaker rows-only driver check
+genuinely non-SQL-expressible eighteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -61,7 +61,8 @@ cross-snapshot incremental near-dedup probe (brute-force value-oracled
 in tests), and the PQ-compressed ANN serve whose exact-rerank rows are
 bit-equal to brute force on the overlap; and the audio energy-delta
 fingerprint near-dup pairs, planted-truth exact in tests; and the zlib compression-ratio
-redundancy signal, property-tested for monotonicity).
+redundancy signal, property-tested for monotonicity; and the incremental image-dedup
+probe, planted cross-parity truths exact in tests).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.
@@ -236,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the SAME banded-Hamming walk as image phash (rows-only;
         # planted-truth exact in tests)
         "audio_dup_pairs": multimodal.audio_dup_pairs,
+        # incremental IMAGE near-dedup: cross-side-only phash band walk
+        # (rows-only; planted cross-parity duplicates exact in tests)
+        "cross_snapshot_image_dups": clusters.cross_snapshot_image_dups,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # distributed Lloyd k-means (iterative ML; rows-only — bit-exact

@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "lineitem_qty_price_corr",
     "doc_compression_ratio",
     "late_ship_priority_counts",
+    "cross_snapshot_image_dups",
 ]
 
 

@@ -689,3 +689,110 @@ def doc_link_pagerank_sql(n_iters: int = 5) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node AS doc_id, r AS rank_scaled FROM r{n_iters}"
     )
+
+
+def cross_snapshot_image_dups(
+    sf_dir: str, max_hamming: int = 4, seed: int = 42, n_parts: int = 16
+) -> rd.Dataset:
+    """Incremental IMAGE near-dedup — the phash twin of
+    ``dedup.cross_snapshot_near_dups``: which NEW images (odd doc_id
+    corpus half, the "fresh crawl") are Hamming-≤d duplicates of an
+    EXISTING base image (even half)? Candidate generation is the
+    cross-side-ONLY walk: band rows from both sides co-locate in ONE
+    coarse-partition exchange, but pairs are generated probe×base only —
+    the base corpus is never re-paired with itself, so a refresh costs
+    O(delta), not O(corpus). Banding is the pigeonhole split of
+    ``images_phash_near_dups`` (recall guaranteed for the radius);
+    exactly-once emission via first-matching-band on the two phashes.
+    Rows-only driver check; planted cross-parity duplicates exact in
+    tests."""
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    n_bands = max(2, min(64, max_hamming + 1))
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    offsets = np.cumsum([0] + widths[:-1]).tolist()
+    off_arr = np.asarray(offsets, dtype=np.uint64)
+    mask_arr = np.asarray([(1 << w) - 1 for w in widths], dtype=np.uint64)
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.uint8)
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, _caps = planted_image_batch(ids, seed, dup=True)
+        ph = np.empty(len(ids), np.uint64)
+        for i, data in enumerate(payloads):
+            ph[i] = np.uint64(np.int64(phash64(decode_image(data, sniff_fmt(data)))))
+        side = (ids % 2).astype(np.int64)  # 0 = base (even), 1 = probe (odd)
+        band_val = (ph[:, None] >> off_arr[None, :]) & mask_arr[None, :]
+        q = np.arange(n_bands, dtype=np.int64)[None, :]
+        bucket = ((q << np.int64(48)) | band_val.astype(np.int64)).ravel()
+        idx = np.repeat(np.arange(len(ids)), n_bands)
+        return pa.table(
+            {"bucket": pa.array(bucket, pa.int64()),
+             "part": pa.array(
+                 (bucket % np.int64(n_parts)).astype(np.int64), pa.int64()),
+             "doc_id": pa.array(ids[idx], pa.int64()),
+             "side": pa.array(side[idx], pa.int64()),
+             "phash": pa.array(ph[idx].astype(np.int64), pa.int64())}
+        )
+
+    def cross_walk(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_b, out_n, out_d = [], [], []
+        if n >= 2:
+            bkt = g["bucket"].to_numpy()
+            ids = g["doc_id"].to_numpy()
+            side = g["side"].to_numpy()
+            ph = g["phash"].to_numpy().astype(np.uint64)
+            order = np.lexsort((ids, side, bkt))
+            bkt, ids, side, ph = bkt[order], ids[order], side[order], ph[order]
+            starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+            ends = np.r_[starts[1:], n]
+            cum = np.r_[0, np.cumsum(side)]
+            pc = cum[ends] - cum[starts]
+            bc = (ends - starts) - pc
+            for s, nb, npr in zip(starts.tolist(), bc.tolist(), pc.tolist()):
+                if nb == 0 or npr == 0:
+                    continue
+                pi = np.repeat(np.arange(npr), nb) + s + nb
+                bi = np.tile(np.arange(nb), npr) + s
+                x = ph[pi] ^ ph[bi]
+                d = np.zeros(len(x), np.int64)
+                for shift in range(0, 64, 8):
+                    d += _POP[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
+                ok = d <= max_hamming
+                if not ok.any():
+                    continue
+                sel = np.flatnonzero(ok)
+                # canonical-band dedup: emit only from the first band the
+                # two phashes agree on (recomputable in every bucket)
+                bv_a = (ph[pi[sel], None] >> off_arr[None, :]) & mask_arr[None, :]
+                bv_b = (ph[bi[sel], None] >> off_arr[None, :]) & mask_arr[None, :]
+                eq = bv_a == bv_b
+                cur = (bkt[pi[sel]].astype(np.uint64) >> np.uint64(48)).astype(np.int64)
+                keep = (~eq.any(axis=1)) | (eq.argmax(axis=1) == cur)
+                if keep.any():
+                    out_b.append(ids[bi[sel[keep]]])
+                    out_n.append(ids[pi[sel[keep]]])
+                    out_d.append(d[sel[keep]])
+        bb = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        nn = np.concatenate(out_n) if out_n else np.array([], np.int64)
+        dd = np.concatenate(out_d) if out_d else np.array([], np.int64)
+        return pa.table(
+            {"base_img": pa.array(bb, pa.int64()),
+             "new_img": pa.array(nn, pa.int64()),
+             "hamming": pa.array(dd, pa.int64())}
+        )
+
+    return (
+        docs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cross_walk, batch_format="pyarrow")
+    )

@@ -164,3 +164,22 @@ def test_image_dup_clusters_planted(ray_session):
     }
     assert got == expected
     assert (out["cluster_size"] == 2).all()
+
+
+def test_cross_snapshot_image_dups_planted(ray_session):
+    """Incremental image probe: every pair is cross-parity (base even, new
+    odd), all 100 planted duplicates recovered (exact copies at Hamming 0,
+    perturbed neighbors within the radius), zero false positives."""
+    from crawler_ray.pipelines.clusters import cross_snapshot_image_dups
+    from tests.conftest import SF_DIR
+
+    df = cross_snapshot_image_dups(SF_DIR).to_pandas()
+    b = df.base_img.to_numpy()
+    n = df.new_img.to_numpy()
+    assert (b % 2 == 0).all() and (n % 2 == 1).all()
+    fam = ((b % 10 == 0) & (n == b + 1)) | ((b % 10 == 6) & (n == b - 1))
+    assert fam.all() and len(df) == 100
+    exact = df[b % 10 == 0]
+    assert len(exact) == 50 and (exact.hamming == 0).all()
+    near = df[b % 10 == 6]
+    assert len(near) == 50 and near.hamming.max() <= 4
