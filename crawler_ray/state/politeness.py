@@ -124,7 +124,17 @@ class PolitenessActor:
 
     def _bucket(self, host: str) -> TokenBucket:
         if host not in self.buckets:
-            self.buckets[host] = TokenBucket(self.rate, self.burst, self.clock)
+            rate, burst = self.rate, self.burst
+            # robots.txt Crawl-delay (de-facto standard the reference has no
+            # notion of): a host that asks for N seconds between requests
+            # gets a 1/N-per-second bucket with NO burst — the default
+            # rate/burst apply only to hosts that don't state a preference.
+            rules = self.robots._rules(host)
+            delay = rules.crawl_delay("crawler-ray") if rules is not None else None
+            if delay:
+                rate = min(rate, 1.0 / float(delay))
+                burst = 1.0
+            self.buckets[host] = TokenBucket(rate, burst, self.clock)
         return self.buckets[host]
 
     def grant(self, host: str, n: int) -> int:

@@ -99,6 +99,34 @@ def test_robots():
     assert list(mask) == [False, True, True]  # no robots → allow-all
 
 
+def test_robots_crawl_delay_sets_per_host_bucket(ray_session):
+    """A host whose robots.txt states ``Crawl-delay: 2`` gets a 0.5/s
+    no-burst token bucket; hosts without a stated delay keep the default
+    rate/burst. (The reference hard-codes 3-6 s sleeps for every host,
+    ``BaseSpider.cs:139``; honoring the host's own preference is the
+    north-rule behavior.)"""
+    import ray
+
+    from crawler_ray.state.politeness import PolitenessActor
+
+    robots = {"slow.com": "User-agent: *\nCrawl-delay: 2\nDisallow: /x/\n"}
+    actor = PolitenessActor.remote(robots_map=robots, rate=10.0, burst=50.0)
+    # slow.com: burst is exactly 1 token
+    assert ray.get(actor.grant.remote("slow.com", 5)) == 1
+    assert ray.get(actor.grant.remote("slow.com", 5)) == 0
+    # 4 virtual seconds at 1/2 tokens/s refills 2, capped at burst 1
+    ray.get(actor.advance_clock.remote(4.0))
+    assert ray.get(actor.grant.remote("slow.com", 5)) == 1
+    # a host with no stated delay keeps the default bucket
+    assert ray.get(actor.grant.remote("fast.com", 5)) == 5
+    # the Disallow line still applies alongside the delay
+    allowed = ray.get(actor.allowed.remote(
+        ["https://slow.com/x/a", "https://slow.com/ok"]
+    ))
+    assert list(allowed) == [False, True]
+    ray.kill(actor)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import pyarrow as pa
 
