@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 101 pipelines over the driver testdata (one entry per
+``queries()`` exposes 102 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-point PageRank over a derived link graph (BSP supersteps;
         # iterative graph oracle via unrolled integer CTE chain)
         "doc_link_pagerank": clusters.doc_link_pagerank,
+        # per-node triangle counts (wedge-check MapReduce algorithm;
+        # local-clustering / link-farm signal over the same graph)
+        "doc_link_triangles": clusters.doc_link_triangles,
         # incremental near-dedup: probe a new snapshot against a PERSISTED
         # base-corpus MinHash band index; cross-side-only candidate walk
         # (rows-only: LSH — brute-force value-oracled in tests)
@@ -384,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ntile": relational.order_price_ntile_sql(),
         "uniform_sample_docs": textops.uniform_sample_sql(),
         "doc_link_pagerank": clusters.doc_link_pagerank_sql(),
+        "doc_link_triangles": clusters.doc_link_triangles_sql(),
         "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
         "late_ship_priority_counts": joins.late_ship_priority_counts_sql(),
         "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,

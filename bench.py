@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "orders_above_customer_avg",
     "order_price_ntile",
     "doc_link_pagerank",
+    "doc_link_triangles",
     "cross_snapshot_near_dups",
     "ann_pq_topk",
     "orders_from_event_users",

@@ -796,3 +796,212 @@ def cross_snapshot_image_dups(
         .groupby("part")
         .map_groups(cross_walk, batch_format="pyarrow")
     )
+
+
+def doc_link_triangles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Per-node triangle counts over the derived doc link graph — the third
+    graph verb beside ``connected_components`` and ``doc_link_pagerank``
+    (triangle participation is the standard local-clustering / spam-farm
+    signal a link-graph curation pass computes). Deterministic graph =
+    pagerank's links ``(d*7+1)%N``, ``(d*13+5)%N``, ``(d*31+11)%N`` PLUS
+    ring chords ``(d+1)%N``, ``(d+2)%N`` (self-loops dropped), taken as
+    UNDIRECTED edges — the chords guarantee triangles exist and the
+    multiplicative links make the per-node counts irregular (3–6 at test
+    scales), so the oracle compare is non-vacuous.
+
+    Distributed shape (the MapReduce wedge-check algorithm, Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11 — id-ordered orientation):
+
+    1. derive + canonicalize edges ``(u<v)`` packed as ``u*N+v`` int64,
+       ONE hash-partition exchange for exact global dedup;
+    2. co-locate each low-endpoint's adjacency (partition by ``u``), emit
+       wedges ``(center u, packed (v,w))`` with a distance-``k`` shifted
+       segment walk — zero Python per-row work, O(max_degree) vector ops;
+    3. existence join: wedges ⋈ edges on the packed pair key (one tagged
+       union + partition fold, ``np.isin`` membership) — every hit is a
+       triangle ``(u,v,w)``, contributing 1 to each corner;
+    4. per-node coarse-partition count fold.
+
+    Every stage moves slim int64 rows; no driver materialization. Packing
+    needs ``N < ~3e9`` (``N**2 < 2**63``) — beyond that the pair key
+    becomes a two-column struct, same plan otherwise. Skew note: wedge
+    fan-out at a hub node is C(deg,2) from its LOW endpoint only; the
+    id-ordered orientation bounds it the same way degree-ordering does in
+    the paper for power-law graphs (here degrees are ~6 by construction).
+
+    Output: ``(doc_id, n_triangles)`` for every doc in ≥1 triangle.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    n = pf.metadata.num_rows  # footer read, not a scan
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        s = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 5) % n, (ids * 31 + 11) % n,
+             (ids + 1) % n, (ids + 2) % n],
+            axis=1,
+        )
+        src = np.repeat(ids, 5)
+        dst = s.ravel()
+        keep = dst != src
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        packed = np.unique(u * n + v)  # in-batch pre-dedup (combiner)
+        return pa.table(
+            {
+                "part": pa.array(packed % n_parts, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    def dedup_edges(g: pa.Table) -> pa.Table:
+        packed = np.unique(g["packed"].to_numpy())
+        return pa.table({"packed": pa.array(packed, pa.int64())})
+
+    edges = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(edge_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_edges, batch_format="pyarrow")
+        .materialize()  # reused by BOTH downstream exchanges
+    )
+
+    def key_by_u(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((packed // n) % n_parts, pa.int64()),
+                "packed": t["packed"],
+            }
+        )
+
+    def wedge_walk(g: pa.Table) -> pa.Table:
+        # rows sorted by packed == sorted by (u, v); same-u runs are
+        # contiguous, so pairs-at-distance-k shifted compares enumerate
+        # every within-segment (v, w) pair exactly once
+        packed = np.sort(g["packed"].to_numpy())
+        u = packed // n
+        v = packed % n
+        _, counts = np.unique(u, return_counts=True)
+        kmax = int(counts.max()) if len(counts) else 0
+        centers, pairs = [], []
+        for k in range(1, kmax):
+            m = u[:-k] == u[k:]
+            if m.any():
+                centers.append(u[:-k][m])
+                pairs.append(v[:-k][m] * n + v[k:][m])
+        if not centers:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "packed": pa.array([], pa.int64()),
+                    "center": pa.array([], pa.int64()),
+                }
+            )
+        wc = np.concatenate(centers)
+        wp = np.concatenate(pairs)
+        return pa.table(
+            {
+                "part": pa.array(wp % n_parts, pa.int64()),
+                "packed": pa.array(wp, pa.int64()),
+                "center": pa.array(wc, pa.int64()),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(key_by_u, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedge_walk, batch_format="pyarrow")
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array(t["packed"].to_numpy() % n_parts, pa.int64()),
+                "packed": t["packed"],
+                "center": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tri_nodes(g: pa.Table) -> pa.Table:
+        center = g["center"].to_numpy()
+        packed = g["packed"].to_numpy()
+        is_edge = center < 0
+        epk = packed[is_edge]
+        wpk = packed[~is_edge]
+        wc = center[~is_edge]
+        hit = np.isin(wpk, epk)
+        tp = wpk[hit]
+        nodes = np.concatenate([wc[hit], tp // n, tp % n])
+        uniq, cnt = (
+            np.unique(nodes, return_counts=True)
+            if len(nodes)
+            else (np.array([], np.int64), np.array([], np.int64))
+        )
+        return pa.table(
+            {
+                "part": pa.array(uniq % n_parts, pa.int64()),
+                "node": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def count_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        s = df.groupby("node", sort=False)["c"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(s.index.to_numpy(np.int64), pa.int64()),
+                "n_triangles": pa.array(s.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        wedges.union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(tri_nodes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_fold, batch_format="pyarrow")
+    )
+
+
+def doc_link_triangles_sql() -> str:
+    """Exact SQL twin: same derived edges, id-ordered wedge join, existence
+    check, per-corner count — all integers, hash-exact."""
+    return """
+WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+raw AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst)::BIGINT AS u, GREATEST(src, dst)::BIGINT AS v
+    FROM raw WHERE src <> dst
+),
+tri AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT node AS doc_id, COUNT(*)::BIGINT AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
