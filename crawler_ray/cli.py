@@ -7,6 +7,7 @@ run crawl → reports. Owns the Ray session (the library never inits Ray).
                                         [--resume] [--quota 200] [--cpus 8]
     python -m crawler_ray.cli report    --out /tmp/run
     python -m crawler_ray.cli bench-ingest --images 100000 [--px 64]
+    python -m crawler_ray.cli revalidate --manifest urls.parquet --dest out/
 """
 
 from __future__ import annotations
@@ -184,6 +185,30 @@ def cmd_bench_ingest(args) -> int:
     return 0
 
 
+def cmd_revalidate(args) -> int:
+    """Conditional-GET freshness sweep over a stored URL manifest: reads
+    (url, etag, last_modified) parquet, revalidates every row with
+    If-None-Match / If-Modified-Since, writes the verdict table and prints
+    the per-verdict summary (fresh rows ship ZERO body bytes)."""
+    _init_ray(args.cpus)
+    from crawler_ray.pipelines.revalidate import (
+        freshness_summary,
+        revalidate_manifest,
+    )
+
+    verdicts = revalidate_manifest(
+        args.manifest,
+        http_opts={"timeout": args.http_timeout},
+        concurrency=args.concurrency,
+    )
+    if args.dest:
+        verdicts = verdicts.materialize()
+        verdicts.write_parquet(args.dest)
+    summary = freshness_summary(verdicts).to_pylist()
+    print(json.dumps({"summary": summary, "dest": args.dest}))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered pipeline by name over an sf-style table dir:
     ``query --name q1_pricing_summary --sf /root/testdata/sf0.01
@@ -291,6 +316,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--px", type=int, default=64)
     b.add_argument("--cpus", type=int, default=None)
     b.set_defaults(fn=cmd_bench_ingest)
+
+    v = sub.add_parser(
+        "revalidate",
+        help="conditional-GET freshness sweep over a (url, etag, "
+        "last_modified) manifest parquet",
+    )
+    v.add_argument("--manifest", required=True)
+    v.add_argument("--dest", default=None)
+    v.add_argument("--concurrency", type=int, default=2)
+    v.add_argument("--http-timeout", type=float, default=10.0)
+    v.add_argument("--cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_revalidate)
 
     q = sub.add_parser("query", help="run a registered pipeline by name")
     q.add_argument("--name", default="")

@@ -163,3 +163,38 @@ def test_revalidation_round_trip_converges_to_all_fresh(ray_session, reval_site)
     assert summary == [
         {"verdict": "fresh", "n_urls": 3, "bytes_on_wire": 0}
     ]
+
+
+def test_cli_revalidate_sweep(ray_session, reval_site, tmp_path, capsys):
+    """The revalidate CLI subcommand drives the sweep end-to-end: manifest
+    parquet in, verdict parquet + JSON summary out."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.cli import main
+
+    base = reval_site["base"]
+    manifest = tmp_path / "manifest.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"{base}/a", f"{base}/c"],
+                "etag": ['"etag-a-v1"', ""],
+                "last_modified": ["", ""],
+            }
+        ),
+        str(manifest),
+    )
+    dest = tmp_path / "verdicts"
+    assert main(["revalidate", "--manifest", str(manifest),
+                 "--dest", str(dest)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_verdict = {r["verdict"]: r for r in out["summary"]}
+    assert by_verdict["fresh"]["n_urls"] == 1
+    assert by_verdict["fresh"]["bytes_on_wire"] == 0
+    assert by_verdict["gone"]["n_urls"] == 1
+    import ray.data as _rd
+
+    written = _rd.read_parquet(str(dest)).to_pandas()
+    assert sorted(written["verdict"]) == ["fresh", "gone"]
