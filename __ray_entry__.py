@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 102 pipelines over the driver testdata (one entry per
+``queries()`` exposes 103 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental IMAGE near-dedup: cross-side-only phash band walk
         # (rows-only; planted cross-parity duplicates exact in tests)
         "cross_snapshot_image_dups": clusters.cross_snapshot_image_dups,
+        # rotation/mirror-invariant image near-dup pairs via the full
+        # dihedral phash orbit (rows-only: pixel synthesis; planted
+        # rotated/mirrored copies exact in tests)
+        "image_orbit_dups": clusters.image_orbit_dups,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # distributed Lloyd k-means (iterative ML; rows-only — bit-exact

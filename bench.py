@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "order_price_ntile",
     "doc_link_pagerank",
     "doc_link_triangles",
+    "image_orbit_dups",
     "cross_snapshot_near_dups",
     "ann_pq_topk",
     "orders_from_event_users",

@@ -174,3 +174,17 @@ def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
         return [zlib.crc32(data)]
     seen = {zlib.crc32(data[i : i + window]) for i in range(len(data) - window + 1)}
     return sorted(seen)[:keep]
+
+
+def dihedral_phash64s(pixels: np.ndarray) -> list[int]:
+    """phash64 of all 8 dihedral transforms of an image (4 rotations × 
+    optional horizontal flip). The SET of orbit hashes is identical for an
+    image and any rotated/mirrored copy of it (D4 is a group), so matching
+    ANY cross-image orbit pair makes near-dup detection rotation- and
+    mirror-invariant — plain phash misses a 90° rotation by ~30 bits."""
+    out = []
+    for flip in (False, True):
+        px = np.fliplr(pixels) if flip else pixels
+        for k in range(4):
+            out.append(phash64(np.rot90(px, k)))
+    return out

@@ -1005,3 +1005,92 @@ FROM (
 )
 GROUP BY node
 """
+
+
+def image_orbit_dups(
+    sf_dir: str,
+    max_hamming: int = 4,
+    seed: int = 42,
+    n_parts: int = 16,
+) -> rd.Dataset:
+    """Rotation/mirror-INVARIANT image near-dup pairs — catches duplicates
+    ``image_dup_clusters``'s plain phash cannot see (a 90° rotation moves
+    a phash ~32 bits; re-hosted images are routinely rotated, mirrored or
+    EXIF-orientation-stripped). Method: each image contributes its full
+    DIHEDRAL ORBIT — the 8 phashes of the 4 rotations × optional flip
+    (``functions/hashing.dihedral_phash64s``); the orbit SET is invariant
+    under any dihedral transform of the pixels, so two images matching in
+    ANY cross-image orbit pair within Hamming ≤ d are near-dups up to
+    rotation/mirroring.
+
+    Distributed shape: the 8 orbit rows ride the SAME single-exchange
+    banded segment walk as plain phash (8× band-row volume, constant
+    factor, size-independent), then ONE slim pair-dedup fold collapses
+    pairs re-found via different orbit combinations (keeping the minimum
+    Hamming). The walk's per-bucket ``(bucket, image_id)`` dedup already
+    prevents self-pairs from symmetric images.
+
+    Planted truth (``planted_image_batch(orbit=True)``): doc ``10k+4`` is
+    ``10k+3`` rotated 90° (exact under transform), doc ``10k+9`` is
+    ``10k+8`` mirrored + perturbed (orbit-near). Rows-only driver check —
+    pixel synthesis is not SQL-expressible; tests assert the planted pairs
+    exactly AND that plain phash misses the rotated ones.
+    """
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import dihedral_phash64s
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_orbit_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, _caps = planted_image_batch(ids, seed, orbit=True)
+        out_id: list[str] = []
+        out_ph: list[int] = []
+        for d, data in zip(ids, payloads):
+            sid = str(int(d))
+            for h in dihedral_phash64s(decode_image(data, sniff_fmt(data))):
+                out_id.append(sid)
+                out_ph.append(h)
+        return pa.table(
+            {"image_id": pa.array(out_id, pa.string()),
+             "phash": pa.array(out_ph, pa.int64())}
+        )
+
+    orbit_rows = docs.map_batches(synth_orbit_rows, batch_format="pyarrow")
+    pairs = images_phash_near_dups(orbit_rows, max_hamming=max_hamming)
+
+    def key_pairs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["img_a"].to_pylist(), dtype=object)
+        b = np.asarray(t["img_b"].to_pylist(), dtype=object)
+        keep = a != b  # defensive: cross-orbit self-matches
+        t = t.filter(pa.array(keep))
+        key = pd.util.hash_array(
+            np.char.add(
+                np.char.add(a[keep].astype(str), "|"), b[keep].astype(str)
+            ).astype(object)
+        ).astype(np.int64)
+        return t.append_column(
+            "part", pa.array(key % np.int64(n_parts), pa.int64())
+        )
+
+    def dedup_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.groupby(["img_a", "img_b"], sort=False)["hamming"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {"img_a": pa.array(out["img_a"], pa.string()),
+             "img_b": pa.array(out["img_b"], pa.string()),
+             "hamming": pa.array(out["hamming"].to_numpy(np.int64), pa.int64())}
+        )
+
+    return (
+        pairs.map_batches(key_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_fold, batch_format="pyarrow")
+    )

@@ -428,6 +428,7 @@ def planted_image_batch(
     mismatch: bool = False,
     lowq: bool = False,
     watermark: bool = False,
+    orbit: bool = False,
     w: int = 32,
     h: int = 32,
 ) -> tuple[list[bytes], list[str]]:
@@ -440,6 +441,10 @@ def planted_image_batch(
                     watermark row survives; phash lands within Hamming ≤ 2)
     - ``mismatch``: % 10 == 7 carries its NEIGHBOR's caption (misaligned)
     - ``lowq``:     % 10 == 3 is near-uniform, below the pixel quality gates
+    - ``orbit``:    % 10 == 4 is the neighbor's content ROTATED 90° (exact
+                    under a dihedral transform, ~32 bits away in plain
+                    phash); % 10 == 9 is the neighbor's content MIRRORED
+                    + perturbed (orbit-near)
     - ``watermark``: row 0 carries md5(true caption) so the declared-fake
       CLIP image tower can read the signature back from decoded pixels
 
@@ -452,13 +457,20 @@ def planted_image_batch(
     out_c: list[str] = []
     for d in ids:
         d = int(d)
-        base = d - 1 if dup and d % 10 in (1, 6) else d
+        base = d - 1 if (
+            (dup and d % 10 in (1, 6)) or (orbit and d % 10 in (4, 9))
+        ) else d
         cid = f"img{base}"
         true_cap = _caption(cid, seed)
         px = make_pixels(cid, w, h, seed).copy()
         if lowq and d % 10 == 3:
             px[1:] = 128
         if dup and d % 10 == 6:
+            px[1::7, ::5] ^= 3
+        if orbit and d % 10 == 4:
+            px = np.rot90(px).copy()
+        if orbit and d % 10 == 9:
+            px = np.fliplr(px).copy()
             px[1::7, ::5] ^= 3
         if watermark:
             px[0, :16, 0] = np.frombuffer(

@@ -183,3 +183,65 @@ def test_cross_snapshot_image_dups_planted(ray_session):
     assert len(exact) == 50 and (exact.hamming == 0).all()
     near = df[b % 10 == 6]
     assert len(near) == 50 and near.hamming.max() <= 4
+
+
+def test_image_orbit_dups_planted(ray_session):
+    """Dihedral-orbit near-dedup: the planted ROTATED copies (10k+4 =
+    rot90 of 10k+3) and MIRRORED+perturbed copies (10k+9 = fliplr of
+    10k+8) are recovered — and the rotated ones are exactly the pairs
+    plain phash CANNOT see (orbit hamming 0 but plain hamming far beyond
+    the radius). Zero false positives."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.clusters import image_orbit_dups
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+
+    sf = "/root/testdata/sf0.001"
+    out = image_orbit_dups(sf).to_pandas()
+    ids = set(
+        int(d)
+        for d in pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+    )
+    expected = set()
+    for d in ids:
+        if d % 10 == 4 and d - 1 in ids:
+            expected.add((min(d - 1, d), max(d - 1, d), "rot"))
+        if d % 10 == 9 and d - 1 in ids:
+            expected.add((min(d - 1, d), max(d - 1, d), "mirror"))
+    got = {
+        (min(int(r.img_a), int(r.img_b)), max(int(r.img_a), int(r.img_b)))
+        for r in out.itertuples()
+    }
+    assert got == {(a, b) for a, b, _ in expected}
+    # exact-under-transform pairs land at orbit hamming 0
+    rot_pairs = {(a, b) for a, b, k in expected if k == "rot"}
+    ham = {
+        (min(int(r.img_a), int(r.img_b)), max(int(r.img_a), int(r.img_b))):
+            int(r.hamming)
+        for r in out.itertuples()
+    }
+    assert all(ham[p] == 0 for p in rot_pairs)
+
+    # plain phash on the SAME planted corpus misses every rotated pair
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    id_list = sorted(ids)
+    payloads, _ = planted_image_batch(np.array(id_list), 42, orbit=True)
+    plain = rd.from_arrow(pa.table({
+        "image_id": [str(d) for d in id_list],
+        "phash": [phash64(decode_image(p, sniff_fmt(p))) for p in payloads],
+    }))
+    plain_pairs = {
+        (min(int(r["img_a"]), int(r["img_b"])),
+         max(int(r["img_a"]), int(r["img_b"])))
+        for r in images_phash_near_dups(plain, max_hamming=4).take_all()
+    }
+    assert not (plain_pairs & rot_pairs)
