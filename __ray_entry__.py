@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 103 pipelines over the driver testdata (one entry per
+``queries()`` exposes 104 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-node triangle counts (wedge-check MapReduce algorithm;
         # local-clustering / link-farm signal over the same graph)
         "doc_link_triangles": clusters.doc_link_triangles,
+        # k-core peeling (BSP fixed-k Montresor shape; core membership
+        # + within-core degree, oracled via unrolled peeling CTEs)
+        "doc_link_kcore": clusters.doc_link_kcore,
         # incremental near-dedup: probe a new snapshot against a PERSISTED
         # base-corpus MinHash band index; cross-side-only candidate walk
         # (rows-only: LSH — brute-force value-oracled in tests)
@@ -392,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample_docs": textops.uniform_sample_sql(),
         "doc_link_pagerank": clusters.doc_link_pagerank_sql(),
         "doc_link_triangles": clusters.doc_link_triangles_sql(),
+        "doc_link_kcore": clusters.doc_link_kcore_sql(),
         "orders_from_event_users": joins.ORDERS_FROM_EVENT_USERS_SQL,
         "late_ship_priority_counts": joins.late_ship_priority_counts_sql(),
         "part_price_dispersion": relational.PART_PRICE_DISPERSION_SQL,

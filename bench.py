@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "order_price_ntile",
     "doc_link_pagerank",
     "doc_link_triangles",
+    "doc_link_kcore",
     "image_orbit_dups",
     "cross_snapshot_near_dups",
     "ann_pq_topk",

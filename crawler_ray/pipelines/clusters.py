@@ -798,40 +798,15 @@ def cross_snapshot_image_dups(
     )
 
 
-def doc_link_triangles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
-    """Per-node triangle counts over the derived doc link graph — the third
-    graph verb beside ``connected_components`` and ``doc_link_pagerank``
-    (triangle participation is the standard local-clustering / spam-farm
-    signal a link-graph curation pass computes). Deterministic graph =
-    pagerank's links ``(d*7+1)%N``, ``(d*13+5)%N``, ``(d*31+11)%N`` PLUS
-    ring chords ``(d+1)%N``, ``(d+2)%N`` (self-loops dropped), taken as
-    UNDIRECTED edges — the chords guarantee triangles exist and the
-    multiplicative links make the per-node counts irregular (3–6 at test
-    scales), so the oracle compare is non-vacuous.
-
-    Distributed shape (the MapReduce wedge-check algorithm, Suri &
-    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
-    WWW'11 — id-ordered orientation):
-
-    1. derive + canonicalize edges ``(u<v)`` packed as ``u*N+v`` int64,
-       ONE hash-partition exchange for exact global dedup;
-    2. co-locate each low-endpoint's adjacency (partition by ``u``), emit
-       wedges ``(center u, packed (v,w))`` with a distance-``k`` shifted
-       segment walk — zero Python per-row work, O(max_degree) vector ops;
-    3. existence join: wedges ⋈ edges on the packed pair key (one tagged
-       union + partition fold, ``np.isin`` membership) — every hit is a
-       triangle ``(u,v,w)``, contributing 1 to each corner;
-    4. per-node coarse-partition count fold.
-
-    Every stage moves slim int64 rows; no driver materialization. Packing
-    needs ``N < ~3e9`` (``N**2 < 2**63``) — beyond that the pair key
-    becomes a two-column struct, same plan otherwise. Skew note: wedge
-    fan-out at a hub node is C(deg,2) from its LOW endpoint only; the
-    id-ordered orientation bounds it the same way degree-ordering does in
-    the paper for power-law graphs (here degrees are ~6 by construction).
-
-    Output: ``(doc_id, n_triangles)`` for every doc in ≥1 triangle.
-    """
+def _derived_link_edges(sf_dir: str, n_parts: int) -> tuple[rd.Dataset, int]:
+    """Canonical UNDIRECTED edge set of the derived doc link graph, shared
+    by the triangle and k-core verbs: doc ``d`` links to ``(d*7+1)%N``,
+    ``(d*13+5)%N``, ``(d*31+11)%N`` plus ring chords ``(d+1)%N``,
+    ``(d+2)%N`` (self-loops dropped). Edges are id-oriented ``u<v``, packed
+    as ``u*N+v`` int64 (needs ``N < ~3e9``; beyond that switch to a
+    two-column struct key), exact-deduped in ONE hash-partition exchange
+    with in-batch pre-dedup as the combiner. Returns the MATERIALIZED
+    single-column ``packed`` Dataset and N (from the parquet footer)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
@@ -866,8 +841,47 @@ def doc_link_triangles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
         .map_batches(edge_batch, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dedup_edges, batch_format="pyarrow")
-        .materialize()  # reused by BOTH downstream exchanges
+        .materialize()
     )
+    return edges, n
+
+
+def doc_link_triangles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Per-node triangle counts over the derived doc link graph — the third
+    graph verb beside ``connected_components`` and ``doc_link_pagerank``
+    (triangle participation is the standard local-clustering / spam-farm
+    signal a link-graph curation pass computes). Deterministic graph =
+    pagerank's links ``(d*7+1)%N``, ``(d*13+5)%N``, ``(d*31+11)%N`` PLUS
+    ring chords ``(d+1)%N``, ``(d+2)%N`` (self-loops dropped), taken as
+    UNDIRECTED edges — the chords guarantee triangles exist and the
+    multiplicative links make the per-node counts irregular (3–6 at test
+    scales), so the oracle compare is non-vacuous.
+
+    Distributed shape (the MapReduce wedge-check algorithm, Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11 — id-ordered orientation):
+
+    1. derive + canonicalize edges ``(u<v)`` packed as ``u*N+v`` int64,
+       ONE hash-partition exchange for exact global dedup;
+    2. co-locate each low-endpoint's adjacency (partition by ``u``), emit
+       wedges ``(center u, packed (v,w))`` with a distance-``k`` shifted
+       segment walk — zero Python per-row work, O(max_degree) vector ops;
+    3. existence join: wedges ⋈ edges on the packed pair key (one tagged
+       union + partition fold, ``np.isin`` membership) — every hit is a
+       triangle ``(u,v,w)``, contributing 1 to each corner;
+    4. per-node coarse-partition count fold.
+
+    Every stage moves slim int64 rows; no driver materialization. Packing
+    needs ``N < ~3e9`` (``N**2 < 2**63``) — beyond that the pair key
+    becomes a two-column struct, same plan otherwise. Skew note: wedge
+    fan-out at a hub node is C(deg,2) from its LOW endpoint only; the
+    id-ordered orientation bounds it the same way degree-ordering does in
+    the paper for power-law graphs (here degrees are ~6 by construction).
+
+    Output: ``(doc_id, n_triangles)`` for every doc in ≥1 triangle.
+    """
+    edges, n = _derived_link_edges(sf_dir, n_parts)
+    # edges is materialized: reused by BOTH downstream exchanges
 
     def key_by_u(t: pa.Table) -> pa.Table:
         packed = t["packed"].to_numpy()
@@ -1093,4 +1107,181 @@ def image_orbit_dups(
         pairs.map_batches(key_pairs, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dedup_fold, batch_format="pyarrow")
+    )
+
+
+def doc_link_kcore(
+    sf_dir: str, k: int = 8, n_parts: int = 32, max_rounds: int = 30
+) -> rd.Dataset:
+    """k-core of the derived doc link graph — the fourth graph verb
+    (components, PageRank, triangles, coreness): the maximal subgraph in
+    which every node keeps degree ≥ k, the standard "dense-neighborhood"
+    filter for link-spam pruning and seed selection. Classic BSP peeling
+    (Montresor et al., "Distributed k-Core Decomposition", PODC'11
+    simplified to the fixed-k case):
+
+    per round — (1) ONE coarse-partition degree fold over the live edge
+    set (in-batch ``np.unique`` partials as the combiner), (2) drop nodes
+    with degree < k (only the SCALAR dropped-count reaches the driver),
+    (3) two tagged-union semi-join exchanges filter edges to live×live
+    endpoints. Fixpoint when nothing drops; the edge set shrinks
+    monotonically so later rounds cost less. All rows are slim int64.
+
+    Output: ``(doc_id, core_degree)`` for every node in the k-core, where
+    ``core_degree`` is the node's degree WITHIN the core (≥ k by
+    construction). Default k=8 peels a 3-round cascade at the driver
+    scales while leaving a non-empty core (degrees are 7–10 by
+    construction). The SQL oracle unrolls ``KCORE_SQL_ROUNDS`` peeling
+    iterations — sound because extra iterations past the fixpoint are
+    identity; the distributed side iterates to TRUE fixpoint, so keep the
+    unroll ≥ the deepest cascade at oracle scales (3 at sf0.01/sf0.1,
+    margin to 8).
+    """
+    edges, n = _derived_link_edges(sf_dir, n_parts)
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy()
+        nodes = np.concatenate([packed // n, packed % n])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(uniq % n_parts, pa.int64()),
+                "node": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        s = df.groupby("node", sort=False)["c"].sum()
+        return pa.table(
+            {
+                "node": pa.array(s.index.to_numpy(np.int64), pa.int64()),
+                "deg": pa.array(s.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def live_rows(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["deg"], k)
+        nodes = t.filter(keep)["node"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(nodes % n_parts, pa.int64()),
+                "packed": pa.array(
+                    np.full(len(nodes), -1, dtype=np.int64), pa.int64()
+                ),
+                "node": pa.array(nodes, pa.int64()),
+            }
+        )
+
+    def key_edges_by(end_idx: int):
+        def fn(t: pa.Table) -> pa.Table:
+            packed = t["packed"].to_numpy()
+            end = packed // n if end_idx == 0 else packed % n
+            return pa.table(
+                {
+                    "part": pa.array(end % n_parts, pa.int64()),
+                    "packed": pa.array(packed, pa.int64()),
+                    "node": pa.array(end, pa.int64()),
+                }
+            )
+
+        return fn
+
+    def semi_filter(g: pa.Table) -> pa.Table:
+        packed = g["packed"].to_numpy()
+        node = g["node"].to_numpy()
+        is_live = packed < 0
+        keep = np.isin(node[~is_live], node[is_live])
+        return pa.table(
+            {"packed": pa.array(packed[~is_live][keep], pa.int64())}
+        )
+
+    for _ in range(max_rounds):
+        deg = (
+            edges.map_batches(deg_rows, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(deg_fold, batch_format="pyarrow")
+            .materialize()
+        )
+        n_low = deg.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array(
+                    [int(np.count_nonzero(t["deg"].to_numpy() < k))], pa.int64()
+                )}
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        if n_low == 0:
+            break
+        live = deg.map_batches(live_rows, batch_format="pyarrow")
+        edges = edges.map_batches(
+            key_edges_by(0), batch_format="pyarrow"
+        ).union(live).groupby("part").map_groups(
+            semi_filter, batch_format="pyarrow"
+        )
+        edges = edges.map_batches(
+            key_edges_by(1), batch_format="pyarrow"
+        ).union(live).groupby("part").map_groups(
+            semi_filter, batch_format="pyarrow"
+        ).materialize()
+
+    return deg.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "core_degree": t["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+KCORE_SQL_ROUNDS = 8
+
+
+def doc_link_kcore_sql(k: int = 8) -> str:
+    """Exact SQL twin: the peeling iteration unrolled as materialized CTEs
+    (extra iterations past the fixpoint are identity, so a fixed unroll ≥
+    the real cascade depth is exact)."""
+    ctes = [
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents)",
+        """raw AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+)""",
+        """e AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst)::BIGINT AS u, GREATEST(src, dst)::BIGINT AS v
+    FROM raw WHERE src <> dst
+)""",
+        """sym AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+)""",
+        f"""l0 AS MATERIALIZED (
+    SELECT a AS node FROM sym GROUP BY a HAVING COUNT(*) >= {k}
+)""",
+    ]
+    for i in range(KCORE_SQL_ROUNDS):
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+    SELECT s.a AS node FROM sym s
+    JOIN l{i} x ON s.a = x.node JOIN l{i} y ON s.b = y.node
+    GROUP BY s.a HAVING COUNT(*) >= {k}
+)"""
+        )
+    last = f"l{KCORE_SQL_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.a AS doc_id, COUNT(*)::BIGINT AS core_degree
+FROM sym s
+JOIN {last} x ON s.a = x.node JOIN {last} y ON s.b = y.node
+GROUP BY s.a
+"""
     )

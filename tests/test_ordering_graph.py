@@ -193,3 +193,38 @@ def test_triangle_counts_match_brute_force_and_partitioning(ray_session):
                 cnt[w] += 1
     assert dict(got) == dict(cnt)
     assert len(cnt) > 0 and max(cnt.values()) > min(cnt.values())  # non-vacuous
+
+
+def test_kcore_matches_brute_force_peeling(ray_session):
+    """Distributed k-core equals single-node iterative peeling, and the
+    default k=8 is non-trivial here (some nodes peeled, non-empty core)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    k = 8
+    got = {
+        (int(r.doc_id), int(r.core_degree))
+        for r in clusters.doc_link_kcore(SF_DIR, k=k).to_pandas().itertuples()
+    }
+    n = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    E = set()
+    for d in range(n):
+        for t in (d * 7 + 1, d * 13 + 5, d * 31 + 11, d + 1, d + 2):
+            t %= n
+            if t != d:
+                E.add((min(d, t), max(d, t)))
+    live = None
+    while True:
+        deg: collections.Counter = collections.Counter()
+        for u, v in E:
+            deg[u] += 1
+            deg[v] += 1
+        nl = {x for x in deg if deg[x] >= k}
+        if live is not None and nl == live:
+            break
+        live = nl
+        E = {(u, v) for u, v in E if u in live and v in live}
+    expected = {(x, deg[x]) for x in live}
+    assert got == expected
+    assert 0 < len(live) < n  # some peeled, some kept: non-vacuous
