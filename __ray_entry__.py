@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 104 pipelines over the driver testdata (one entry per
+``queries()`` exposes 105 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": textops.doc_pii_scrub,
         # two-phase domain-mixing rebalance (stats pass -> deterministic pick)
         "balanced_sample_docs": textops.balanced_sample_docs,
+        # τ=0.5 temperature mixing (isqrt weights + largest-remainder
+        # apportionment, all int64-exact)
+        "temperature_sample_docs": textops.temperature_sample_docs,
         # windowed token co-occurrence counts (PMI statistics)
         "token_cooccurrence": textops.token_cooccurrence,
         # deterministic seeded global shuffle rank (training-order export)
@@ -368,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_affinity": textops.SOURCE_TOKEN_AFFINITY_SQL,
         "doc_pii_scrub": textops.DOC_PII_SCRUB_SQL,
         "balanced_sample_docs": textops.BALANCED_SAMPLE_SQL,
+        "temperature_sample_docs": textops.TEMPERATURE_SAMPLE_SQL,
         "token_cooccurrence": textops.token_cooccurrence_sql(),
         "shuffled_export": textops.shuffled_export_sql(),
         "corpus_source_report": textops.CORPUS_SOURCE_REPORT_SQL,

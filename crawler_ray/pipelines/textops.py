@@ -2209,3 +2209,114 @@ def doc_compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         ratios, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based domain mixing (τ = 0.5, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def temperature_sample_docs(sf_dir: str) -> rd.Dataset:
+    """τ-temperature source mixing — the standard LLM-pretraining rebalance
+    (sample source i proportionally to ``n_i^τ``, upweighting small
+    domains; XLM-R/mT5-style, τ = 0.5) made EXACTLY deterministic:
+
+    - weights are ``isqrt(n_i)`` — integer square root, so ``n_i^0.5`` is
+      exact in int64 on both engines (no float pow);
+    - the total budget ``K = Σn_i // 2`` is apportioned by the largest-
+      remainder (Hamilton) method in pure int64 arithmetic: base quota
+      ``K*w_i // W``, the ``K - Σbase`` leftovers to the largest
+      remainders (ties → source name), then capped at ``n_i`` (a tiny
+      source can't supply more docs than it has; the cap is single-round,
+      mirrored exactly in the SQL twin);
+    - per-source selection is the deterministic md5(doc_id) rank used by
+      the whole sampling family, so re-runs and the oracle pick identical
+      rows.
+
+    Scale shape: the stats pass moves |sources| rows; quota arithmetic is
+    driver-side over that control-plane table; the selection pass is ONE
+    source exchange whose output is the result itself.
+    """
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    counts = (
+        ds.groupby("source").aggregate(Count(alias_name="c")).to_pandas()
+    )
+    if not len(counts):
+        return ds.limit(0)
+    n_by_src = dict(zip(counts["source"], counts["c"].astype(int)))
+    total = sum(n_by_src.values())
+    budget = total // 2
+    w = {s: math.isqrt(c) for s, c in n_by_src.items()}
+    W = sum(w.values())
+    base = {s: budget * w[s] // W for s in w}
+    rem = {s: budget * w[s] % W for s in w}
+    leftover = budget - sum(base.values())
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    quota = {s: min(base[s], n_by_src[s]) for s in base}
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "source"]].copy()
+        out["h"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in out["doc_id"]
+        ]
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        k = quota.get(df["source"].iloc[0], 0) if len(df) else 0
+        df = df.sort_values(["h", "doc_id"], kind="stable").head(k)
+        return df[["doc_id", "source"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+TEMPERATURE_SAMPLE_SQL = """
+WITH n AS (SELECT source, COUNT(*)::BIGINT AS c FROM documents GROUP BY source),
+w AS (
+    SELECT source, c,
+           CASE WHEN f * f > c THEN f - 1
+                WHEN (f + 1) * (f + 1) <= c THEN f + 1
+                ELSE f END AS w
+    FROM (SELECT source, c, CAST(FLOOR(SQRT(c)) AS BIGINT) AS f FROM n)
+),
+tot AS (
+    SELECT SUM(w)::BIGINT AS big_w, (SUM(c) // 2)::BIGINT AS k_budget FROM w
+),
+base AS (
+    SELECT source, c, w,
+           (k_budget * w) // big_w AS q,
+           (k_budget * w) % big_w AS r
+    FROM w CROSS JOIN tot
+),
+ranked AS (
+    SELECT source, c, q, r,
+           ROW_NUMBER() OVER (ORDER BY r DESC, source) AS rr,
+           (SELECT k_budget FROM tot) - (SELECT SUM(q)::BIGINT FROM base)
+               AS leftover
+    FROM base
+),
+quota AS (
+    SELECT source,
+           LEAST(q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, c)::BIGINT
+               AS k
+    FROM ranked
+),
+rk AS (
+    SELECT doc_id, d.source,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM documents d
+)
+SELECT rk.doc_id, rk.source FROM rk JOIN quota ON rk.source = quota.source
+WHERE rn <= quota.k
+"""

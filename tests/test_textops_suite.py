@@ -483,3 +483,30 @@ def test_compression_ratio_orders_redundancy(ray_session, tmp_path):
     assert df.loc[0, "compression_ratio"] < df.loc[1, "compression_ratio"]
     assert df.loc[0, "compressed_bytes"] == len(zlib.compress(rep.encode(), 6))
     assert df.loc[1, "raw_bytes"] == len(var.encode())
+
+
+def test_temperature_sampling_upweights_small_sources(ray_session):
+    """τ=0.5 mixing: every source's share of the sample sits between its
+    corpus share and the uniform share (small sources upweighted, large
+    ones damped), the total equals the budget (half the corpus), and no
+    source exceeds its own size."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.textops import temperature_sample_docs
+    from tests.conftest import SF_DIR
+
+    out = temperature_sample_docs(SF_DIR).to_pandas()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["source"]
+    ).to_pandas()
+    n = docs.groupby("source").size()
+    k = out.groupby("source").size().reindex(n.index, fill_value=0)
+    total = int(n.sum())
+    assert int(k.sum()) == total // 2
+    assert (k <= n).all()
+    # sampled fraction decreases with source size: the smallest source
+    # keeps a strictly larger fraction of itself than the largest
+    frac = (k / n).sort_index()
+    small, big = n.idxmin(), n.idxmax()
+    if n[small] < n[big]:
+        assert frac[small] > frac[big]
