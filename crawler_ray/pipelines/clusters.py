@@ -846,7 +846,41 @@ def _derived_link_edges(sf_dir: str, n_parts: int) -> tuple[rd.Dataset, int]:
     return edges, n
 
 
-def doc_link_triangles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+def _tri_batch(t: pa.Table, n: int) -> pa.Table:
+    """Whole-graph triangle counts in one task (small-graph fast path):
+    the identical wedge walk + membership check the partitioned stages
+    run, just over the complete edge array. O(E·d) numpy work."""
+    packed = np.sort(t["packed"].to_numpy())
+    u = packed // n
+    v = packed % n
+    _, counts = np.unique(u, return_counts=True)
+    kmax = int(counts.max()) if len(counts) else 0
+    wc_l, wp_l = [], []
+    for k in range(1, kmax):
+        m = u[:-k] == u[k:]
+        if m.any():
+            wc_l.append(u[:-k][m])
+            wp_l.append(v[:-k][m] * n + v[k:][m])
+    if not wc_l:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_triangles": pa.array([], pa.int64())}
+        )
+    wc = np.concatenate(wc_l)
+    wp = np.concatenate(wp_l)
+    hit = np.isin(wp, packed)  # packed is the FULL sorted edge set here
+    tp = wp[hit]
+    nodes = np.concatenate([wc[hit], tp // n, tp % n])
+    uniq, cnt = np.unique(nodes, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(uniq, pa.int64()),
+         "n_triangles": pa.array(cnt.astype(np.int64), pa.int64())}
+    )
+
+
+def doc_link_triangles(
+    sf_dir: str, n_parts: int = 32, small_edges: int = 20_000_000
+) -> rd.Dataset:
     """Per-node triangle counts over the derived doc link graph — the third
     graph verb beside ``connected_components`` and ``doc_link_pagerank``
     (triangle participation is the standard local-clustering / spam-farm
@@ -879,9 +913,21 @@ def doc_link_triangles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
     the paper for power-law graphs (here degrees are ~6 by construction).
 
     Output: ``(doc_id, n_triangles)`` for every doc in ≥1 triangle.
+
+    Two paths by materialized edge count (the ``connected_components``
+    pattern): ``≤ small_edges`` runs the SAME wedge walk + membership
+    check in ONE task — at 20M edges that's ~160 MiB of int64 arrays and
+    sub-second numpy work, vs 4 all-to-all exchanges whose fixed cost
+    dominates small graphs (measured 9.9 s at 25k edges). Above it the
+    partitioned stages take over.
     """
     edges, n = _derived_link_edges(sf_dir, n_parts)
-    # edges is materialized: reused by BOTH downstream exchanges
+    # edges is materialized: count is free, and it's reused downstream
+
+    if edges.count() <= small_edges:
+        return edges.repartition(1).map_batches(
+            lambda t: _tri_batch(t, n), batch_format="pyarrow", batch_size=None
+        )
 
     def key_by_u(t: pa.Table) -> pa.Table:
         packed = t["packed"].to_numpy()
@@ -1110,8 +1156,36 @@ def image_orbit_dups(
     )
 
 
+def _kcore_batch(t: pa.Table, n: int, k: int) -> pa.Table:
+    """Whole-graph k-core peel in one task (small-graph fast path): the
+    same peel-to-fixpoint, all numpy. O(E) per sweep, few sweeps."""
+    packed = t["packed"].to_numpy()
+    u = packed // n
+    v = packed % n
+    while len(u):
+        nodes = np.concatenate([u, v])
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        cnt = np.bincount(inv)
+        if (cnt >= k).all():
+            return pa.table(
+                {"doc_id": pa.array(uniq, pa.int64()),
+                 "core_degree": pa.array(cnt.astype(np.int64), pa.int64())}
+            )
+        live = uniq[cnt >= k]
+        keep = np.isin(u, live) & np.isin(v, live)
+        u, v = u[keep], v[keep]
+    return pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "core_degree": pa.array([], pa.int64())}
+    )
+
+
 def doc_link_kcore(
-    sf_dir: str, k: int = 8, n_parts: int = 32, max_rounds: int = 30
+    sf_dir: str,
+    k: int = 8,
+    n_parts: int = 32,
+    max_rounds: int = 30,
+    small_edges: int = 50_000_000,
 ) -> rd.Dataset:
     """k-core of the derived doc link graph — the fourth graph verb
     (components, PageRank, triangles, coreness): the maximal subgraph in
@@ -1136,8 +1210,22 @@ def doc_link_kcore(
     identity; the distributed side iterates to TRUE fixpoint, so keep the
     unroll ≥ the deepest cascade at oracle scales (3 at sf0.01/sf0.1,
     margin to 8).
+
+    Two paths by materialized edge count (the ``connected_components``
+    pattern): ``≤ small_edges`` peels the whole graph in ONE task — the
+    BSP rounds cost ~3 exchanges each whose fixed cost dwarfs small
+    graphs. Above it, the BSP rounds coalesce blocks per round
+    (``repartition(n_parts)``) so union+groupby block counts don't
+    compound round over round.
     """
     edges, n = _derived_link_edges(sf_dir, n_parts)
+
+    if edges.count() <= small_edges:
+        return edges.repartition(1).map_batches(
+            lambda t: _kcore_batch(t, n, k),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
 
     def deg_rows(t: pa.Table) -> pa.Table:
         packed = t["packed"].to_numpy()
@@ -1214,17 +1302,23 @@ def doc_link_kcore(
         ).sum("n")
         if n_low == 0:
             break
-        live = deg.map_batches(live_rows, batch_format="pyarrow")
+        # live is materialized: it feeds BOTH semi passes, and the per-round
+        # repartition keeps union+groupby block counts flat across rounds
+        # (the connected_components lesson: compounding blocks turned 2.6 s
+        # rounds into 27 s by round 3)
+        live = deg.map_batches(
+            live_rows, batch_format="pyarrow"
+        ).repartition(n_parts).materialize()
         edges = edges.map_batches(
             key_edges_by(0), batch_format="pyarrow"
         ).union(live).groupby("part").map_groups(
             semi_filter, batch_format="pyarrow"
-        )
+        ).repartition(n_parts)
         edges = edges.map_batches(
             key_edges_by(1), batch_format="pyarrow"
         ).union(live).groupby("part").map_groups(
             semi_filter, batch_format="pyarrow"
-        ).materialize()
+        ).repartition(n_parts).materialize()
 
     return deg.map_batches(
         lambda t: pa.table(

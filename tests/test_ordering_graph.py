@@ -228,3 +228,28 @@ def test_kcore_matches_brute_force_peeling(ray_session):
     expected = {(x, deg[x]) for x in live}
     assert got == expected
     assert 0 < len(live) < n  # some peeled, some kept: non-vacuous
+
+
+def test_graph_verbs_fast_and_bsp_paths_agree(ray_session):
+    """The single-task fast path and the partitioned BSP/staged path must
+    produce identical tables for triangles and k-core (small_edges=0
+    forces the distributed path on the small test graph)."""
+    tri_fast = (
+        clusters.doc_link_triangles(SF_DIR)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    tri_bsp = (
+        clusters.doc_link_triangles(SF_DIR, small_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tri_fast, tri_bsp)
+
+    kc_fast = (
+        clusters.doc_link_kcore(SF_DIR)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    kc_bsp = (
+        clusters.doc_link_kcore(SF_DIR, small_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(kc_fast, kc_bsp)
