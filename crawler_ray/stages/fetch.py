@@ -124,6 +124,21 @@ class SyntheticFetchStage:
         )
 
 
+def _parse_retry_after(value: str) -> float | None:
+    """RFC 9110 §10.2.3 ``Retry-After``: delta-seconds form parsed to a
+    float; the HTTP-date form (and garbage) returns None — honoring an
+    absolute wall-clock date would break replay determinism, so date-form
+    waits degrade to the plain retry budget."""
+    v = value.strip()
+    if not v:
+        return None
+    try:
+        secs = float(v)
+    except ValueError:
+        return None
+    return max(0.0, secs)
+
+
 class HttpFetchStage:
     """Real-HTTP ``frontier batch -> fetched batch`` stage behind the SAME
     interface as SyntheticFetchStage — the reference's session-holding
@@ -167,7 +182,8 @@ class HttpFetchStage:
 
     def __init__(self, politeness=None, max_attempts: int = 3,
                  timeout: float = 10.0, headers: dict | None = None,
-                 max_parallel: int = 8, post: dict | None = None):
+                 max_parallel: int = 8, post: dict | None = None,
+                 retry_after_cap: float = 2.0):
         import requests
 
         self.session = requests.Session()
@@ -178,11 +194,29 @@ class HttpFetchStage:
         self.max_attempts = max_attempts
         self.timeout = timeout
         self.max_parallel = max_parallel
+        # 429/503 Retry-After handling: waits up to this many seconds are
+        # honored IN-PLACE (sleep + retry inside the attempt budget); longer
+        # waits surface the status so the row lands in dead letters for the
+        # next round. Either way the host's politeness bucket is debited
+        # (fire-and-forget), so subsequent batches slow down host-wide.
+        self.retry_after_cap = retry_after_cap
         # post config: {"path_prefixes": ["/api/"], "mode": "json"|"form"|
         # "multipart", "secret": str, "nonce": str, "epoch_seconds": float}
         self.post_cfg = post
 
     _grant_tokens = SyntheticFetchStage._grant_tokens
+
+    def _throttle_host(self, url: str, seconds: float) -> None:
+        """Fire-and-forget Retry-After debit on the host's politeness shard
+        — the WHOLE actor pool slows down on this host, not just this
+        worker's next request."""
+        if not self.politeness:
+            return
+        from urllib.parse import urlsplit
+
+        host = urlsplit(url).hostname or ""
+        shard = self.politeness[hash(host) % len(self.politeness)]
+        shard.throttle.remote(host, float(seconds))
 
     def _issue(self, url: str, extra_headers: dict | None = None):
         """One HTTP request for a logical frontier URL: GET, or the
@@ -275,6 +309,20 @@ class HttpFetchStage:
             r_lm = resp.headers.get("Last-Modified", "") if resp is not None else ""
             if status == 304:  # validators matched: resource unchanged
                 return status, b"", attempt, "", r_etag or etag, r_lm or last_modified
+            if status in (429, 503) and resp is not None:
+                ra = _parse_retry_after(resp.headers.get("Retry-After", ""))
+                if ra is not None:
+                    self._throttle_host(url, ra)
+                    if ra <= self.retry_after_cap and attempt < self.max_attempts:
+                        import time as _time
+
+                        _time.sleep(ra)
+                        continue
+                    return status, b"", attempt, "", "", ""
+                # no Retry-After: fall through (503 retries like any 5xx,
+                # 429 surfaces immediately)
+                if status == 429:
+                    return status, b"", attempt, "", "", ""
             if 300 <= status < 400 and resp is not None:
                 loc = resp.headers.get("Location", "")
                 target = url_join(url, loc) if loc else ""

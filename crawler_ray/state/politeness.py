@@ -57,9 +57,16 @@ class TokenBucket:
     def try_acquire(self, n: float = 1.0) -> int:
         """Grant up to ``n`` whole tokens without blocking; returns granted."""
         self._refill()
-        granted = int(min(n, self.tokens))
+        granted = max(0, int(min(n, self.tokens)))  # debt (<0) grants nothing
         self.tokens -= granted
         return granted
+
+    def debit(self, seconds: float) -> None:
+        """Server-directed backoff (429/503 ``Retry-After``): put the bucket
+        into DEBT so the next ``seconds`` of refill yield zero grants —
+        deterministic under the virtual clock, no thread sleeps."""
+        self._refill()
+        self.tokens = min(self.tokens, -self.rate * seconds)
 
 
 def parse_robots(txt: str, host: str) -> urllib.robotparser.RobotFileParser:
@@ -148,6 +155,11 @@ class PolitenessActor:
 
     def allowed(self, urls: list[str]) -> np.ndarray:
         return self.robots.allowed(urls)
+
+    def throttle(self, host: str, seconds: float) -> None:
+        """Honor a server's 429/503 ``Retry-After``: the host's bucket goes
+        into debt for ``seconds`` (fire-and-forget from fetch workers)."""
+        self._bucket(host).debit(seconds)
 
     def advance_clock(self, dt: float) -> None:
         if isinstance(self.clock, VirtualClock):

@@ -370,3 +370,85 @@ def test_http_signed_post_crawl_end_to_end(ray_session, http_post_site, tmp_path
     imgs = read_images_table(str(out))
     assert set(imgs["bytes"].to_pylist()) >= set(pngs.values())
     assert res.errors == 0
+
+
+def test_retry_after_honored_and_host_throttled(ray_session):
+    """A 429 with ``Retry-After: 0`` is retried in-place inside the attempt
+    budget (second hit succeeds), the host's politeness bucket goes into
+    DEBT for the advertised wait (subsequent grants blocked until the
+    clock advances past it), and a 429 whose wait exceeds the cap
+    surfaces as status 429 without burning the budget spinning."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow as pa
+    import ray
+
+    from crawler_ray.stages.fetch import HttpFetchStage, _parse_retry_after
+    from crawler_ray.state.politeness import PolitenessActor
+
+    hits = {"flaky": 0, "slow": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            def send(code, body=b"", retry_after=None):
+                self.send_response(code)
+                if retry_after is not None:
+                    self.send_header("Retry-After", retry_after)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            if self.path == "/flaky":
+                hits["flaky"] += 1
+                if hits["flaky"] == 1:
+                    send(429, retry_after="0")  # rate-limited once
+                else:
+                    send(200, b"recovered")
+            elif self.path == "/slow":
+                hits["slow"] += 1
+                send(429, retry_after="3600")  # way past the cap
+            else:
+                send(404)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        actor = PolitenessActor.remote(rate=10.0, burst=50.0)
+        stage = HttpFetchStage(
+            politeness=[actor], max_attempts=3, timeout=5.0
+        )
+        out = stage(pa.table({
+            "url": [f"{base}/flaky", f"{base}/slow"],
+            "host": ["127.0.0.1", "127.0.0.1"],
+        }))
+        rows = {u.rsplit("/", 1)[1]: r for u, r in
+                zip(out["url"].to_pylist(), out.to_pylist())}
+        # short wait: retried in place, recovered on attempt 2
+        assert rows["flaky"]["status"] == 200
+        assert rows["flaky"]["attempt"] == 2
+        assert rows["flaky"]["payload"] == b"recovered"
+        assert hits["flaky"] == 2
+        # long wait: surfaced immediately, budget NOT spent spinning
+        assert rows["slow"]["status"] == 429 and rows["slow"]["attempt"] == 1
+        assert hits["slow"] == 1
+        # the host bucket is in debt for the 3600 s wait: zero grants now,
+        # and still zero after a short virtual advance
+        assert ray.get(actor.grant.remote("127.0.0.1", 5)) == 0
+        ray.get(actor.advance_clock.remote(60.0))
+        assert ray.get(actor.grant.remote("127.0.0.1", 5)) == 0
+        ray.get(actor.advance_clock.remote(3600.0))
+        assert ray.get(actor.grant.remote("127.0.0.1", 5)) == 5
+        ray.kill(actor)
+    finally:
+        server.shutdown()
+
+    # header parsing: delta-seconds only; HTTP-date degrades to None
+    assert _parse_retry_after("120") == 120.0
+    assert _parse_retry_after("0") == 0.0
+    assert _parse_retry_after("Wed, 21 Oct 2026 07:28:00 GMT") is None
+    assert _parse_retry_after("") is None
