@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 105 pipelines over the driver testdata (one entry per
+``queries()`` exposes 106 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_build": curation.training_data_build,
         # both-sides-large partitioned hash join
         "order_lineitem_join_totals": joins.order_lineitem_join_totals,
+        # TPC-H Q10 shape: 4-relation join report (fused orderkey
+        # exchange + custkey fold + broadcast dims + exact top-20)
+        "returned_item_report": joins.returned_item_report,
         # join family Ray Data has no native verb for: as-of (point-in-time),
         # range/interval self-join, anti join (NOT EXISTS)
         "events_asof_order_join": joins.events_asof_order_join,
@@ -330,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": curation.corpus_curation_sql(),
         "training_data_build": curation.training_data_build_sql(),
         "order_lineitem_join_totals": joins.ORDER_LINEITEM_JOIN_SQL,
+        "returned_item_report": joins.RETURNED_ITEM_REPORT_SQL,
         "events_asof_order_join": joins.EVENTS_ASOF_SQL,
         "user_events_next_hour": joins.USER_EVENTS_NEXT_HOUR_SQL,
         "customers_without_urgent_orders": joins.CUSTOMERS_WITHOUT_URGENT_SQL,

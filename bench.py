@@ -89,6 +89,7 @@ QUERY_NAMES = [
     "doc_link_triangles",
     "doc_link_kcore",
     "temperature_sample_docs",
+    "returned_item_report",
     "image_orbit_dups",
     "cross_snapshot_near_dups",
     "ann_pq_topk",

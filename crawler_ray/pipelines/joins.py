@@ -905,3 +905,158 @@ WHERE EXISTS (
 )
 GROUP BY 1
 """
+
+
+def returned_item_report(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """TPC-H Q10 shape — the 4-relation join report: revenue lost to
+    RETURNED items per customer over a date window, with the customer's
+    nation name, top 20. Exercises the full join toolkit in one plan:
+
+    - lineitem filtered to ``l_returnflag='R'`` AT THE READ side and
+      pre-aggregated per (block, orderkey) — the combiner — in exact
+      1e-4-unit integer revenue;
+    - lineitem-partials ⋈ orders (date-window filtered) in ONE fused
+      union-exchange on orderkey (the ``order_lineitem_join_totals``
+      shape), re-keyed to custkey with in-partition partial sums;
+    - ONE custkey exchange finishes the per-customer fold;
+    - customer and nation are BROADCAST dimensions (1500 + 25 rows —
+      shipping them to every task beats shuffling the fact);
+    - deterministic top-20: (revenue_raw DESC, custkey ASC) over exact
+      integers, folded per-block then once globally (bounded driver set).
+    """
+    import pyarrow.compute as pc_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        target_rows_per_block=4096,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.equal(t["l_returnflag"], "R"))
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100.0)
+        disc_c = np.round((1.0 - t["l_discount"].to_numpy()) * 100.0)
+        df = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(), "rev": price_c * disc_c}
+        )
+        out = df.groupby("key", sort=False)["rev"].sum().reset_index()
+        key = out["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+                "o_custkey": pa.nulls(len(out), pa.int64()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        key = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "rev": pa.nulls(t.num_rows, pa.float64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    def merge_orderkey(g: pa.Table) -> pa.Table:
+        # join + re-key to custkey with an in-partition partial fold
+        is_o = pa.compute.is_valid(g["o_custkey"])
+        og = g.filter(is_o).select(["key", "o_custkey"]).to_pandas()
+        lg = g.filter(pa.compute.invert(is_o)).select(["key", "rev"]).to_pandas()
+        m = og.merge(
+            lg.groupby("key", sort=False)["rev"].sum().reset_index(),
+            on="key", how="inner",
+        )
+        out = m.groupby("o_custkey", sort=False)["rev"].sum().reset_index()
+        ck = out["o_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "c_custkey": pa.array(ck, pa.int64()),
+                "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    def fold_custkey(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = df.groupby("c_custkey", sort=False)["rev"].sum().reset_index()
+        # per-partition top-20 prefilter: the global top 20 is a subset of
+        # the union of per-partition top 20s
+        out = out.sort_values(
+            ["rev", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    folded = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_orderkey, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_custkey, batch_format="pyarrow")
+    )
+
+    # bounded final fold (≤ 20 × n_parts rows) + broadcast dims
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "c_name", "n_name"]]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["rev", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+        m = df.merge(dim, on="c_custkey", how="left")
+        return pd.DataFrame(
+            {
+                "c_custkey": m["c_custkey"].astype("int64"),
+                "c_name": m["c_name"],
+                "n_name": m["n_name"],
+                "revenue": (m["rev"] / 10000.0).round(2),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+RETURNED_ITEM_REPORT_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+         DESC, c_custkey
+LIMIT 20
+"""
