@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 106 pipelines over the driver testdata (one entry per
+``queries()`` exposes 107 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.lineitem_price_percentiles_cont,
         # ROWS-window rolling aggregate (one partition exchange + cumsum)
         "customer_rolling_spend": relational.customer_rolling_spend,
+        # RANGE-interval (time-based) window: trailing-7-day spend
+        "customer_spend_7d": relational.customer_spend_7d,
         # LAG window: days since previous order (NULL on firsts)
         "customer_order_gaps": relational.customer_order_gaps,
         # hierarchical ROLLUP subtotals (re-aggregate the finest level)
@@ -384,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,
+        "customer_spend_7d": relational.CUSTOMER_SPEND_7D_SQL,
         "customer_order_gaps": relational.CUSTOMER_ORDER_GAPS_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "token_set_dup_pairs": dedup.TOKEN_SET_DUP_SQL,

@@ -90,6 +90,7 @@ QUERY_NAMES = [
     "doc_link_kcore",
     "temperature_sample_docs",
     "returned_item_report",
+    "customer_spend_7d",
     "image_orbit_dups",
     "cross_snapshot_near_dups",
     "ann_pq_topk",

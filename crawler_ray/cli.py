@@ -247,6 +247,10 @@ def cmd_query(args) -> int:
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         print(df.head(20).to_string())
         print(json.dumps({"query": args.name, "rows": int(len(df))}))
+    if args.stats and hasattr(res, "stats"):
+        # per-stage wall times / block counts from Ray Data's executor —
+        # the 'measure, don't guess' loop for pipeline tuning
+        print(res.stats())
     return 0
 
 
@@ -335,6 +339,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", default=None)
     q.add_argument("--cpus", type=int, default=None)
     q.add_argument("--list", action="store_true")
+    q.add_argument(
+        "--stats", action="store_true",
+        help="print Ray Data per-stage execution stats after the run",
+    )
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)

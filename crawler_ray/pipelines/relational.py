@@ -661,6 +661,78 @@ FROM orders
 """
 
 
+def customer_spend_7d(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """RANGE-interval window twin of :func:`customer_rolling_spend`: per
+    order, the customer's total spend over the TRAILING 7 DAYS
+    (``RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW`` — a
+    time-based frame, so the row count varies and equal-date peers are
+    ALL included, per the SQL standard's RANGE-CURRENT-ROW peer rule).
+
+    Scale shape: identical to the ROWS window — ONE customer-hash
+    exchange, then per partition a lexsort + prefix-sum pass; the frame
+    bounds come from two ``np.searchsorted`` calls per customer segment
+    (C-speed binary searches on the segment's date slice), so per-row
+    work stays vectorized and the whole frame logic is O(n log n) per
+    partition. Integer-cents partials keep the sums exact."""
+    SEVEN_D_US = np.int64(7 * 86_400) * np.int64(1_000_000)
+    ds = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "o_custkey": t["o_custkey"],
+             "o_orderdate": t["o_orderdate"],
+             "cents": pa.array(
+                 np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+                 pa.int64(),
+             ),
+             "part": pa.array((cust % n_parts).astype(np.int64), pa.int64())}
+        )
+
+    def window(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        date = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((key, date, cust))
+        cust, key, date, cents = cust[order], key[order], date[order], cents[order]
+        n = len(cust)
+        out = np.empty(n, np.int64)
+        starts = np.r_[np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]]), n]
+        for s, e in zip(starts[:-1], starts[1:]):
+            d = date[s:e]
+            cs = np.r_[0, np.cumsum(cents[s:e])]
+            lo = np.searchsorted(d, d - SEVEN_D_US, side="left")
+            hi = np.searchsorted(d, d, side="right")  # equal-date peers in
+            out[s:e] = cs[hi] - cs[lo]
+        return pa.table(
+            {"o_orderkey": pa.array(key, pa.int64()),
+             "o_custkey": pa.array(cust, pa.int64()),
+             "o_orderdate": pa.array(date, pa.timestamp("us")),
+             "spend_7d": pa.array(out / 100.0, pa.float64())}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
+CUSTOMER_SPEND_7D_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ) / 100.0 AS spend_7d
+FROM orders
+"""
+
+
 def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP(region, nation) revenue report — the hierarchical
     subtotal verb Ray Data lacks. Scale shape: ONE pass over the orders
