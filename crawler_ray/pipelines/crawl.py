@@ -324,6 +324,9 @@ class CrawlDriver:
                     cfg.out_dir, "tables", "brands", f"round_{rnd:04d}"
                 ),
                 "errors": os.path.join(cfg.out_dir, "errors", f"round_{rnd:04d}"),
+                "pages": os.path.join(
+                    cfg.out_dir, "tables", "pages", f"round_{rnd:04d}"
+                ),
                 "frontier": self.ckpt.begin_round(rnd),
             }
             images_dir = self.ckpt.images_dir(rnd)  # direct image sink

@@ -133,3 +133,81 @@ def freshness_summary(verdicts: rd.Dataset) -> pa.Table:
     )
     df.columns = ["verdict", "n_urls", "bytes_on_wire"]
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def manifest_from_crawl(out_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Build the revalidation manifest from a completed crawl's ``pages``
+    sink (``tables/pages/round_NNNN/part-*``): one ``(url, etag,
+    last_modified)`` row per crawled page, LATEST round wins (a page
+    re-crawled in a later round carries fresher validators).
+
+    Closes the refresh loop end-to-end: crawl → pages sink (validators
+    captured per fetched page by ``HttpFetchStage``) → this manifest →
+    :func:`revalidate_manifest` → verdicts → re-crawl only the
+    ``changed`` rows. Distributed shape: per-round part trees read as
+    Datasets with a constant round column, one url-hash exchange picks
+    the max-round row per url.
+    """
+    import os
+    import re
+
+    from crawler_ray.sources.io import read_parts
+
+    root = os.path.join(out_dir, "tables", "pages")
+    round_re = re.compile(r"^round_(\d+)$")
+    rounds = sorted(
+        (int(m.group(1)), os.path.join(root, name))
+        for name in (os.listdir(root) if os.path.isdir(root) else [])
+        if (m := round_re.match(name))
+    )
+    if not rounds:
+        return rd.from_arrow(
+            pa.table(
+                {"url": pa.array([], pa.string()),
+                 "etag": pa.array([], pa.string()),
+                 "last_modified": pa.array([], pa.string())}
+            )
+        )
+
+    def tag(rnd: int):
+        def fn(t: pa.Table) -> pa.Table:
+            from crawler_ray.functions.hashing import stable_hash_u64
+
+            urls = t["url"].to_pylist()
+            # process-salted hash() would scatter one url across partitions
+            part = np.asarray(
+                [stable_hash_u64(u) % n_parts for u in urls], dtype=np.int64
+            )
+            return pa.table(
+                {
+                    "part": pa.array(part, pa.int64()),
+                    "rnd": pa.array(
+                        np.full(t.num_rows, rnd, dtype=np.int64), pa.int64()
+                    ),
+                    "url": t["url"],
+                    "etag": t["etag"],
+                    "last_modified": t["last_modified"],
+                }
+            )
+
+        return fn
+
+    ds = None
+    for rnd, path in rounds:
+        part = read_parts(
+            path, columns=["url", "etag", "last_modified"]
+        ).map_batches(tag(rnd), batch_format="pyarrow")
+        ds = part if ds is None else ds.union(part)
+
+    def latest(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = (
+            df.sort_values(["url", "rnd"], kind="mergesort")
+            .groupby("url", sort=False)
+            .tail(1)
+        )
+        return pa.Table.from_pandas(
+            df[["url", "etag", "last_modified"]], preserve_index=False
+        )
+
+    return ds.groupby("part").map_groups(latest, batch_format="pyarrow")

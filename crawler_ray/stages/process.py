@@ -60,6 +60,8 @@ ROUND_SCHEMA = pa.schema(
         ("h", pa.int32()),
         ("fmt", pa.string()),
         ("phash", pa.int64()),
+        ("etag", pa.string()),
+        ("last_modified", pa.string()),
     ]
 )
 
@@ -73,6 +75,8 @@ _EMPTY = {
     "h": None,
     "fmt": None,
     "phash": None,
+    "etag": "",
+    "last_modified": "",
 }
 
 
@@ -165,6 +169,8 @@ def _passthrough_rows(df, row_type: str, status=None) -> pa.Table:
             "h": pa.nulls(n, pa.int32()),
             "fmt": pa.nulls(n, pa.string()),
             "phash": pa.nulls(n, pa.int64()),
+            "etag": pa.array([""] * n, pa.string()),
+            "last_modified": pa.array([""] * n, pa.string()),
         }
     ).cast(ROUND_SCHEMA)
 
@@ -490,6 +496,15 @@ class CrawlProcessStage:
                 continue
             if r["kind"] == "image":
                 continue  # handled above (only non-200 images reach here)
+            # page fetch metadata: the (url, etag, last_modified) row the
+            # refresh loop's conditional-GET sweep revalidates against
+            # (validators are captured by HttpFetchStage; the synthetic
+            # fetcher has none and the columns default to "")
+            out.append(_row(
+                r, row_type="page", status=200,
+                etag=r.get("etag", "") or "",
+                last_modified=r.get("last_modified", "") or "",
+            ))
             # page: parse (M1 envelope + per-kind parser)
             try:
                 # charset/BOM-sniffed decode (FileHelper.cs:273-314 parity)
@@ -549,6 +564,8 @@ class CrawlProcessStage:
         ("product", "products", ["url", "host", "kind", "seed_id", "record"]),
         ("brand", "brands", ["host", "kind", "record"]),
         ("error", "errors", ["url", "host", "kind", "seed_id", "status", "attempt"]),
+        ("page", "pages",
+         ["url", "host", "kind", "seed_id", "status", "etag", "last_modified"]),
         ("succ", "frontier",
          ["url", "host", "kind", "depth", "priority", "seed_id", "caption"]),
     )

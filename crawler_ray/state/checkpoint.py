@@ -136,7 +136,8 @@ class CheckpointManager:
                  os.path.join(self.root, "errors"),
                  os.path.join(self.root, "tables", "categories"),
                  os.path.join(self.root, "tables", "brands"),
-                 os.path.join(self.root, "tables", "products")]
+                 os.path.join(self.root, "tables", "products"),
+                 os.path.join(self.root, "tables", "pages")]
         import re
 
         round_re = re.compile(r"^round_(\d+)$")

@@ -70,10 +70,12 @@ def http_site(tmp_path_factory):
             q = dict(parse_qsl(s.query))
             state["hits"].append(self.path)
 
-            def send(code, body=b"", location=None):
+            def send(code, body=b"", location=None, etag=None):
                 self.send_response(code)
                 if location:
                     self.send_header("Location", location)
+                if etag:
+                    self.send_header("ETag", etag)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -103,7 +105,9 @@ def http_site(tmp_path_factory):
                 elif pid == "500":
                     send(500)  # persistent server error -> dead letter
                 elif pid in ("112", "12", "13"):
-                    send(200, _product(int(pid), base))
+                    # validators on detail pages: the crawl's pages sink
+                    # must capture them for the refresh manifest
+                    send(200, _product(int(pid), base), etag=f'"detail-{pid}-v1"')
                 else:
                     send(404)
             elif s.path.startswith("/img/"):
@@ -189,6 +193,29 @@ def test_http_crawl_end_to_end(ray_session, http_site, tmp_path_factory):
     assert imgs.num_rows == 5
     got = set(imgs["bytes"].to_pylist())
     assert got == set(pngs.values())
+
+    # pages sink: every fetched 200 page row with its CAPTURED validators —
+    # and the refresh manifest round-trips them (latest round per url)
+    from crawler_ray.pipelines.revalidate import manifest_from_crawl
+    from crawler_ray.sources.io import read_parts_table
+
+    pages_rows = []
+    proot = os.path.join(str(out), "tables", "pages")
+    for rdir in sorted(os.listdir(proot)):
+        t = read_parts_table(os.path.join(proot, rdir))
+        if t is not None:
+            pages_rows.extend(t.to_pylist())
+    by_url = {r["url"]: r for r in pages_rows}
+    for pid in ("112", "12", "13"):
+        row = by_url[f"{base}/api/GetProductDetail?ProductId={pid}"]
+        assert row["etag"] == f'"detail-{pid}-v1"'
+    manifest = {r["url"]: r for r in manifest_from_crawl(str(out)).take_all()}
+    assert len(manifest) == len(by_url)
+    for pid in ("112", "12", "13"):
+        assert (
+            manifest[f"{base}/api/GetProductDetail?ProductId={pid}"]["etag"]
+            == f'"detail-{pid}-v1"'
+        )
 
     # brand lookup-or-insert: ONE brand row globally despite 3 products
     brands = []
