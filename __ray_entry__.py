@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 107 pipelines over the driver testdata (one entry per
+``queries()`` exposes 108 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": relational.customer_order_gaps,
         # hierarchical ROLLUP subtotals (re-aggregate the finest level)
         "revenue_rollup": relational.revenue_rollup,
+        # PIVOT: priority x year revenue matrix (finest-grain aggregate
+        # + control-plane reshape; fixed column set)
+        "priority_year_pivot": relational.priority_year_pivot,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -383,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_source_report": textops.CORPUS_SOURCE_REPORT_SQL,
         "curriculum_export": textops.curriculum_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
+        "priority_year_pivot": relational.priority_year_pivot_sql(),
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

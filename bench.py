@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "temperature_sample_docs",
     "returned_item_report",
     "customer_spend_7d",
+    "priority_year_pivot",
     "image_orbit_dups",
     "cross_snapshot_near_dups",
     "ann_pq_topk",

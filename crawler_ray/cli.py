@@ -190,14 +190,23 @@ def cmd_revalidate(args) -> int:
     (url, etag, last_modified) parquet, revalidates every row with
     If-None-Match / If-Modified-Since, writes the verdict table and prints
     the per-verdict summary (fresh rows ship ZERO body bytes)."""
+    if not args.manifest and not args.from_crawl:
+        print("one of --manifest / --from-crawl is required", file=sys.stderr)
+        return 2
     _init_ray(args.cpus)
     from crawler_ray.pipelines.revalidate import (
         freshness_summary,
+        manifest_from_crawl,
         revalidate_manifest,
     )
 
+    manifest = (
+        manifest_from_crawl(args.from_crawl)
+        if args.from_crawl
+        else args.manifest
+    )
     verdicts = revalidate_manifest(
-        args.manifest,
+        manifest,
         http_opts={"timeout": args.http_timeout},
         concurrency=args.concurrency,
     )
@@ -326,7 +335,12 @@ def main(argv: list[str] | None = None) -> int:
         help="conditional-GET freshness sweep over a (url, etag, "
         "last_modified) manifest parquet",
     )
-    v.add_argument("--manifest", required=True)
+    v.add_argument("--manifest", default=None)
+    v.add_argument(
+        "--from-crawl", default=None, dest="from_crawl",
+        help="build the manifest from a crawl out-dir's pages sink "
+        "instead of --manifest",
+    )
     v.add_argument("--dest", default=None)
     v.add_argument("--concurrency", type=int, default=2)
     v.add_argument("--http-timeout", type=float, default=10.0)

