@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 108 pipelines over the driver testdata (one entry per
+``queries()`` exposes 110 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PIVOT: priority x year revenue matrix (finest-grain aggregate
         # + control-plane reshape; fixed column set)
         "priority_year_pivot": relational.priority_year_pivot,
+        # set-op verbs on a shared bit-packed presence fold
+        "repeat_customers": relational.repeat_customers,    # INTERSECT
+        "churned_customers": relational.churned_customers,  # EXCEPT
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -387,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_export": textops.curriculum_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "priority_year_pivot": relational.priority_year_pivot_sql(),
+        "repeat_customers": relational.REPEAT_CUSTOMERS_SQL,
+        "churned_customers": relational.CHURNED_CUSTOMERS_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

@@ -1450,3 +1450,83 @@ def priority_year_pivot_sql(years=(1995, 1996, 1997, 1998, 1999, 2000, 2001)) ->
         for y in years
     )
     return PRIORITY_YEAR_PIVOT_SQL.format(cols=cols)
+
+
+def _customer_year_presence(sf_dir: str, y_a: int, y_b: int) -> rd.Dataset:
+    """Shared engine for the INTERSECT/EXCEPT set-op verbs: per customer,
+    presence flags for order-years ``y_a`` / ``y_b`` — one custkey
+    exchange over (custkey, year-bit) pairs pre-deduped per block."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    n_parts = 32
+
+    def pairs(t: pa.Table) -> pa.Table:
+        years = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(
+            np.int64
+        ) + 1970
+        cust = t["o_custkey"].to_numpy()
+        m_a, m_b = years == y_a, years == y_b
+        ck = np.concatenate([cust[m_a], cust[m_b]])
+        bit = np.concatenate(
+            [np.ones(int(m_a.sum()), np.int64),
+             np.full(int(m_b.sum()), 2, np.int64)]
+        )
+        packed = np.unique(ck * 4 + bit)  # in-block dedup (combiner)
+        return pa.table(
+            {
+                "part": pa.array((packed // 4) % n_parts, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        packed = np.unique(g["packed"].to_numpy())
+        ck = packed // 4
+        bit = packed % 4
+        uniq, inv = np.unique(ck, return_inverse=True)
+        mask = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(mask, inv, bit)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq, pa.int64()),
+                "mask": pa.array(mask, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def repeat_customers(sf_dir: str, y_a: int = 1995, y_b: int = 1996) -> rd.Dataset:
+    """INTERSECT verb: customers with orders in BOTH years (the retention
+    set). One custkey exchange over bit-packed presence pairs."""
+    pres = _customer_year_presence(sf_dir, y_a, y_b)
+    return pres.map_batches(
+        lambda t: t.filter(pc.equal(t["mask"], 3)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def churned_customers(sf_dir: str, y_a: int = 1995, y_b: int = 1996) -> rd.Dataset:
+    """EXCEPT verb: customers who ordered in ``y_a`` but NOT in ``y_b``
+    (the churn set). Same presence fold, different mask."""
+    pres = _customer_year_presence(sf_dir, y_a, y_b)
+    return pres.map_batches(
+        lambda t: t.filter(pc.equal(t["mask"], 1)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+REPEAT_CUSTOMERS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
+"""
+
+CHURNED_CUSTOMERS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
+"""
