@@ -879,7 +879,7 @@ def _tri_batch(t: pa.Table, n: int) -> pa.Table:
 
 
 def doc_link_triangles(
-    sf_dir: str, n_parts: int = 32, small_edges: int = 20_000_000
+    sf_dir: str, n_parts: int = 32, small_edges: int = 1_000_000
 ) -> rd.Dataset:
     """Per-node triangle counts over the derived doc link graph — the third
     graph verb beside ``connected_components`` and ``doc_link_pagerank``
@@ -916,10 +916,12 @@ def doc_link_triangles(
 
     Two paths by materialized edge count (the ``connected_components``
     pattern): ``≤ small_edges`` runs the SAME wedge walk + membership
-    check in ONE task — at 20M edges that's ~160 MiB of int64 arrays and
-    sub-second numpy work, vs 4 all-to-all exchanges whose fixed cost
-    dominates small graphs (measured 9.9 s at 25k edges). Above it the
-    partitioned stages take over.
+    check in ONE task — the 4 all-to-all exchanges' fixed cost dominates
+    small graphs (measured 9.9 s at 25k edges vs ~2 s single-task). The
+    crossover is LOW because wedge work is O(E·d) and parallelizes well:
+    at 2.5M edges the BSP path already wins 3× (measured 5.0 s vs
+    16.1 s single-task on the 500k-node smoke), hence the 1M default —
+    much lower than k-core's 50M, whose per-round work is only O(E).
     """
     edges, n = _derived_link_edges(sf_dir, n_parts)
     # edges is materialized: count is free, and it's reused downstream
