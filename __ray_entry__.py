@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 110 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 83 have a DuckDB twin in
+``queries()`` exposes 112 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 93 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -49,7 +49,7 @@ training_data_build — curation → split → sequence packing over
 survivors, oracled by composing the sub-oracles verbatim; grouped MODE; a
 fixed-width integer-bin histogram; and Pearson correlation from exact
 cross-moment partials; and a TPC-H-Q4-style EXISTS aggregate). The
-genuinely non-SQL-expressible eighteen get the weaker rows-only driver check
+genuinely non-SQL-expressible nineteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         joins,
+        layout,
         multimodal,
         relational,
         similarity,
@@ -156,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set-op verbs on a shared bit-packed presence fold
         "repeat_customers": relational.repeat_customers,    # INTERSECT
         "churned_customers": relational.churned_customers,  # EXCEPT
+        # UNPIVOT: wide→long melt fused with its consuming aggregate
+        "lineitem_measure_stats": relational.lineitem_measure_stats,
+        # Z-order clustered layout: box query reading only intersecting cells
+        "events_user_window": layout.events_user_window,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -332,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         events,
         joins,
+        layout,
         relational,
         similarity,
         textops,
@@ -392,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_year_pivot": relational.priority_year_pivot_sql(),
         "repeat_customers": relational.REPEAT_CUSTOMERS_SQL,
         "churned_customers": relational.CHURNED_CUSTOMERS_SQL,
+        "lineitem_measure_stats": relational.LINEITEM_MEASURE_STATS_SQL,
+        "events_user_window": layout.EVENTS_USER_WINDOW_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

@@ -1530,3 +1530,84 @@ SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 199
 EXCEPT
 SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT: wide→long reshape, fused with its consuming aggregate
+
+
+def lineitem_measure_stats(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT verb — melt lineitem's four measure columns
+    (quantity / extendedprice / discount / tax) into long form and fold
+    per-measure stats, the reshape dual of ``priority_year_pivot``.
+
+    Scale shape: the long table is NEVER materialized. A naive unpivot
+    replicates every fact row 4× through an exchange; here each batch
+    emits FOUR partial rows (measure, sum_cents, min, max, n) — the
+    wide→long reshape and the consuming aggregate fuse into the combiner,
+    so the exchange carries 4 × n_blocks rows regardless of fact size.
+    At 100 TB that is the difference between a 400 TB shuffle and a
+    kilobyte one.
+
+    Exactness: sums fold integer cents (all four measures are ≤2-decimal
+    by construction); min/max of doubles are order-independent; the final
+    ``/ 100.0`` reproduces the oracle's double division.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, sums, mins, maxs, ns = [], [], [], [], []
+        for c in cols:
+            v = t[c].to_numpy()
+            names.append(c)
+            sums.append(int(np.round(v * 100.0).astype(np.int64).sum()))
+            mins.append(float(v.min()))
+            maxs.append(float(v.max()))
+            ns.append(len(v))
+        return pa.table(
+            {
+                "measure": pa.array(names, pa.string()),
+                "sum_c": pa.array(sums, pa.int64()),
+                "mn": pa.array(mins, pa.float64()),
+                "mx": pa.array(maxs, pa.float64()),
+                "n_p": pa.array(ns, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("measure")
+        .aggregate(
+            Sum("sum_c", alias_name="sum_c"),
+            Min("mn", alias_name="min_v"),
+            Max("mx", alias_name="max_v"),
+            Sum("n_p", alias_name="n_rows"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "measure": t["measure"],
+                "total": pc.divide(pc.cast(t["sum_c"], pa.float64()), 100.0),
+                "min_v": t["min_v"],
+                "max_v": t["max_v"],
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+LINEITEM_MEASURE_STATS_SQL = """
+SELECT measure,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total,
+       MIN(value) AS min_v, MAX(value) AS max_v, COUNT(*)::BIGINT AS n_rows
+FROM (
+  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE value
+)
+GROUP BY measure
+"""
