@@ -115,6 +115,8 @@ QUERY_NAMES = [
     "doc_compression_ratio",
     "late_ship_priority_counts",
     "cross_snapshot_image_dups",
+    "lineitem_measure_stats",
+    "events_user_window",
 ]
 
 
