@@ -1383,6 +1383,69 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# MERGE (CDC upsert-apply): base snapshot + delta ops -> new snapshot
+
+
+def snapshot_merge(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """MERGE verb — apply a CDC delta (inserts / updates / deletes) to a
+    base snapshot and emit the merged table: the APPLY side of
+    ``corpus_diff`` (which only audits the delta), i.e. the reference's
+    delete-before-insert refresh (SURVEY.md §2.7) executed as one
+    distributed latest-wins fold instead of row-at-a-time DB statements.
+
+    Deterministic stand-ins reuse corpus_diff's conventions: the base
+    snapshot lacks doc_id % 7 == 3 and carries stale text for
+    doc_id % 5 == 2; the delta upserts those two classes (fresh rows) and
+    deletes doc_id % 11 == 4 (delete wins over insert). The merge must
+    therefore reconstruct EXACTLY the current snapshot minus the deletes —
+    which is the oracle: the identity is what proves the merge correct.
+
+    Shape: ONE scan emits base rows (rank 0), upsert rows (rank 1) and
+    key-only tombstones (rank 2) per batch; ONE doc_id-hash exchange;
+    per-partition vectorized latest-wins fold (sort by (doc_id, rank),
+    keep the last, drop tombstones). No broadcast, no driver state; at
+    100 TB the exchange carries base+delta once — the minimum any merge
+    can move — and a real deployment feeds base/delta from two table
+    versions instead of the one-table stand-in."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        base = df[ids % 7 != 3].copy()
+        bids = base["doc_id"].to_numpy()
+        base["text"] = base["text"].where(
+            ~(bids % 5 == 2), base["text"] + " OLD"
+        )
+        base["rank"] = np.int64(0)
+        ups = df[((ids % 7 == 3) | (ids % 5 == 2)) & (ids % 11 != 4)].copy()
+        ups["rank"] = np.int64(1)
+        tomb = df[ids % 11 == 4].copy()
+        tomb["rank"] = np.int64(2)
+        out = pd.concat([base, ups, tomb], ignore_index=True)
+        out["part"] = (out["doc_id"].to_numpy() % n_parts).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "rank"], kind="mergesort")
+        last = g.groupby("doc_id", sort=False).tail(1)
+        return last.loc[last["rank"] != 2, cols]
+
+    return (
+        _read_docs(sf_dir, cols)
+        .map_batches(emit, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .select_columns(cols)
+    )
+
+
+SNAPSHOT_MERGE_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 11 <> 4
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cross-snapshot (incremental) near-dedup: probe a new crawl against a
 # persisted MinHash band index of the existing corpus
 

@@ -358,3 +358,38 @@ def test_cross_snapshot_near_dups_brute_force_oracle(ray_session):
             assert pair in got, f"missed high-jaccard pair {pair} ({j})"
     # parity contract: base side even, new side odd
     assert (res.base_doc % 2 == 0).all() and (res.new_doc % 2 == 1).all()
+
+
+def test_snapshot_merge_semantics(ray_session):
+    """MERGE reconstructs the new snapshot: deletes win over inserts,
+    updates replace stale base text, result invariant to n_parts."""
+    from tests.conftest import SF_DIR
+
+    from crawler_ray.pipelines.dedup import snapshot_merge
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    got = (
+        snapshot_merge(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        docs[docs.doc_id % 11 != 4]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # deletes really dropped, including delete-beats-insert keys
+    assert not (got.doc_id % 11 == 4).any()
+    # updated docs carry FRESH text (no ' OLD' stale marker survives)
+    upd = got[got.doc_id % 5 == 2]
+    assert len(upd) > 0 and not upd.text.str.endswith(" OLD").any()
+    # partition-count invariance
+    got3 = (
+        snapshot_merge(SF_DIR, n_parts=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got3[exp.columns.tolist()], exp)
