@@ -1611,3 +1611,58 @@ FROM (
 )
 GROUP BY measure
 """
+
+
+# ---------------------------------------------------------------------------
+# RANK / DENSE_RANK: tie-aware window ranks (vs ROW_NUMBER/NTILE's tie-free
+# packed keys — p_size ties heavily inside a type, so the tie semantics are
+# actually exercised)
+
+
+def part_size_ranks(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY p_type ORDER BY
+    p_size)`` — the tie-aware window verbs. ONE p_type-hash exchange; per
+    partition the ranks are pure vectorized order statistics
+    (``np.unique(..., return_inverse)`` IS dense_rank−1;
+    ``searchsorted(side='left')+1`` IS rank), no row loops. Ties make both
+    ranks deterministic with no tie-break key needed — the value set per
+    (type, size) is what's ranked, not row order."""
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (
+            pd.util.hash_array(df["p_type"].to_numpy(object)) % n_parts
+        ).astype(np.int64)
+        return df
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_type", "p_size"]
+    ).map_batches(add_part, batch_format="pandas")
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("p_type", sort=False):
+            v = grp["p_size"].to_numpy(np.int64)
+            sv = np.sort(v)
+            uniq, inv = np.unique(v, return_inverse=True)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "p_partkey": grp["p_partkey"].to_numpy(np.int64),
+                        "p_type": grp["p_type"].to_numpy(),
+                        "p_size": v,
+                        "rnk": np.searchsorted(sv, v, side="left") + 1,
+                        "dense_rnk": inv + 1,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return part.groupby("part").map_groups(ranks, batch_format="pandas")
+
+
+PART_SIZE_RANKS_SQL = """
+SELECT p_partkey, p_type, p_size::BIGINT AS p_size,
+       RANK() OVER (PARTITION BY p_type ORDER BY p_size)::BIGINT AS rnk,
+       DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_size)::BIGINT AS dense_rnk
+FROM part
+"""
