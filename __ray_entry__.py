@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 114 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 95 have a DuckDB twin in
+``queries()`` exposes 115 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 96 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_merge": dedup.snapshot_merge,
         # RANK/DENSE_RANK with real ties (one p_type exchange)
         "part_size_ranks": relational.part_size_ranks,
+        # BFS hop distances (frontier-expansion BSP; 5th graph verb)
+        "doc_link_distances": clusters.doc_link_distances,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -406,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_window": layout.EVENTS_USER_WINDOW_SQL,
         "snapshot_merge": dedup.SNAPSHOT_MERGE_SQL,
         "part_size_ranks": relational.PART_SIZE_RANKS_SQL,
+        "doc_link_distances": clusters.doc_link_distances_sql(),
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

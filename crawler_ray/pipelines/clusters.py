@@ -1381,3 +1381,243 @@ JOIN {last} x ON s.a = x.node JOIN {last} y ON s.b = y.node
 GROUP BY s.a
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances: the fifth graph verb (frontier expansion — the same
+# shape as the crawl frontier itself, made a queryable operator)
+
+
+def _bfs_batch(
+    t: pa.Table, n: int, seeds_mod: int, n_hops: int
+) -> pa.Table:
+    """Single-task BFS over the packed edge array (small-graph fast path)."""
+    packed = t["packed"].to_numpy()
+    u, v = packed // n, packed % n
+    dist = np.full(n, -1, np.int64)
+    frontier = np.arange(0, n, seeds_mod, dtype=np.int64)
+    dist[frontier] = 0
+    for h in range(1, n_hops + 1):
+        fmask = np.zeros(n, dtype=bool)
+        fmask[frontier] = True
+        cand = np.unique(np.concatenate([v[fmask[u]], u[fmask[v]]]))
+        new = cand[dist[cand] < 0]
+        if len(new) == 0:
+            break
+        dist[new] = h
+        frontier = new
+    nodes = np.nonzero(dist >= 0)[0].astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "dist": pa.array(dist[nodes], pa.int64()),
+        }
+    )
+
+
+def doc_link_distances(
+    sf_dir: str,
+    n_hops: int = 4,
+    seeds_mod: int = 97,
+    n_parts: int = 32,
+    small_edges: int = 1_000_000,
+) -> rd.Dataset:
+    """Min-hop distances from a seed set (doc_id % ``seeds_mod`` == 0) over
+    the derived doc link graph, bounded at ``n_hops`` — BFS / unweighted
+    SSSP, the frontier-expansion verb. Output: ``(doc_id, dist)`` for every
+    node within ``n_hops`` (seeds at 0). The crawl scheduler IS this shape
+    (expand a frontier level, anti-join the seen set); here it's exposed as
+    a graph operator with an exact oracle.
+
+    BSP superstep = two exchanges, all rows slim int64 triples:
+    (1) edges keyed by BOTH endpoints union the tagged frontier → per
+    partition, neighbors of frontier nodes (``np.isin`` segment walk);
+    (2) candidates union the tagged visited set → per partition the
+    anti-join keeps first-time nodes, which become the next frontier AND
+    the ``dist=h`` output rows. The frontier/visited sets stay distributed
+    (hash-partitioned) end to end — only the scalar new-node count reaches
+    the driver, exactly like the crawl's de-drivered frontier. Fixed
+    ``n_hops`` bounds the unrolled SQL twin; early-exit when a level is
+    empty (identity levels keep the oracle exact).
+
+    Small-graph fast path (the ``connected_components`` two-path pattern):
+    ≤ ``small_edges`` runs the same BFS in ONE task — per-level exchange
+    fixed costs dominate small graphs; the 1M default follows the measured
+    triangles crossover (level work is O(E) ``isin``, like the wedge walk).
+    """
+    edges, n = _derived_link_edges(sf_dir, n_parts)
+
+    if edges.count() <= small_edges:
+        return edges.repartition(1).map_batches(
+            lambda t: _bfs_batch(t, n, seeds_mod, n_hops),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    def key_edges_both(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy()
+        u, v = packed // n, packed % n
+        key = np.concatenate([u, v])
+        other = np.concatenate([v, u])
+        return pa.table(
+            {
+                "part": pa.array(key % n_parts, pa.int64()),
+                "node": pa.array(key, pa.int64()),
+                "other": pa.array(other, pa.int64()),
+            }
+        )
+
+    def tag(ds: rd.Dataset) -> rd.Dataset:
+        # frontier/visited rows carry other = -1 (edge rows have other >= 0)
+        def fn(t: pa.Table) -> pa.Table:
+            nodes = t["node"].to_numpy()
+            return pa.table(
+                {
+                    "part": pa.array(nodes % n_parts, pa.int64()),
+                    "node": pa.array(nodes, pa.int64()),
+                    "other": pa.array(
+                        np.full(len(nodes), -1, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def expand(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy()
+        other = g["other"].to_numpy()
+        is_f = other < 0
+        hit = np.isin(node[~is_f], node[is_f])
+        out = np.unique(other[~is_f][hit])
+        return pa.table(
+            {
+                "part": pa.array(out % n_parts, pa.int64()),
+                "node": pa.array(out, pa.int64()),
+            }
+        )
+
+    def anti(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy()
+        other = g["other"].to_numpy()
+        seen = node[other < 0]
+        new = np.unique(node[other >= 0])
+        new = new[~np.isin(new, seen)]
+        return pa.table({"node": pa.array(new, pa.int64())})
+
+    seeds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.array(
+                        t["doc_id"].to_numpy()[
+                            t["doc_id"].to_numpy() % seeds_mod == 0
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(n_parts)
+        .materialize()
+    )
+    frontier = seeds
+    visited = seeds
+    levels: list[tuple[rd.Dataset, int]] = [(seeds, 0)]
+    for h in range(1, n_hops + 1):
+        cand = (
+            edges.map_batches(key_edges_both, batch_format="pyarrow")
+            .union(tag(frontier))
+            .groupby("part")
+            .map_groups(expand, batch_format="pyarrow")
+        )
+        # cand rows re-keyed by the candidate node; give them other=+1 so
+        # the anti fold can tell them from the visited (-1) rows
+        cand = cand.map_batches(
+            lambda t: t.append_column(
+                "other",
+                pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        new = (
+            cand.union(tag(visited))
+            .groupby("part")
+            .map_groups(anti, batch_format="pyarrow")
+            .repartition(n_parts)
+            .materialize()
+        )
+        n_new = new.count()  # scalar only — driver holds no node rows
+        if n_new == 0:
+            break
+        levels.append((new, h))
+        frontier = new
+        visited = visited.union(new).repartition(n_parts).materialize()
+
+    out = None
+    for ds, h in levels:
+        lvl = ds.map_batches(
+            lambda t, _h=h: pa.table(
+                {
+                    "doc_id": t["node"],
+                    "dist": pa.array(
+                        np.full(t.num_rows, _h, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = lvl if out is None else out.union(lvl)
+    return out
+
+
+def doc_link_distances_sql(n_hops: int = 4, seeds_mod: int = 97) -> str:
+    """Exact SQL twin: BFS levels unrolled as materialized CTEs (empty
+    levels are identity, so the fixed unroll matches the early-exiting
+    distributed side exactly)."""
+    ctes = [
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents)",
+        """raw AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+)""",
+        """e AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst)::BIGINT AS u, GREATEST(src, dst)::BIGINT AS v
+    FROM raw WHERE src <> dst
+)""",
+        """sym AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+)""",
+        f"""f0 AS MATERIALIZED (
+    SELECT doc_id::BIGINT AS node FROM documents WHERE doc_id % {seeds_mod} = 0
+)""",
+        """v0 AS MATERIALIZED (SELECT node, 0::BIGINT AS dist FROM f0)""",
+    ]
+    for i in range(1, n_hops + 1):
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+    SELECT DISTINCT s.b AS node FROM sym s
+    JOIN f{i - 1} p ON s.a = p.node
+    WHERE s.b NOT IN (SELECT node FROM v{i - 1})
+)"""
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+    SELECT node, dist FROM v{i - 1}
+    UNION ALL SELECT node, {i}::BIGINT FROM f{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, dist FROM v{n_hops}\n"
+    )

