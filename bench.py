@@ -117,6 +117,9 @@ QUERY_NAMES = [
     "cross_snapshot_image_dups",
     "lineitem_measure_stats",
     "events_user_window",
+    "snapshot_merge",
+    "part_size_ranks",
+    "doc_link_distances",
 ]
 
 

@@ -1420,7 +1420,7 @@ def doc_link_distances(
     n_hops: int = 4,
     seeds_mod: int = 97,
     n_parts: int = 32,
-    small_edges: int = 1_000_000,
+    small_edges: int = 50_000_000,
 ) -> rd.Dataset:
     """Min-hop distances from a seed set (doc_id % ``seeds_mod`` == 0) over
     the derived doc link graph, bounded at ``n_hops`` — BFS / unweighted
@@ -1441,9 +1441,12 @@ def doc_link_distances(
     empty (identity levels keep the oracle exact).
 
     Small-graph fast path (the ``connected_components`` two-path pattern):
-    ≤ ``small_edges`` runs the same BFS in ONE task — per-level exchange
-    fixed costs dominate small graphs; the 1M default follows the measured
-    triangles crossover (level work is O(E) ``isin``, like the wedge walk).
+    ≤ ``small_edges`` runs the same BFS in ONE task. Unlike triangles
+    (whose O(E·d) wedge work parallelizes past 2.5M edges), BFS levels are
+    EXCHANGE-bound — measured on the 500k-node / 2.5M-edge smoke: fast
+    5.8 s vs BSP 14.1 s (~2.6 s/level of fixed exchange cost, identical
+    outputs) — so the crossover follows k-core's 50M default, not
+    triangles' 1M.
     """
     edges, n = _derived_link_edges(sf_dir, n_parts)
 
