@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 115 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 96 have a DuckDB twin in
+``queries()`` exposes 116 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 97 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q10 shape: 4-relation join report (fused orderkey
         # exchange + custkey fold + broadcast dims + exact top-20)
         "returned_item_report": joins.returned_item_report,
+        # TPC-H Q5 shape: 6-relation join, per-size join strategies
+        "local_supplier_volume": joins.local_supplier_volume,
         # join family Ray Data has no native verb for: as-of (point-in-time),
         # range/interval self-join, anti join (NOT EXISTS)
         "events_asof_order_join": joins.events_asof_order_join,
@@ -409,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": dedup.SNAPSHOT_MERGE_SQL,
         "part_size_ranks": relational.PART_SIZE_RANKS_SQL,
         "doc_link_distances": clusters.doc_link_distances_sql(),
+        "local_supplier_volume": joins.LOCAL_SUPPLIER_VOLUME_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

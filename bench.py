@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "snapshot_merge",
     "part_size_ranks",
     "doc_link_distances",
+    "local_supplier_volume",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -1059,4 +1060,239 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
          DESC, c_custkey
 LIMIT 20
+"""
+
+
+def local_supplier_volume(
+    sf_dir: str, region: str = "ASIA", n_parts: int = 32
+) -> rd.Dataset:
+    """TPC-H Q5 shape — the 6-relation join: revenue per nation from
+    orders whose customer AND line-supplier sit in the SAME nation of one
+    region, over a date window. The widest join plan in the suite, and a
+    worked example of choosing per-relation strategies by size:
+
+    - region ⋈ nation: driver-side (5 × 25 rows) → the set of in-region
+      nation keys;
+    - supplier: slim (s_suppkey → s_nationkey) map, PRE-FILTERED to
+      in-region nations and BROADCAST into the lineitem combiner
+      (supplier is ~1/10000 of lineitem — shipping it beats a shuffle);
+      lineitem rows of out-of-region suppliers die at the read;
+    - orders (date-filtered) ⋈ customer: both large → ONE tagged-union
+      custkey exchange, emitting (o_orderkey, c_nationkey) re-keyed by
+      orderkey;
+    - lineitem partials (per-block (orderkey, s_nat) integer-revenue
+      combiner) join that stream in ONE orderkey exchange, keeping rows with
+      c_nationkey == s_nationkey (the Q5 "local" predicate) and folding
+      to per-nation partials in-task;
+    - the final groupby moves ≤ |nations| × n_parts rows.
+
+    Revenue is exact 1e-4-unit integers end to end (the
+    ``returned_item_report`` convention); /10000 + round(2) happens once
+    at the finish with the oracle's arithmetic."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    # driver-side dims: region⋈nation (tiny)
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    in_region = nat.merge(
+        reg[reg["r_name"] == region], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    nat_names = dict(
+        zip(in_region["n_nationkey"].astype(int), in_region["n_name"])
+    )
+    nat_keys = set(nat_names)
+
+    # broadcast supplier map, pre-filtered to the region
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nat_keys)]
+    sup_ref = ray.put(
+        dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
+    )
+
+    # orders (date-filtered) ⋈ customer on custkey — tagged union exchange
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        ck = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "c_nat": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        target_rows_per_block=4096,
+    )
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        # only in-region customers can satisfy c_nat == s_nat later
+        keep = np.isin(t["c_nationkey"].to_numpy(), list(nat_keys))
+        t = t.filter(pa.array(keep))
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "c_nat": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    def merge_custkey(g: pa.Table) -> pa.Table:
+        is_c = pc_.is_valid(g["c_nat"])
+        cg = g.filter(is_c).select(["key", "c_nat"]).to_pandas()
+        og = g.filter(pc_.invert(is_c)).select(["key", "o_orderkey"]).to_pandas()
+        m = og.merge(cg, on="key", how="inner")
+        ok = m["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ok % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ok, pa.int64()),
+                "c_nat": pa.array(m["c_nat"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.nulls(len(m), pa.float64()),
+                "s_nat": pa.nulls(len(m), pa.int64()),
+            }
+        )
+
+    o_c = (
+        orders.map_batches(o_rows, batch_format="pyarrow")
+        .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_custkey, batch_format="pyarrow")
+    )
+
+    # lineitem combiner: broadcast supplier map, per-block integer partials
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        target_rows_per_block=4096,
+    )
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.ref = ref
+            self._map: dict | None = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._map is None:
+                self._map = (
+                    ray.get(self.ref)
+                    if isinstance(self.ref, ray.ObjectRef)
+                    else self.ref
+                )
+                keys = np.fromiter(self._map, dtype=np.int64)
+                vals = np.fromiter(self._map.values(), dtype=np.int64)
+                order = np.argsort(keys)
+                self._keys, self._vals = keys[order], vals[order]
+            sk = t["l_suppkey"].to_numpy()
+            pos = np.searchsorted(self._keys, sk)
+            pos = np.clip(pos, 0, len(self._keys) - 1)
+            hit = self._keys[pos] == sk  # in-region suppliers only
+            t = t.filter(pa.array(hit))
+            s_nat = self._vals[pos[hit]]
+            rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
+                (1.0 - t["l_discount"].to_numpy()) * 100.0
+            )
+            df = pd.DataFrame(
+                {
+                    "key": t["l_orderkey"].to_numpy(),
+                    "s_nat": s_nat,
+                    "rev": rev,
+                }
+            )
+            out = (
+                df.groupby(["key", "s_nat"], sort=False)["rev"]
+                .sum()
+                .reset_index()
+            )
+            key = out["key"].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "c_nat": pa.nulls(len(out), pa.int64()),
+                    "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+                    "s_nat": pa.array(
+                        out["s_nat"].to_numpy(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    def merge_orderkey(g: pa.Table) -> pa.Table:
+        is_li = pc_.is_valid(g["s_nat"])
+        lg = g.filter(is_li).select(["key", "s_nat", "rev"]).to_pandas()
+        og = g.filter(pc_.invert(is_li)).select(["key", "c_nat"]).to_pandas()
+        m = lg.merge(og, on="key", how="inner")
+        m = m[m["s_nat"] == m["c_nat"]]  # the Q5 "local" predicate
+        out = m.groupby("s_nat", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {
+                "nat": pa.array(out["s_nat"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    folded = (
+        li.map_batches(LiPartial(sup_ref), batch_format="pyarrow")
+        .union(o_c)
+        .groupby("part")
+        .map_groups(merge_orderkey, batch_format="pyarrow")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("nat", sort=False)["rev"].sum().reset_index()
+        out["n_name"] = out["nat"].map(nat_names)
+        out = out.sort_values("rev", ascending=False, kind="mergesort")
+        return pd.DataFrame(
+            {
+                "n_name": out["n_name"],
+                "revenue": (out["rev"] / 10000.0).round(2),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
 """
