@@ -109,7 +109,14 @@ def write_zorder_events(sf_dir: str, out_root: str, grid_bits: int = 3) -> dict:
         return t.append_column("zbucket", pa.array(z, pa.int64()))
 
     os.makedirs(out_root, exist_ok=True)
-    read().map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+    # co-locate each bucket into ONE block before the partitioned write —
+    # without this, hive partitioning fragments every bucket into one tiny
+    # file per (input block × bucket) and the pruned read drowns in
+    # per-file fixed costs (measured 2.1 s for 3/64 dirs vs 0.4 s full
+    # scan at sf0.1). One build-time exchange, amortized over every query.
+    read().map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "zbucket"
+    ).map_groups(lambda g: g, batch_format="pyarrow").write_parquet(
         out_root, partition_cols=["zbucket"]
     )
     with open(os.path.join(out_root, "meta.json"), "w") as f:
