@@ -21,11 +21,17 @@ def _init_ray(cpus: int | None):
     import ray
 
     if not ray.is_initialized():
+        import os
+
+        # honor the environment under `ray job submit` (RAY_ADDRESS=auto on a
+        # cluster); default to a local session otherwise. num_cpus is only
+        # meaningful when WE start the session.
+        addr = os.environ.get("RAY_ADDRESS", "local")
         kwargs = dict(
-            address="local", include_dashboard=False, ignore_reinit_error=True,
+            address=addr, include_dashboard=False, ignore_reinit_error=True,
             logging_level="ERROR",
         )
-        if cpus:
+        if cpus and addr == "local":
             kwargs["num_cpus"] = cpus
         ray.init(**kwargs)
     from ray.data import DataContext
