@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 116 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 97 have a DuckDB twin in
+``queries()`` exposes 117 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 98 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set-op verbs on a shared bit-packed presence fold
         "repeat_customers": relational.repeat_customers,    # INTERSECT
         "churned_customers": relational.churned_customers,  # EXCEPT
+        "either_year_customers": relational.either_year_customers,  # UNION
         # UNPIVOT: wide→long melt fused with its consuming aggregate
         "lineitem_measure_stats": relational.lineitem_measure_stats,
         # Z-order clustered layout: box query reading only intersecting cells
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_year_pivot": relational.priority_year_pivot_sql(),
         "repeat_customers": relational.REPEAT_CUSTOMERS_SQL,
         "churned_customers": relational.CHURNED_CUSTOMERS_SQL,
+        "either_year_customers": relational.EITHER_YEAR_CUSTOMERS_SQL,
         "lineitem_measure_stats": relational.LINEITEM_MEASURE_STATS_SQL,
         "events_user_window": layout.EVENTS_USER_WINDOW_SQL,
         "snapshot_merge": dedup.SNAPSHOT_MERGE_SQL,

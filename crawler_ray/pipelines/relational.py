@@ -1666,3 +1666,23 @@ SELECT p_partkey, p_type, p_size::BIGINT AS p_size,
        DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_size)::BIGINT AS dense_rnk
 FROM part
 """
+
+
+def either_year_customers(sf_dir: str, y_a: int = 1995, y_b: int = 1996) -> rd.Dataset:
+    """UNION (distinct) verb: customers with orders in EITHER year —
+    completes the set-op trio (INTERSECT ``repeat_customers``, EXCEPT
+    ``churned_customers``) on the SAME shared bit-packed presence fold:
+    one custkey exchange total, the three verbs differ only in the final
+    vectorized mask test."""
+    pres = _customer_year_presence(sf_dir, y_a, y_b)
+    return pres.map_batches(
+        lambda t: t.filter(pc.greater(t["mask"], 0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+EITHER_YEAR_CUSTOMERS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995
+UNION
+SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
+"""
