@@ -2320,3 +2320,154 @@ rk AS (
 SELECT rk.doc_id, rk.source FROM rk JOIN quota ON rk.source = quota.source
 WHERE rn <= quota.k
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights: n-gram LM ratio target/source (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+
+def doc_dsir_weights(sf_dir: str, target_lang: str = "en", n_parts: int = 16) -> rd.Dataset:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    weights: per-doc log importance ratio between a TARGET unigram LM
+    (docs with lang == ``target_lang`` — the "high-quality domain"
+    stand-in) and the SOURCE LM (the whole corpus). Docs whose tokens are
+    relatively more frequent in the target score high; resampling is then
+    one ORDER BY / Gumbel draw over these weights (the suite's sampling
+    verbs).
+
+    Exactness: log-probs are INTEGER floor-log2 of counts — weight =
+    Σ_tok [ilog2(c_target(tok)+1) − ilog2(c_source(tok))] — the
+    ``doc_lm_scores`` trick (numpy frexp vs DuckDB printf('%b')), so the
+    int64 result is accumulation-order-free and hash-exact vs SQL. The +1
+    smoothing keeps absent-from-target tokens defined in both engines.
+
+    Scale shape: identical to ``doc_lm_scores`` (the open-vocabulary
+    path) with a THIRD row kind in the same dual-emit pass — per-batch
+    target-restricted count partials — so the corpus is still tokenized
+    exactly once, one token-hash exchange co-locates occurrences with
+    both LMs' counts, and one doc-hash exchange folds the partials.
+    Nothing is broadcast; no driver state."""
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    _SCHEMA = pa.schema(
+        [("tok", pa.string()), ("doc_id", pa.int64()),
+         ("cnt_s", pa.int64()), ("cnt_t", pa.int64()), ("part", pa.int64())]
+    )
+
+    def emit(df: pd.DataFrame) -> pa.Table:
+        toks_per = df["text"].str.strip().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        if not int(lens.sum()):
+            return pa.table(
+                {"tok": [], "doc_id": [], "cnt_s": [], "cnt_t": [],
+                 "part": []}
+            ).cast(_SCHEMA)
+        flat = np.concatenate(toks_per.to_numpy())
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        is_t = np.repeat((df["lang"] == target_lang).to_numpy(), lens)
+        uniq_s, cnt_s = np.unique(flat, return_counts=True)
+        t_flat = flat[is_t]
+        if len(t_flat):
+            uniq_t, cnt_t = np.unique(t_flat, return_counts=True)
+        else:
+            uniq_t = np.array([], dtype=flat.dtype)
+            cnt_t = np.array([], dtype=np.int64)
+        tok = np.concatenate([flat, uniq_s, uniq_t])
+        part = (pd.util.hash_array(tok) % n_parts).astype(np.int64)
+        n_f, n_s, n_t = len(flat), len(uniq_s), len(uniq_t)
+        return pa.table(
+            {"tok": pa.array(tok, pa.string()),
+             "doc_id": pa.concat_arrays(
+                 [pa.array(doc, pa.int64()), pa.nulls(n_s + n_t, pa.int64())]
+             ),
+             "cnt_s": pa.concat_arrays(
+                 [pa.nulls(n_f, pa.int64()),
+                  pa.array(cnt_s.astype(np.int64), pa.int64()),
+                  pa.nulls(n_t, pa.int64())]
+             ),
+             "cnt_t": pa.concat_arrays(
+                 [pa.nulls(n_f + n_s, pa.int64()),
+                  pa.array(cnt_t.astype(np.int64), pa.int64())]
+             ),
+             "part": pa.array(part, pa.int64())}
+        ).cast(_SCHEMA)
+
+    _PART_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("w", pa.int64()), ("part", pa.int64())]
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        is_s = df["cnt_s"].notna()
+        is_t = df["cnt_t"].notna()
+        cs = df[is_s].groupby("tok", sort=False)["cnt_s"].sum()
+        ct = df[is_t].groupby("tok", sort=False)["cnt_t"].sum()
+        rows = df[~is_s & ~is_t]
+        c_s = cs.reindex(rows["tok"]).to_numpy(np.int64)
+        c_t = ct.reindex(rows["tok"]).fillna(0).to_numpy(np.int64)
+        il_s = (np.frexp(c_s.astype(np.float64))[1] - 1).astype(np.int64)
+        il_t = (np.frexp((c_t + 1).astype(np.float64))[1] - 1).astype(np.int64)
+        agg = pd.DataFrame(
+            {"doc_id": rows["doc_id"].to_numpy(np.int64), "w": il_t - il_s}
+        ).groupby("doc_id", sort=False)["w"].sum()
+        doc = agg.index.to_numpy(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "w": pa.array(agg.to_numpy(np.int64), pa.int64()),
+             "part": pa.array(doc % n_parts, pa.int64())}
+        ).cast(_PART_SCHEMA)
+
+    def manifest(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "w": pa.array(np.zeros(len(doc), np.int64), pa.int64()),
+             "part": pa.array(doc % n_parts, pa.int64())}
+        ).cast(_PART_SCHEMA)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("doc_id", sort=False)["w"].sum()
+        return pa.table(
+            {"doc_id": pa.array(df.index.to_numpy(np.int64), pa.int64()),
+             "dsir_logweight": pa.array(df.to_numpy(np.int64), pa.int64())}
+        )
+
+    partials = (
+        docs.map_batches(emit, batch_format="pandas")
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return (
+        partials.union(
+            docs.map_batches(manifest, batch_format="pyarrow")
+        )
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+        .select_columns(["doc_id", "dsir_logweight"])
+    )
+
+
+DOC_DSIR_WEIGHTS_SQL = r"""
+WITH lists AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS tk
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, lang, tk[u.ord] AS tok
+    FROM lists, UNNEST(range(1, length(tk) + 1)) AS u(ord)
+),
+cs AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+ct AS (SELECT tok, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok),
+sc AS (
+    SELECT t.doc_id,
+           SUM( (length(printf('%b', COALESCE(ct.c, 0) + 1)) - 1)
+              - (length(printf('%b', cs.c)) - 1) )::BIGINT AS w
+    FROM toks t JOIN cs USING (tok) LEFT JOIN ct USING (tok)
+    GROUP BY t.doc_id
+)
+SELECT l.doc_id, COALESCE(sc.w, 0)::BIGINT AS dsir_logweight
+FROM lists l LEFT JOIN sc USING (doc_id)
+"""
