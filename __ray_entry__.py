@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 118 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 99 have a DuckDB twin in
+``queries()`` exposes 119 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 100 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "either_year_customers": relational.either_year_customers,  # UNION
         # DSIR importance log-weights (target=en unigram LM vs corpus LM)
         "doc_dsir_weights": textops.doc_dsir_weights,
+        "dsir_sample_docs": textops.dsir_sample_docs,
         # UNPIVOT: wide→long melt fused with its consuming aggregate
         "lineitem_measure_stats": relational.lineitem_measure_stats,
         # Z-order clustered layout: box query reading only intersecting cells
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "churned_customers": relational.CHURNED_CUSTOMERS_SQL,
         "either_year_customers": relational.EITHER_YEAR_CUSTOMERS_SQL,
         "doc_dsir_weights": textops.DOC_DSIR_WEIGHTS_SQL,
+        "dsir_sample_docs": textops.dsir_sample_docs_sql(),
         "lineitem_measure_stats": relational.LINEITEM_MEASURE_STATS_SQL,
         "events_user_window": layout.EVENTS_USER_WINDOW_SQL,
         "snapshot_merge": dedup.SNAPSHOT_MERGE_SQL,

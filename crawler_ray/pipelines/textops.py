@@ -2471,3 +2471,29 @@ sc AS (
 SELECT l.doc_id, COALESCE(sc.w, 0)::BIGINT AS dsir_logweight
 FROM lists l LEFT JOIN sc USING (doc_id)
 """
+
+
+def dsir_sample_docs(sf_dir: str, k: int = 200) -> rd.Dataset:
+    """The RESAMPLE step of DSIR, deterministic variant: the top-``k``
+    docs by (dsir_logweight DESC, doc_id) — greedy importance selection
+    (the stochastic Gumbel draw is one seeded key away; determinism keeps
+    the exact oracle). Per-block bounded top-k partials, one ≤ k×blocks
+    fold — the global winner set is a subset of the per-block winners."""
+    w = doc_dsir_weights(sf_dir)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["dsir_logweight", "doc_id"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    return w.map_batches(topk, batch_format="pandas").repartition(1).map_batches(
+        topk, batch_format="pandas", batch_size=None
+    )
+
+
+def dsir_sample_docs_sql(k: int = 200) -> str:
+    return (
+        DOC_DSIR_WEIGHTS_SQL
+        + f" ORDER BY dsir_logweight DESC, doc_id LIMIT {k}"
+    )
