@@ -121,6 +121,9 @@ QUERY_NAMES = [
     "part_size_ranks",
     "doc_link_distances",
     "local_supplier_volume",
+    "either_year_customers",
+    "doc_dsir_weights",
+    "dsir_sample_docs",
 ]
 
 
