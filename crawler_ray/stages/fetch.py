@@ -100,9 +100,18 @@ class SyntheticFetchStage:
         # per-host quota is the enforced budget), so blocking the fetch
         # worker on the round-trip only serializes the pipeline — measured
         # as a large chunk of the idle gap at high worker counts
+        # shard routing MUST be process-stable: Python's str hash is salted
+        # per interpreter (PYTHONHASHSEED), so hash(h) would send the same
+        # host to different shards from different Ray workers and split its
+        # token bookkeeping — stable_hash_u64 keeps every worker on the
+        # same shard for a given host.
+        from crawler_ray.functions.hashing import stable_hash_u64
+
         by_shard: dict[int, dict[str, int]] = {}
         for h, n in per_host.items():
-            by_shard.setdefault(hash(h) % len(self.politeness), {})[h] = n
+            by_shard.setdefault(
+                stable_hash_u64(h) % len(self.politeness), {}
+            )[h] = n
         for s, req in by_shard.items():
             self.politeness[s].grant_many.remote(req)
 
@@ -214,8 +223,12 @@ class HttpFetchStage:
             return
         from urllib.parse import urlsplit
 
+        from crawler_ray.functions.hashing import stable_hash_u64
+
         host = urlsplit(url).hostname or ""
-        shard = self.politeness[hash(host) % len(self.politeness)]
+        # stable hash (not process-salted hash()) so the debit lands on the
+        # SAME shard every other worker consults for this host.
+        shard = self.politeness[stable_hash_u64(host) % len(self.politeness)]
         shard.throttle.remote(host, float(seconds))
 
     def _issue(self, url: str, extra_headers: dict | None = None):
