@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 119 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 100 have a DuckDB twin in
+``queries()`` exposes 126 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 107 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -48,7 +48,13 @@ on a distributed prefix-max scan; and the composed text-axis flagship
 training_data_build — curation → split → sequence packing over
 survivors, oracled by composing the sub-oracles verbatim; grouped MODE; a
 fixed-width integer-bin histogram; and Pearson correlation from exact
-cross-moment partials; and a TPC-H-Q4-style EXISTS aggregate). The
+cross-moment partials; and a TPC-H-Q4-style EXISTS aggregate; and the
+seven remaining classic join shapes, all integer-exact: Q7 two-nation
+trade flows, Q8 national market share as a ratio of two exact integer
+folds, Q17's correlated per-part average decorrelated into one partkey
+co-location fold, Q18 grouped-HAVING volume top-k, Q19's disjunctive
+predicate as a zero-exchange broadcast filter-scan, Q21 sole-late-supplier
+per-order set logic, and Q22's scalar-threshold anti join per nation). The
 genuinely non-SQL-expressible nineteen get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
@@ -122,6 +128,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_report": joins.returned_item_report,
         # TPC-H Q5 shape: 6-relation join, per-size join strategies
         "local_supplier_volume": joins.local_supplier_volume,
+        # TPC-H Q7 shape: two-nation trade flows (two exchanges, two
+        # broadcast dims, exact integer revenue per direction × year)
+        "nation_trade_flows": joins.nation_trade_flows,
+        # TPC-H Q8 shape: national market share as a ratio of two exact
+        # integer accumulators folded per year
+        "nation_market_share": joins.nation_market_share,
+        # TPC-H Q18 shape: grouped-HAVING volume filter + top-k report
+        "large_volume_customers": joins.large_volume_customers,
+        # TPC-H Q21 shape: sole-late-supplier per-order set logic in one
+        # orderkey partition
+        "waiting_supplier_counts": joins.waiting_supplier_counts,
+        # TPC-H Q22 shape: scalar-subquery threshold + anti join per nation
+        "dormant_customer_balance": joins.dormant_customer_balance,
+        # TPC-H Q17 shape: correlated per-part average, decorrelated into
+        # one partkey co-location fold (integer cross-multiply predicate)
+        "small_qty_part_revenue": relational.small_qty_part_revenue,
+        # TPC-H Q19 shape: disjunctive predicate broadcast filter-scan
+        # (ZERO exchanges)
+        "brand_size_quantity_revenue": relational.brand_size_quantity_revenue,
         # join family Ray Data has no native verb for: as-of (point-in-time),
         # range/interval self-join, anti join (NOT EXISTS)
         "events_asof_order_join": joins.events_asof_order_join,
@@ -419,6 +444,13 @@ def oracle_sql() -> dict[str, str]:
         "part_size_ranks": relational.PART_SIZE_RANKS_SQL,
         "doc_link_distances": clusters.doc_link_distances_sql(),
         "local_supplier_volume": joins.LOCAL_SUPPLIER_VOLUME_SQL,
+        "nation_trade_flows": joins.nation_trade_flows_sql(),
+        "nation_market_share": joins.nation_market_share_sql(),
+        "large_volume_customers": joins.large_volume_customers_sql(),
+        "waiting_supplier_counts": joins.waiting_supplier_counts_sql(),
+        "dormant_customer_balance": joins.dormant_customer_balance_sql(),
+        "small_qty_part_revenue": relational.small_qty_part_revenue_sql(),
+        "brand_size_quantity_revenue": relational.BRAND_SIZE_QTY_REVENUE_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,
         "customer_rolling_spend": relational.CUSTOMER_ROLLING_SPEND_SQL,

@@ -124,6 +124,13 @@ QUERY_NAMES = [
     "either_year_customers",
     "doc_dsir_weights",
     "dsir_sample_docs",
+    "nation_trade_flows",
+    "nation_market_share",
+    "large_volume_customers",
+    "waiting_supplier_counts",
+    "dormant_customer_balance",
+    "small_qty_part_revenue",
+    "brand_size_quantity_revenue",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -1295,4 +1296,910 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: two-nation trade flows — a 6-relation join where BOTH join
+# keys (custkey then orderkey) get exactly one exchange each and both nation
+# dimensions are driver-resolved / broadcast
+
+
+def nation_trade_flows(
+    sf_dir: str,
+    nat_a: str = "NATION_12",
+    nat_b: str = "NATION_11",
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """Revenue shipped between two nations per direction per ship-year
+    (TPC-H Q7 shape). Reference parity: the reference's report joins are
+    broadcast-bag lookups (SURVEY.md §2.6); this is the large-fact
+    generalization.
+
+    Plan (two exchanges total, both on integer keys):
+    - nation: driver-side name→key (25 rows);
+    - supplier: slim suppkey→nationkey map PRE-FILTERED to the two nations,
+      broadcast via ``ray.put`` as sorted arrays (searchsorted probe — rows
+      of out-of-pair suppliers die inside the lineitem combiner);
+    - orders ⋈ customer (filtered to the two nations): ONE tagged-union
+      custkey exchange emitting (orderkey, c_nat);
+    - lineitem combiner: ship-year window filter + supplier probe + exact
+      1e-4-unit integer revenue, pre-folded per (orderkey, s_nat, year);
+      joins the o_c stream in ONE orderkey exchange, keeping opposite-nation
+      rows only (a ≠ b ⇒ s_nat ≠ c_nat), folded to
+      (s_nat, c_nat, year) partials in-task;
+    - final groupby moves ≤ 2 directions × 2 years × n_parts rows.
+    """
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    key_of = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
+    name_of = {v: k for k, v in key_of.items()}
+    ka, kb = key_of[nat_a], key_of[nat_b]
+    pair = {ka, kb}
+
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(pair)].sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            sup["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "c_nat": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        target_rows_per_block=4096,
+    )
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["c_nationkey"].to_numpy(), list(pair))
+        t = t.filter(pa.array(keep))
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "c_nat": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    def merge_custkey(g: pa.Table) -> pa.Table:
+        is_c = pc.is_valid(g["c_nat"])
+        cg = g.filter(is_c).select(["key", "c_nat"]).to_pandas()
+        og = g.filter(pc.invert(is_c)).select(["key", "o_orderkey"]).to_pandas()
+        m = og.merge(cg, on="key", how="inner")
+        ok = m["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ok % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ok, pa.int64()),
+                "c_nat": pa.array(m["c_nat"].to_numpy(np.int64), pa.int64()),
+                "s_nat": pa.nulls(len(m), pa.int64()),
+                "year": pa.nulls(len(m), pa.int64()),
+                "rev": pa.nulls(len(m), pa.float64()),
+            }
+        )
+
+    o_c = (
+        orders.map_batches(o_rows, batch_format="pyarrow")
+        .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_custkey, batch_format="pyarrow")
+    )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+        target_rows_per_block=4096,
+    )
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys, self._vals = (
+                    ray.get(self.ref)
+                    if isinstance(self.ref, ray.ObjectRef)
+                    else self.ref
+                )
+            d = t["l_shipdate"].to_numpy()
+            t = t.filter(pa.array((d >= lo) & (d < hi)))
+            sk = t["l_suppkey"].to_numpy()
+            pos = np.searchsorted(self._keys, sk)
+            pos = np.clip(pos, 0, max(len(self._keys) - 1, 0))
+            hit = (
+                self._keys[pos] == sk
+                if len(self._keys)
+                else np.zeros(len(sk), bool)
+            )
+            t = t.filter(pa.array(hit))
+            s_nat = self._vals[pos[hit]]
+            year = (
+                t["l_shipdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+                + 1970
+            )
+            rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
+                (1.0 - t["l_discount"].to_numpy()) * 100.0
+            )
+            df = pd.DataFrame(
+                {
+                    "key": t["l_orderkey"].to_numpy(),
+                    "s_nat": s_nat,
+                    "year": year,
+                    "rev": rev,
+                }
+            )
+            out = (
+                df.groupby(["key", "s_nat", "year"], sort=False)["rev"]
+                .sum()
+                .reset_index()
+            )
+            key = out["key"].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "c_nat": pa.nulls(len(out), pa.int64()),
+                    "s_nat": pa.array(out["s_nat"].to_numpy(np.int64), pa.int64()),
+                    "year": pa.array(out["year"].to_numpy(np.int64), pa.int64()),
+                    "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+                }
+            )
+
+    def merge_orderkey(g: pa.Table) -> pa.Table:
+        is_li = pc.is_valid(g["s_nat"])
+        lg = g.filter(is_li).select(["key", "s_nat", "year", "rev"]).to_pandas()
+        og = g.filter(pc.invert(is_li)).select(["key", "c_nat"]).to_pandas()
+        m = lg.merge(og, on="key", how="inner")
+        m = m[m["s_nat"] != m["c_nat"]]  # opposite-direction flows only
+        out = (
+            m.groupby(["s_nat", "c_nat", "year"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    folded = (
+        li.map_batches(LiPartial(sup_ref), batch_format="pyarrow")
+        .union(o_c)
+        .groupby("part")
+        .map_groups(merge_orderkey, batch_format="pyarrow")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["s_nat", "c_nat", "year"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        out = out.sort_values(["s_nat", "c_nat", "year"], kind="mergesort")
+        # typed construction so an empty fold still yields the full schema
+        return pd.DataFrame(
+            {
+                "supp_nation": out["s_nat"].map(name_of).astype("string"),
+                "cust_nation": out["c_nat"].map(name_of).astype("string"),
+                "l_year": out["year"].astype("int64"),
+                "revenue": (out["rev"] / 10000.0).round(2).astype("float64"),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def nation_trade_flows_sql(nat_a: str = "NATION_12", nat_b: str = "NATION_11") -> str:
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = '{nat_a}' AND cn.n_name = '{nat_b}')
+    OR (sn.n_name = '{nat_b}' AND cn.n_name = '{nat_a}'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — the same two-exchange plan as Q7
+# but the per-year fold carries TWO exact integer accumulators (target
+# revenue, total revenue) whose ratio is taken once at the finish
+
+
+def nation_market_share(
+    sf_dir: str,
+    region: str = "AMERICA",
+    target: str = "NATION_1",
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """Per order-year, the fraction of in-region customers' purchase revenue
+    supplied by ``target`` (TPC-H Q8 shape). The share is a ratio of two
+    exact 1e-4-unit integer sums, so the float64 division at the finish is
+    the ONLY inexact step — identical to the oracle's arithmetic.
+
+    - region ⋈ nation driver-side → in-region nation-key set;
+    - supplier: FULL slim suppkey→nationkey broadcast (every lineitem needs
+      its supplier classified target/other — no prefilter possible);
+    - orders (date-window, carrying order-year) ⋈ customer (in-region
+      filtered): ONE custkey exchange → (orderkey, year);
+    - lineitem combiner folds per (orderkey, is_target) exact revenue,
+      joins the (orderkey, year) stream in ONE orderkey exchange, emitting
+      per-(year) [target, total] integer partials;
+    - final fold is |years| × n_parts rows.
+    """
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    in_region = set(
+        nat.merge(
+            reg[reg["r_name"] == region],
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+        )["n_nationkey"].astype(int)
+    )
+    target_key = int(nat.loc[nat["n_name"] == target, "n_nationkey"].iloc[0])
+
+    sup = (
+        pq_.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            (sup["s_nationkey"].to_numpy(np.int64) == target_key),
+        )
+    )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        t = t.filter(pa.array((d >= lo) & (d < hi)))
+        ck = t["o_custkey"].to_numpy()
+        year = (
+            t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "is_cust": pa.nulls(t.num_rows, pa.bool_()),
+            }
+        )
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        target_rows_per_block=4096,
+    )
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["c_nationkey"].to_numpy(), list(in_region))
+        t = t.filter(pa.array(keep))
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "year": pa.nulls(t.num_rows, pa.int64()),
+                "is_cust": pa.array(np.ones(t.num_rows, bool), pa.bool_()),
+            }
+        )
+
+    def merge_custkey(g: pa.Table) -> pa.Table:
+        is_c = pc.is_valid(g["is_cust"])
+        cg = g.filter(is_c).select(["key"]).to_pandas()
+        og = g.filter(pc.invert(is_c)).select(
+            ["key", "o_orderkey", "year"]
+        ).to_pandas()
+        m = og.merge(cg, on="key", how="inner")
+        ok = m["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ok % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ok, pa.int64()),
+                "year": pa.array(m["year"].to_numpy(np.int64), pa.int64()),
+                "rev_t": pa.nulls(len(m), pa.float64()),
+                "rev_all": pa.nulls(len(m), pa.float64()),
+            }
+        )
+
+    o_c = (
+        orders.map_batches(o_rows, batch_format="pyarrow")
+        .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_custkey, batch_format="pyarrow")
+    )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        target_rows_per_block=4096,
+    )
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys, self._is_tgt = (
+                    ray.get(self.ref)
+                    if isinstance(self.ref, ray.ObjectRef)
+                    else self.ref
+                )
+            sk = t["l_suppkey"].to_numpy()
+            pos = np.searchsorted(self._keys, sk)
+            pos = np.clip(pos, 0, len(self._keys) - 1)
+            is_tgt = self._is_tgt[pos] & (self._keys[pos] == sk)
+            rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
+                (1.0 - t["l_discount"].to_numpy()) * 100.0
+            )
+            df = pd.DataFrame(
+                {
+                    "key": t["l_orderkey"].to_numpy(),
+                    "rev_t": np.where(is_tgt, rev, 0.0),
+                    "rev_all": rev,
+                }
+            )
+            out = df.groupby("key", sort=False).sum().reset_index()
+            key = out["key"].to_numpy(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "year": pa.nulls(len(out), pa.int64()),
+                    "rev_t": pa.array(out["rev_t"].to_numpy(), pa.float64()),
+                    "rev_all": pa.array(out["rev_all"].to_numpy(), pa.float64()),
+                }
+            )
+
+    def merge_orderkey(g: pa.Table) -> pa.Table:
+        is_li = pc.is_valid(g["rev_all"])
+        lg = g.filter(is_li).select(["key", "rev_t", "rev_all"]).to_pandas()
+        og = g.filter(pc.invert(is_li)).select(["key", "year"]).to_pandas()
+        m = lg.merge(og, on="key", how="inner")
+        out = (
+            m.groupby("year", sort=False)[["rev_t", "rev_all"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    folded = (
+        li.map_batches(LiPartial(sup_ref), batch_format="pyarrow")
+        .union(o_c)
+        .groupby("part")
+        .map_groups(merge_orderkey, batch_format="pyarrow")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("year", sort=False)[["rev_t", "rev_all"]].sum().reset_index()
+        out = out.sort_values("year", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "o_year": out["year"].astype("int64"),
+                "mkt_share": (out["rev_t"] / out["rev_all"]).round(6),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def nation_market_share_sql(region: str = "AMERICA", target: str = "NATION_1") -> str:
+    return f"""
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       ROUND(
+         SUM(CASE WHEN sn.n_name = '{target}'
+                  THEN ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)
+                  ELSE 0 END)
+         / SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — a grouped HAVING over one fact that
+# then re-joins the other fact and a broadcast dimension
+
+
+def large_volume_customers(
+    sf_dir: str, min_qty: int = 200, k: int = 100, n_parts: int = 32
+) -> rd.Dataset:
+    """Top-``k`` orders by total line-item quantity above ``min_qty``, with
+    the customer's name (TPC-H Q18 shape). Quantities are integer-valued
+    doubles (1..50), so per-block partial sums are exact.
+
+    - lineitem: per-(block, orderkey) quantity partials (combiner) join
+      orders in ONE orderkey union-exchange; the HAVING (> min_qty) fires
+      in-task, so only qualifying orders (a tiny fraction) leave;
+    - customer name attaches via a BROADCAST slim map (the qualifying set
+      is small, shipping the dim beats a second exchange — and the dim is
+      already bounded: one name per custkey);
+    - deterministic top-k: (total_qty DESC, o_orderkey ASC), per-partition
+      prefilter then one bounded driver fold.
+    """
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        target_rows_per_block=4096,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": t["l_orderkey"].to_numpy(),
+                "qty": t["l_quantity"].to_numpy(),
+            }
+        )
+        out = df.groupby("key", sort=False)["qty"].sum().reset_index()
+        key = out["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "qty": pa.array(out["qty"].to_numpy(), pa.float64()),
+                "o_custkey": pa.nulls(len(out), pa.int64()),
+                "o_orderdate": pa.nulls(len(out), pa.timestamp("us")),
+                "o_totalprice": pa.nulls(len(out), pa.float64()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "qty": pa.nulls(t.num_rows, pa.float64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    def merge_orderkey(g: pa.Table) -> pa.Table:
+        is_li = pc.is_valid(g["qty"])
+        lg = g.filter(is_li).select(["key", "qty"]).to_pandas()
+        og = g.filter(pc.invert(is_li)).select(
+            ["key", "o_custkey", "o_orderdate", "o_totalprice"]
+        ).to_pandas()
+        tot = lg.groupby("key", sort=False)["qty"].sum().reset_index()
+        tot = tot[tot["qty"] > float(min_qty)]
+        m = og.merge(tot, on="key", how="inner")
+        # per-partition top-k prefilter
+        m = m.sort_values(
+            ["qty", "key"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    folded = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_orderkey, batch_format="pyarrow")
+    )
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["qty", "key"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        m = df.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+        return pd.DataFrame(
+            {
+                "c_name": m["c_name"],
+                "c_custkey": m["o_custkey"].astype("int64"),
+                "o_orderkey": m["key"].astype("int64"),
+                "o_orderdate": m["o_orderdate"],
+                "o_totalprice": m["o_totalprice"],
+                "total_qty": m["qty"],
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def large_volume_customers_sql(min_qty: int = 200, k: int = 100) -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > {min_qty}
+ORDER BY SUM(l_quantity) DESC, o_orderkey
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: the sole-late-supplier count — per-order set logic
+# (EXISTS another supplier / NOT EXISTS another late supplier) resolved
+# inside one orderkey partition
+
+
+def waiting_supplier_counts(
+    sf_dir: str, grace_days: int = 60, n_parts: int = 32
+) -> rd.Dataset:
+    """Per supplier, how many multi-supplier orders this supplier alone
+    shipped late (last ship > order date + ``grace_days``) — the TPC-H Q21
+    shape with the reference schema's dates (no commit/receipt columns;
+    lateness is vs the order date, same semantics class).
+
+    The Q21 double-correlation (EXISTS a second supplier, NOT EXISTS a
+    second LATE supplier) is per-order set logic, so ONE orderkey exchange
+    resolves it: lineitem pre-folds per (block, orderkey, suppkey) max-ship
+    partials, orders contribute (orderkey, orderdate), and the in-task fold
+    re-maxes per (orderkey, suppkey), flags lateness, and keeps orders with
+    ≥ 2 suppliers of which EXACTLY ONE is late — emitting that supplier.
+    The final fold is one count row per supplier, named via the broadcast
+    100-row supplier dim."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        target_rows_per_block=4096,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": t["l_orderkey"].to_numpy(),
+                "supp": t["l_suppkey"].to_numpy(),
+                "ship": t["l_shipdate"].to_numpy()
+                .astype("datetime64[D]")
+                .astype(np.int64),
+            }
+        )
+        out = (
+            df.groupby(["key", "supp"], sort=False)["ship"].max().reset_index()
+        )
+        key = out["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "supp": pa.array(out["supp"].to_numpy(np.int64), pa.int64()),
+                "ship": pa.array(out["ship"].to_numpy(np.int64), pa.int64()),
+                "odate": pa.nulls(len(out), pa.int64()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy()
+        od = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "supp": pa.nulls(t.num_rows, pa.int64()),
+                "ship": pa.nulls(t.num_rows, pa.int64()),
+                "odate": pa.array(od, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        is_li = df["odate"].isna()
+        ps = (
+            df[is_li]
+            .groupby(["key", "supp"], sort=False)["ship"]
+            .max()
+            .reset_index()
+        )
+        od = df[~is_li][["key", "odate"]]
+        m = ps.merge(od, on="key", how="inner")
+        m["late"] = m["ship"] > m["odate"] + np.int64(grace_days)
+        grp = m.groupby("key", sort=False)["late"].agg(["size", "sum"])
+        keep_orders = grp[(grp["size"] >= 2) & (grp["sum"] == 1)].index
+        culprit = m[m["late"] & m["key"].isin(keep_orders)]
+        out = culprit.groupby("supp", sort=False).size().rename("n_p").reset_index()
+        return pa.table(
+            {
+                "supp": pa.array(out["supp"].to_numpy(np.int64), pa.int64()),
+                "n_p": pa.array(out["n_p"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("supp")
+        .aggregate(Sum("n_p", alias_name="numwait"))
+    )
+
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(sup, left_on="supp", right_on="s_suppkey", how="left")
+        m = m.sort_values(
+            ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {"s_name": m["s_name"], "numwait": m["numwait"].astype("int64")}
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def waiting_supplier_counts_sql(grace_days: int = 60) -> str:
+    return f"""
+WITH per_supp AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {grace_days} DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT l_orderkey FROM per_supp
+    GROUP BY 1 HAVING COUNT(*) >= 2 AND SUM(late) = 1
+)
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM per_supp
+JOIN flagged USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: dormant high-balance customers — a global scalar
+# aggregate feeding an anti-join, folded per nation
+
+
+def dormant_customer_balance(
+    sf_dir: str, cutoff: str = "2000-01-01", n_parts: int = 32
+) -> rd.Dataset:
+    """Per nation, the count and total balance of customers whose account
+    balance is above the average POSITIVE balance and who placed NO order
+    since ``cutoff`` (TPC-H Q22 shape; the phone-prefix country code is the
+    nation key here, and "never ordered" becomes "dormant since cutoff" —
+    this corpus has no order-less customers).
+
+    - pass A (tiny): exact global (sum_cents, count) of positive balances
+      via per-block integer partials — the Q22 scalar subquery;
+    - the threshold test is EXACT integer cross-multiply
+      (bal_cents × n_pos > sum_cents), no float division;
+    - ONE custkey exchange: qualifying customers ∪ per-block DISTINCT
+      custkeys of post-cutoff orders (combiner) → in-task anti join →
+      per-nation (count, balance_cents) partials;
+    - final fold is |nations| × n_parts rows, named via broadcast nation.
+    """
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    cut = np.datetime64(cutoff)
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        target_rows_per_block=4096,
+    )
+
+    # pass A: exact scalar stats of positive balances (bounded driver fold:
+    # one row per block)
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy() * 100.0)
+        pos = cents > 0
+        return pa.table(
+            {
+                "s": pa.array([float(cents[pos].sum())], pa.float64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    sum_cents, n_pos = float(stats["s"].sum()), int(stats["n"].sum())
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy() * 100.0)
+        keep = cents * float(n_pos) > sum_cents  # bal > avg, exactly
+        t = t.filter(pa.array(keep))
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "nat": t["c_nationkey"].cast(pa.int64()),
+                "cents": pa.array(cents[keep], pa.float64()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        t = t.filter(pa.array(d >= cut))
+        ck = np.unique(t["o_custkey"].to_numpy())  # per-block distinct
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "nat": pa.nulls(len(ck), pa.int64()),
+                "cents": pa.nulls(len(ck), pa.float64()),
+            }
+        )
+
+    def anti_fold(g: pa.Table) -> pa.Table:
+        is_c = pc.is_valid(g["nat"])
+        cg = g.filter(is_c).select(["key", "nat", "cents"]).to_pandas()
+        active = g.filter(pc.invert(is_c))["key"].to_numpy()
+        keep = cg[~cg["key"].isin(pd.unique(active))]
+        out = (
+            keep.groupby("nat", sort=False)["cents"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nat": pa.array(out["nat"].to_numpy(np.int64), pa.int64()),
+                "n_p": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+                "cents_p": pa.array(out["sum"].to_numpy(), pa.float64()),
+            }
+        )
+
+    folded = (
+        cust.map_batches(c_rows, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti_fold, batch_format="pyarrow")
+    )
+
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("nat", sort=False)[["n_p", "cents_p"]].sum().reset_index()
+        )
+        out = out.sort_values("nat", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "n_name": out["nat"].map(name_of),
+                "numcust": out["n_p"].astype("int64"),
+                "totacctbal": (out["cents_p"] / 100.0).round(2),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def dormant_customer_balance_sql(cutoff: str = "2000-01-01") -> str:
+    return f"""
+WITH st AS (
+    SELECT SUM(ROUND(c_acctbal * 100)) AS s, COUNT(*)::DOUBLE AS n
+    FROM customer WHERE ROUND(c_acctbal * 100) > 0
+)
+SELECT n_name, COUNT(*)::BIGINT AS numcust,
+       ROUND(SUM(ROUND(c_acctbal * 100)) / 100.0, 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey, st
+WHERE ROUND(c_acctbal * 100) * st.n > st.s
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '{cutoff}'
+  )
+GROUP BY 1
 """

@@ -1686,3 +1686,208 @@ SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 199
 UNION
 SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: the per-group correlated average as a co-location fold
+
+
+def small_qty_part_revenue(
+    sf_dir: str, brand: str = "Brand#3", n_parts: int = 32
+) -> rd.Dataset:
+    """Average yearly revenue lost if small-quantity orders (below HALF the
+    part's average order quantity) were not taken, for one brand — the
+    TPC-H Q17 shape. The correlated per-part AVG decorrelates into ONE
+    partkey exchange: all rows of a part co-locate, so each partition
+    computes the part's average AND applies the row filter locally.
+
+    Exactness: quantities are integer-valued, so the threshold test is the
+    integer cross-multiply ``2 × qty × count < sum_qty`` (no float
+    division), and revenue partials are exact price-cents sums; the single
+    ``/100/7`` happens once at the finish with the oracle's arithmetic.
+    The brand filter broadcasts the part-key set (sorted array probe), so
+    only ~1/|brands| of lineitem enters the exchange."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    part_keys = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "=", brand)],
+    )["p_partkey"].to_numpy()
+    keys_ref = ray.put(np.sort(part_keys.astype(np.int64)))
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        target_rows_per_block=4096,
+    )
+
+    class BrandRows:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys = (
+                    ray.get(self.ref)
+                    if isinstance(self.ref, ray.ObjectRef)
+                    else self.ref
+                )
+            pk = t["l_partkey"].to_numpy()
+            pos = np.searchsorted(self._keys, pk)
+            pos = np.clip(pos, 0, max(len(self._keys) - 1, 0))
+            hit = (
+                self._keys[pos] == pk
+                if len(self._keys)
+                else np.zeros(len(pk), bool)
+            )
+            t = t.filter(pa.array(hit))
+            pk = t["l_partkey"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array((pk % n_parts), pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                    "qty": t["l_quantity"].cast(pa.float64()),
+                    "price_c": pa.array(
+                        np.round(t["l_extendedprice"].to_numpy() * 100.0),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        st = df.groupby("l_partkey", sort=False)["qty"].agg(["sum", "size"])
+        m = df.join(st, on="l_partkey")
+        small = m[2.0 * m["qty"] * m["size"] < m["sum"]]
+        return pa.table(
+            {"rev_c": pa.array([float(small["price_c"].sum())], pa.float64())}
+        )
+
+    folded = (
+        li.map_batches(BrandRows(keys_ref), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total = float(df["rev_c"].sum())
+        return pd.DataFrame({"avg_yearly": [round(total / 100.0 / 7.0, 2)]})
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def small_qty_part_revenue_sql(brand: str = "Brand#3") -> str:
+    return f"""
+WITH st AS (
+    SELECT l_partkey, SUM(l_quantity) AS sq, COUNT(*)::DOUBLE AS cq
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = '{brand}'
+    GROUP BY 1
+)
+SELECT ROUND(SUM(ROUND(l_extendedprice * 100)) / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN st USING (l_partkey)
+WHERE 2 * l_quantity * cq < sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate — a pure broadcast
+# filter-scan with ZERO exchanges
+
+
+def brand_size_quantity_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue from line items matching any of three (brand, size-range,
+    quantity-range) predicate groups — the TPC-H Q19 shape. The part
+    attributes needed by the predicate are a slim (partkey → brand-id,
+    size) map PRE-FILTERED to the three candidate brands and broadcast
+    (rows of other brands can never match); the disjunction evaluates
+    vectorized per block and per-block exact cent partials fold to one
+    global sum. No shuffle of either fact."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    spec = [  # (brand, max_size, qty_lo, qty_hi)
+        ("Brand#1", 10, 1, 20),
+        ("Brand#2", 20, 10, 30),
+        ("Brand#3", 30, 20, 40),
+    ]
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    part = part[part["p_brand"].isin([b for b, *_ in spec])]
+    brand_id = {b: i for i, (b, *_ ) in enumerate(spec)}
+    part = part.sort_values("p_partkey")
+    bc = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].map(brand_id).to_numpy(np.int64),
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        target_rows_per_block=4096,
+    )
+
+    class Disjunct:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys, self._bid, self._size = (
+                    ray.get(self.ref)
+                    if isinstance(self.ref, ray.ObjectRef)
+                    else self.ref
+                )
+            pk = t["l_partkey"].to_numpy()
+            pos = np.searchsorted(self._keys, pk)
+            pos = np.clip(pos, 0, max(len(self._keys) - 1, 0))
+            hit = self._keys[pos] == pk
+            qty = t["l_quantity"].to_numpy()
+            keep = np.zeros(len(pk), bool)
+            for i, (_b, max_size, q_lo, q_hi) in enumerate(spec):
+                keep |= (
+                    hit
+                    & (self._bid[pos] == i)
+                    & (self._size[pos] >= 1)
+                    & (self._size[pos] <= max_size)
+                    & (qty >= q_lo)
+                    & (qty <= q_hi)
+                )
+            t2 = t.filter(pa.array(keep))
+            rev = np.round(t2["l_extendedprice"].to_numpy() * 100.0) * np.round(
+                (1.0 - t2["l_discount"].to_numpy()) * 100.0
+            )
+            return pa.table({"rev_p": pa.array([float(rev.sum())], pa.float64())})
+
+    folded = li.map_batches(Disjunct(bc), batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"revenue": [round(float(df["rev_p"].sum()) / 10000.0, 2)]}
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+BRAND_SIZE_QTY_REVENUE_SQL = """
+SELECT ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)
+"""
