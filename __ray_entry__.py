@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 126 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 107 have a DuckDB twin in
+``queries()`` exposes 127 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 108 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_ranks": relational.part_size_ranks,
         # BFS hop distances (frontier-expansion BSP; 5th graph verb)
         "doc_link_distances": clusters.doc_link_distances,
+        # anchor-text aggregation: per-target in-link anchor profiles
+        # (6th graph verb — the classic web-search operator)
+        "anchor_text_profiles": clusters.anchor_text_profiles,
         "distinct_event_types": relational.distinct_event_types,
         # stream-shaped (events)
         "hourly_event_counts": events.hourly_event_counts,
@@ -443,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": dedup.SNAPSHOT_MERGE_SQL,
         "part_size_ranks": relational.PART_SIZE_RANKS_SQL,
         "doc_link_distances": clusters.doc_link_distances_sql(),
+        "anchor_text_profiles": clusters.ANCHOR_TEXT_PROFILES_SQL,
         "local_supplier_volume": joins.LOCAL_SUPPLIER_VOLUME_SQL,
         "nation_trade_flows": joins.nation_trade_flows_sql(),
         "nation_market_share": joins.nation_market_share_sql(),

@@ -131,6 +131,7 @@ QUERY_NAMES = [
     "dormant_customer_balance",
     "small_qty_part_revenue",
     "brand_size_quantity_revenue",
+    "anchor_text_profiles",
 ]
 
 

@@ -1624,3 +1624,129 @@ def doc_link_distances_sql(n_hops: int = 4, seeds_mod: int = 97) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node AS doc_id, dist FROM v{n_hops}\n"
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation — the classic web-graph operator (per-target
+# in-link anchor profiles, how search engines describe pages they haven't
+# parsed); sixth verb over the same derived link graph
+
+
+def anchor_text_profiles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Per link TARGET: in-link count and the most frequent anchor token
+    (ties broken lexicographically). Uses the same deterministic derived
+    link graph as ``doc_link_pagerank`` (doc d → (d·7+1)%N, (d·13+5)%N,
+    (d·31+11)%N, self-loops dropped); the anchor of slot i is the i-th
+    whitespace token of the SOURCE doc (repo tokenizer convention:
+    ``strip().lower().split()`` ≡ ``string_split_regex(trim(lower(text)),
+    '\\s+')``), edges whose source is too short carry no anchor and are
+    skipped.
+
+    Scale shape: edges never materialize as a table — each documents block
+    emits per-(block, dst, anchor) COUNT partials (combiner), ONE dst-hash
+    exchange co-locates each target's in-links, and the in-task fold
+    resolves total + argmax. The exchange volume is bounded by distinct
+    (dst, anchor) pairs per block, not by edge count."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        target_rows_per_block=2048,
+    )
+
+    def edge_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy(np.int64)
+        toks = df["text"].str.strip().str.lower().str.split()
+        parts = []
+        for slot, (mul, add) in enumerate([(7, 1), (13, 5), (31, 11)]):
+            dst = (ids * mul + add) % n_docs
+            anchor = toks.str.get(slot)
+            m = anchor.notna().to_numpy() & (dst != ids)
+            parts.append(
+                pd.DataFrame({"dst": dst[m], "anchor": anchor.to_numpy()[m]})
+            )
+        e = pd.concat(parts, ignore_index=True)
+        out = (
+            e.groupby(["dst", "anchor"], sort=False).size().rename("c").reset_index()
+        )
+        dst = out["dst"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((dst % n_parts), pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "anchor": pa.array(out["anchor"], pa.string()),
+                "c": pa.array(out["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        cnt = (
+            df.groupby(["dst", "anchor"], sort=False)["c"].sum().reset_index()
+        )
+        tot = cnt.groupby("dst", sort=False)["c"].sum().rename("in_links")
+        top = (
+            cnt.sort_values(
+                ["dst", "c", "anchor"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("dst", sort=False)
+            .head(1)
+            .set_index("dst")
+        )
+        out = top.join(tot)
+        return pa.table(
+            {
+                "doc_id": pa.array(out.index.to_numpy(np.int64), pa.int64()),
+                "in_links": pa.array(
+                    out["in_links"].to_numpy(np.int64), pa.int64()
+                ),
+                "top_anchor": pa.array(out["anchor"], pa.string()),
+                "top_anchor_n": pa.array(out["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(edge_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+ANCHOR_TEXT_PROFILES_SQL = r"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS t,
+           (SELECT COUNT(*) FROM documents) AS n
+    FROM documents
+),
+edges AS (
+    SELECT (doc_id * 7 + 1) % n AS dst, t[1] AS anchor
+    FROM tk WHERE len(t) >= 1 AND (doc_id * 7 + 1) % n <> doc_id
+    UNION ALL
+    SELECT (doc_id * 13 + 5) % n, t[2]
+    FROM tk WHERE len(t) >= 2 AND (doc_id * 13 + 5) % n <> doc_id
+    UNION ALL
+    SELECT (doc_id * 31 + 11) % n, t[3]
+    FROM tk WHERE len(t) >= 3 AND (doc_id * 31 + 11) % n <> doc_id
+),
+cnt AS (
+    SELECT dst, anchor, COUNT(*)::BIGINT AS c FROM edges GROUP BY 1, 2
+),
+ranked AS (
+    SELECT dst, anchor, c,
+           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, anchor) AS rn,
+           SUM(c) OVER (PARTITION BY dst) AS tot
+    FROM cnt
+)
+SELECT dst AS doc_id, tot::BIGINT AS in_links,
+       anchor AS top_anchor, c AS top_anchor_n
+FROM ranked WHERE rn = 1
+"""
