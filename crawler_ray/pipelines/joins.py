@@ -2203,3 +2203,164 @@ WHERE ROUND(c_acctbal * 100) * st.n > st.s
   )
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# skew handling: hot-key detection + salted partitioned hash join — the
+# documented "salt hot keys" knob of ``partitioned_hash_join``, made real
+
+
+def detect_hot_keys(
+    ds: rd.Dataset,
+    key: str,
+    n_buckets: int = 32,
+    hot_factor: float = 4.0,
+    topk_per_block: int = 16,
+) -> np.ndarray:
+    """Find join keys hot enough to skew a ``% n_buckets`` exchange: keys
+    whose global row count exceeds ``hot_factor ×`` the average bucket
+    load. ONE pass: each block emits its top-``topk_per_block`` key counts
+    plus its row count (bounded combiner rows), the driver folds that
+    small table. Per-block top-k makes the fold an UNDER-estimate of a
+    key's true count — a key spread thinly across blocks can evade
+    detection — but a key big enough to hurt one bucket is by construction
+    concentrated enough to surface in block top-ks."""
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        vals, counts = np.unique(k, return_counts=True)
+        top = np.argsort(counts)[::-1][:topk_per_block]
+        return pa.table(
+            {
+                "k": pa.array(vals[top], pa.int64()),
+                "c": pa.array(counts[top].astype(np.int64), pa.int64()),
+                "n_rows": pa.array(
+                    [len(k)] + [0] * (len(top) - 1) if len(top) else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return np.empty(0, np.int64)
+    total = int(df["n_rows"].sum())
+    cnt = df.groupby("k", sort=False)["c"].sum()
+    threshold = hot_factor * total / n_buckets
+    return np.sort(cnt.index.to_numpy(np.int64)[cnt.to_numpy() > threshold])
+
+
+def salted_partitioned_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    hot_keys: np.ndarray | None = None,
+    how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """``partitioned_hash_join`` with hot-key salting: rows of a HOT key
+    on the (large) left side spread round-robin across ``n_salts``
+    dedicated buckets, and the right side's rows for that key REPLICATE
+    into all of them — so one hot key's merge work parallelizes ``n_salts``
+    ways instead of serializing in a single bucket. Cold keys take the
+    normal ``key % n_buckets`` route; output row SET is identical to the
+    unsalted join (each left row still meets each matching right row
+    exactly once).
+
+    ``hot_keys=None`` auto-detects on the left with ``detect_hot_keys``.
+    ``how`` is limited to ``inner``/``left``: replication would duplicate
+    unmatched RIGHT rows under right/full-outer semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted join supports how='inner'|'left' only")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, on, n_buckets=n_buckets)
+    hot_keys = np.sort(np.asarray(hot_keys, np.int64))
+    if len(hot_keys) == 0:
+        return partitioned_hash_join(
+            left, right, on,
+            n_buckets=n_buckets, how=how,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+
+    def _fields(ds: rd.Dataset, given) -> list[tuple[str, pa.DataType]]:
+        if given is not None:
+            return [(f.name, f.type) for f in given]
+        sch = ds.schema()
+        out = []
+        for name, typ in zip(sch.names, sch.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(np.dtype(typ))
+            out.append((name, typ))
+        return out
+
+    lf, rf = _fields(left, left_schema), _fields(right, right_schema)
+    lcols = [n for n, _ in lf]
+    rcols = [n for n, _ in rf]
+    l_extra = [(n, t) for n, t in rf if n not in lcols]
+    r_extra = [(n, t) for n, t in lf if n not in rcols]
+    out_schema = pa.schema(lf + [(n, t) for n, t in rf if n != on])
+
+    def hot_idx(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(hot_keys, keys)
+        pos = np.clip(pos, 0, len(hot_keys) - 1)
+        return hot_keys[pos] == keys, pos
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        for name, typ in l_extra:
+            t = t.append_column(name, pa.nulls(t.num_rows, typ))
+        keys = t[on].to_numpy()
+        is_hot, idx = hot_idx(keys)
+        # cold: key % n_buckets; hot: dedicated bucket range, rows spread
+        # round-robin by in-block position (placement only — never affects
+        # the output row set)
+        salt = np.arange(len(keys), dtype=np.int64) % n_salts
+        bucket = np.where(
+            is_hot,
+            n_buckets + idx * n_salts + salt,
+            keys % n_buckets,
+        ).astype(np.int64)
+        t = t.append_column("_bucket", pa.array(bucket, pa.int64()))
+        t = t.append_column("_side", pa.array(["L"] * t.num_rows, pa.string()))
+        return t.select(sorted(t.column_names))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        for name, typ in r_extra:
+            t = t.append_column(name, pa.nulls(t.num_rows, typ))
+        keys = t[on].to_numpy()
+        is_hot, idx = hot_idx(keys)
+        cold = t.filter(pa.array(~is_hot))
+        cold_bucket = (cold[on].to_numpy() % n_buckets).astype(np.int64)
+        cold = cold.append_column("_bucket", pa.array(cold_bucket, pa.int64()))
+        hot = t.filter(pa.array(is_hot))
+        hot_i = idx[is_hot]
+        # replicate each hot right row into all n_salts sub-buckets
+        rep_idx = np.repeat(np.arange(hot.num_rows), n_salts)
+        hot = hot.take(pa.array(rep_idx, pa.int64()))
+        rep_bucket = (
+            n_buckets
+            + np.repeat(hot_i, n_salts) * n_salts
+            + np.tile(np.arange(n_salts, dtype=np.int64), len(hot_i))
+        )
+        hot = hot.append_column("_bucket", pa.array(rep_bucket, pa.int64()))
+        both = pa.concat_tables([cold, hot])
+        both = both.append_column(
+            "_side", pa.array(["R"] * both.num_rows, pa.string())
+        )
+        return both.select(sorted(both.column_names))
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["_side"]
+        lg = g.filter(pc.equal(side, "L")).select(lcols).to_pandas()
+        rg = g.filter(pc.equal(side, "R")).select(rcols).to_pandas()
+        if how == "inner" and (lg.empty or rg.empty):
+            df = pd.DataFrame(columns=[f.name for f in out_schema])
+        else:
+            df = lg.merge(rg, on=on, how=how)[[f.name for f in out_schema]]
+        return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -252,3 +252,90 @@ def test_bloom_semi_join_matches_naive(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(naive)
+
+
+# ---------------------------------------------------------------------------
+# skew handling: hot-key detection + salted partitioned hash join
+
+
+def _skewed_sides(n_cold=2000, n_hot=6000, hot_key=7, seed=3):
+    rng = np.random.default_rng(seed)
+    lk = np.concatenate(
+        [rng.integers(100, 200, n_cold), np.full(n_hot, hot_key)]
+    ).astype(np.int64)
+    left = pd.DataFrame({"k": lk, "lv": np.arange(len(lk), dtype=np.int64)})
+    rk = np.concatenate([np.arange(100, 200), [hot_key], [999]]).astype(np.int64)
+    right = pd.DataFrame({"k": rk, "rv": rk * 10})
+    return left, right
+
+
+def test_detect_hot_keys_finds_planted_key(ray_session):
+    import ray.data as rd
+
+    left, _ = _skewed_sides()
+    ds = rd.from_pandas(left).repartition(8)
+    hot = joins.detect_hot_keys(ds, "k", n_buckets=32, hot_factor=4.0)
+    assert 7 in hot.tolist()
+    # no cold key qualifies: each holds ~2000/100 rows << 4×(8000/32)
+    assert all(k == 7 for k in hot.tolist())
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_unsalted_and_pandas(ray_session, how):
+    import ray.data as rd
+
+    left, right = _skewed_sides()
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(4)
+    got = (
+        joins.salted_partitioned_hash_join(
+            lds, rds, "k", n_buckets=16, n_salts=4, how=how
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    base = (
+        joins.partitioned_hash_join(lds, rds, "k", n_buckets=16, how=how)
+        .to_pandas()
+        .sort_values(["k", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on="k", how=how)
+        .sort_values(["k", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    pd.testing.assert_frame_equal(got[exp.columns], base[exp.columns],
+                                  check_dtype=False)
+
+
+def test_salted_join_hot_key_absent_on_right(ray_session):
+    import ray.data as rd
+
+    left, right = _skewed_sides()
+    right = right[right["k"] != 7]  # hot key has NO match
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(4)
+    inner = joins.salted_partitioned_hash_join(
+        lds, rds, "k", n_buckets=16, n_salts=4, hot_keys=np.array([7])
+    ).to_pandas()
+    assert (inner["k"] != 7).all()
+    lhow = joins.salted_partitioned_hash_join(
+        lds, rds, "k", n_buckets=16, n_salts=4, hot_keys=np.array([7]),
+        how="left",
+    ).to_pandas()
+    # every hot left row survives exactly once with a null right value
+    hot_rows = lhow[lhow["k"] == 7]
+    assert len(hot_rows) == 6000 and hot_rows["rv"].isna().all()
+
+
+def test_salted_join_rejects_outer(ray_session):
+    import ray.data as rd
+
+    left, right = _skewed_sides()
+    with pytest.raises(ValueError):
+        joins.salted_partitioned_hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", how="outer"
+        )
