@@ -132,6 +132,7 @@ QUERY_NAMES = [
     "small_qty_part_revenue",
     "brand_size_quantity_revenue",
     "anchor_text_profiles",
+    "train_doc_classifier",
 ]
 
 

@@ -2497,3 +2497,146 @@ def dsir_sample_docs_sql(k: int = 200) -> str:
         DOC_DSIR_WEIGHTS_SQL
         + f" ORDER BY dsir_logweight DESC, doc_id LIMIT {k}"
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed classifier TRAINING (the other half of the model archetype:
+# doc_classifier_scores is inference; this trains the weights on-engine)
+# --------------------------------------------------------------------------
+
+
+def _hashed_counts(texts: pd.Series, dim: int) -> "list[tuple]":
+    """Per-doc (feature_ids, counts) over the hashing trick, PLUS a
+    constant bias feature at index ``dim`` — shared by the distributed
+    trainer and the single-node numpy reference so bit-equality is about
+    the DISTRIBUTED arithmetic, not tokenizer drift."""
+    from crawler_ray.functions.hashing import stable_hash_u64
+
+    bias_id = np.array([dim], np.int64)
+    one = np.array([1], np.int64)
+    out = []
+    for txt in texts:
+        toks = txt.split()
+        if not toks:
+            out.append((bias_id, one))
+            continue
+        f = np.fromiter(
+            (stable_hash_u64(t) % dim for t in toks), np.int64, len(toks)
+        )
+        ids, cnt = np.unique(f, return_counts=True)
+        out.append(
+            (np.append(ids, bias_id), np.append(cnt.astype(np.int64), one))
+        )
+    return out
+
+
+def _lr_step_partial(
+    ids_cnt: "list[tuple]", ys: np.ndarray, w: np.ndarray, dim: int,
+    w_scale: int,
+) -> np.ndarray:
+    """Exact int64 gradient partial for one batch under weights ``w``:
+    per-doc float sigmoid (deterministic — no cross-doc accumulation),
+    error quantized to int64 BEFORE the sum so the fold is
+    order-independent."""
+    grad = np.zeros(dim, np.int64)
+    for (ids, cnt), y in zip(ids_cnt, ys):
+        if len(ids) == 0:
+            continue
+        margin = float((w[ids] * cnt).sum()) / w_scale
+        p = 1.0 / (1.0 + np.exp(-margin))
+        e = np.int64(np.floor((p - float(y)) * w_scale))
+        grad[ids] += e * cnt
+    return grad
+
+
+def train_doc_classifier(
+    sf_dir: str,
+    dim: int = 256,
+    n_iters: int = 10,
+    lr_num: int = 1,
+    lr_den: int = 8,
+    label_lang: str = "en",
+) -> pd.DataFrame:
+    """Train a hashing-trick logistic-regression language classifier
+    (y = lang == ``label_lang``) by distributed FULL-BATCH gradient
+    descent — the model-TRAINING archetype (fastText-style quality/lang
+    classifiers are trained on the corpus engine before they gate it).
+
+    Superstep shape (the ``embedding_kmeans`` pattern): weights broadcast
+    once per round via ``ray.put``; each batch computes per-doc sigmoid
+    errors, quantizes them to int64 (2^16 fixed point) and emits a DENSE
+    ``(dim+1)``-length int64 gradient partial (the last slot is the bias);
+    the driver folds O(dim × blocks) slim rows and applies
+    ``w ← w − (grad · lr_num) // (n_docs · lr_den)``. Every fold is
+    integer, so the result is BIT-IDENTICAL to the single-node numpy
+    reference at any batch split (asserted in tests), and R rounds =
+    R corpus scans with zero shuffles. Driver state is O(dim).
+
+    Returns (feature, weight_scaled, weight) — weight = weight_scaled/2^16;
+    feature ``dim`` is the bias. Rows-only driver check (iterative model
+    training has no SQL twin); learning behavior (loss decrease, planted
+    separable corpus driven to high accuracy) is asserted in tests on a
+    PLANTED fixture — the driver corpus's lang signal is deliberately weak
+    (it exists to exercise the lang-id heuristic, not to be separable)."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    W_SCALE = 1 << 16
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    w = np.zeros(dim + 1, np.int64)
+
+    def make_partial(w_ref):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cur = _ray.get(w_ref) if isinstance(w_ref, _ray.ObjectRef) else w_ref
+            ic = _hashed_counts(df["text"], dim)
+            ys = (df["lang"] == label_lang).to_numpy(np.int64)
+            grad = _lr_step_partial(ic, ys, cur, dim + 1, W_SCALE)
+            return pd.DataFrame(
+                {"feature": np.arange(dim + 1, dtype=np.int64), "g": grad}
+            )
+
+        return partial
+
+    for _ in range(n_iters):
+        ref = _ray.put(w)
+        agg = (
+            docs.map_batches(make_partial(ref), batch_format="pandas")
+            .to_pandas()  # dim rows per block — O(dim × blocks) driver fold
+            .groupby("feature", sort=True)["g"]
+            .sum()
+        )
+        grad = np.zeros(dim + 1, np.int64)
+        grad[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+        w = w - (grad * np.int64(lr_num)) // (np.int64(n_docs) * np.int64(lr_den))
+
+    return pd.DataFrame(
+        {
+            "feature": np.arange(dim + 1, dtype=np.int64),
+            "weight_scaled": w,
+            "weight": w / float(W_SCALE),
+        }
+    )
+
+
+def train_doc_classifier_reference(
+    texts: pd.Series,
+    labels: np.ndarray,
+    dim: int = 256,
+    n_iters: int = 10,
+    lr_num: int = 1,
+    lr_den: int = 8,
+) -> np.ndarray:
+    """Single-node numpy reference: IDENTICAL arithmetic to the distributed
+    trainer (shared featurizer + per-doc quantized errors + integer
+    update), one process, one loop. Tests assert bit-equality."""
+    W_SCALE = 1 << 16
+    ic = _hashed_counts(texts, dim)
+    ys = np.asarray(labels, np.int64)
+    n = len(texts)
+    w = np.zeros(dim + 1, np.int64)
+    for _ in range(n_iters):
+        grad = _lr_step_partial(ic, ys, w, dim + 1, W_SCALE)
+        w = w - (grad * np.int64(lr_num)) // (np.int64(n) * np.int64(lr_den))
+    return w

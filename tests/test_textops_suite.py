@@ -10,6 +10,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from crawler_ray.functions.sketches import MisraGries
+from crawler_ray.pipelines import textops
 from crawler_ray.pipelines.relational import REVENUE_ROLLUP_SQL, revenue_rollup
 from crawler_ray.pipelines.textops import (
     DOC_NORMALIZED_SQL,
@@ -510,3 +511,84 @@ def test_temperature_sampling_upweights_small_sources(ray_session):
     small, big = n.idxmin(), n.idxmax()
     if n[small] < n[big]:
         assert frac[small] > frac[big]
+
+
+# ---------------------------------------------------------------------------
+# distributed classifier TRAINING (full-batch fixed-point logistic
+# regression): bit-equality vs the single-node numpy reference, and real
+# learning on a planted separable corpus
+
+
+def _planted_classifier_corpus(tmp_path, n=800, seed=7):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    pos, neg = ["alpha", "beta", "gamma"], ["delta", "eps", "zeta"]
+    common = ["the", "a", "of", "and"]
+    texts, langs = [], []
+    for i in range(n):
+        y = i % 2
+        toks = list(rng.choice(common, 20)) + list(
+            rng.choice(pos if y else neg, 6)
+        )
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+        langs.append("en" if y else "xx")
+    d = tmp_path / "planted_clf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], np.int64)
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d), pd.Series(texts), np.array(langs) == "en"
+
+
+def test_train_classifier_bit_equal_and_learns(ray_session, tmp_path):
+    sf, texts, ys = _planted_classifier_corpus(tmp_path)
+    got = textops.train_doc_classifier(sf)
+    ref = textops.train_doc_classifier_reference(texts, ys.astype(np.int64))
+    assert (got["weight_scaled"].to_numpy() == ref).all()  # bit-identical
+
+    # the planted corpus is linearly separable: trained weights classify
+    # it perfectly, and more iterations strictly reduce the log loss
+    ic = textops._hashed_counts(texts, 256)
+    def loss_and_acc(w):
+        m = np.array([float((w[i] * c).sum()) / (1 << 16) for i, c in ic])
+        p = 1.0 / (1.0 + np.exp(-np.clip(m, -30, 30)))
+        ll = -(ys * np.log(p + 1e-12) + (~ys) * np.log(1 - p + 1e-12)).mean()
+        return ll, ((m > 0) == ys).mean()
+
+    l10, acc10 = loss_and_acc(ref)
+    assert acc10 == 1.0
+    l5, _ = loss_and_acc(
+        textops.train_doc_classifier_reference(
+            texts, ys.astype(np.int64), n_iters=5
+        )
+    )
+    l0, _ = loss_and_acc(np.zeros(257, np.int64))
+    assert l10 < l5 < l0
+
+
+def test_train_classifier_bit_equal_on_testdata(ray_session):
+    import pyarrow.parquet as pq
+
+    got = textops.train_doc_classifier(SF_DIR, n_iters=3)
+    df = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    ref = textops.train_doc_classifier_reference(
+        df["text"], (df["lang"] == "en").to_numpy(np.int64), n_iters=3
+    )
+    assert (got["weight_scaled"].to_numpy() == ref).all()
+    assert got["feature"].tolist() == list(range(257))
