@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 128 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 108 have a DuckDB twin in
+``queries()`` exposes 129 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 109 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental IMAGE near-dedup: cross-side-only phash band walk
         # (rows-only; planted cross-parity duplicates exact in tests)
         "cross_snapshot_image_dups": clusters.cross_snapshot_image_dups,
+        # aspect-ratio bucketing (SDXL-style batched-training curation;
+        # metadata-only — zero pixel decode, ladder-sized exchange)
+        "image_aspect_buckets": multimodal.image_aspect_buckets,
         # rotation/mirror-invariant image near-dup pairs via the full
         # dihedral phash orbit (rows-only: pixel synthesis; planted
         # rotated/mirrored copies exact in tests)
@@ -383,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         events,
         joins,
         layout,
+        multimodal,
         relational,
         similarity,
         textops,
@@ -497,4 +501,5 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": events.USER_RETENTION_SQL,
         "late_event_audit": events.late_event_audit_sql(),
         "doc_split_assign": textops.doc_split_assign_sql(),
+        "image_aspect_buckets": multimodal.image_aspect_buckets_sql(),
     }

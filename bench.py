@@ -133,6 +133,7 @@ QUERY_NAMES = [
     "brand_size_quantity_revenue",
     "anchor_text_profiles",
     "train_doc_classifier",
+    "image_aspect_buckets",
 ]
 
 

@@ -632,3 +632,127 @@ def audio_dup_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing — the batched-image-training curation step (group
+# images into a fixed ladder of aspect buckets so a trainer can batch
+# same-shape tensors; SDXL-style). Metadata-only: never decodes a pixel.
+
+# (width_ratio, height_ratio); LCM of the height ratios is 144, used to
+# keep the nearest-bucket argmin in exact integer arithmetic
+ASPECT_LADDER = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3)]
+_LADDER_LCM = 144
+
+
+def image_aspect_buckets(sf_dir: str, patch: int = 16) -> "rd.Dataset":
+    """Per aspect bucket: image count and total ViT patch count
+    (``ceil(w/patch) × ceil(h/patch)`` — the sequence-length budget an
+    image-text trainer packs against). Each image snaps to the ladder
+    bucket minimizing ``|w/h − a/b|``, computed EXACTLY in integers:
+    ``|w·b − h·a| · (LCM/b)`` is a common-denominator cost, ties to the
+    lower ladder index — so the SQL twin is value-identical.
+
+    Image dims derive deterministically from doc_id (the sandbox stand-in
+    for the crawl's images table metadata — a real run reads (w, h)
+    straight from the Lance/parquet footer columns, still zero decode).
+    Shape: per-block bucket partials (combiner) → one |ladder|-row fold;
+    the exchange is ladder-sized, independent of corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    a_arr = np.array([a for a, _ in ASPECT_LADDER], np.int64)
+    b_arr = np.array([b for _, b in ASPECT_LADDER], np.int64)
+    mult = (_LADDER_LCM // b_arr).astype(np.int64)
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = 64 + (ids * 13) % 192
+        h = 64 + (ids * 7) % 192
+        # exact integer nearest-bucket: cost[i,j] over n×|ladder|
+        cost = np.abs(w[:, None] * b_arr - h[:, None] * a_arr) * mult
+        bucket = np.argmin(cost, axis=1).astype(np.int64)  # ties → low index
+        patches = ((w + patch - 1) // patch) * ((h + patch - 1) // patch)
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"bucket": bucket, "patches": patches})
+            .groupby("bucket", sort=False)
+            .agg(n_p=("patches", "size"), patches_p=("patches", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+                "n_p": pa.array(g["n_p"].to_numpy(np.int64), pa.int64()),
+                "patches_p": pa.array(
+                    g["patches_p"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_p", alias_name="n_images"),
+            Sum("patches_p", alias_name="total_patches"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values("bucket", kind="mergesort")
+        idx = df["bucket"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "aspect": pa.array(
+                    [f"{ASPECT_LADDER[i][0]}:{ASPECT_LADDER[i][1]}" for i in idx],
+                    pa.string(),
+                ),
+                "n_images": pa.array(
+                    df["n_images"].to_numpy(np.int64), pa.int64()
+                ),
+                "total_patches": pa.array(
+                    df["total_patches"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def image_aspect_buckets_sql(patch: int = 16) -> str:
+    ladder = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(ASPECT_LADDER)
+    )
+    return f"""
+WITH dims AS (
+    SELECT doc_id,
+           64 + (doc_id * 13) % 192 AS w,
+           64 + (doc_id * 7) % 192 AS h
+    FROM documents
+),
+ladder(i, a, b) AS (VALUES {ladder}),
+scored AS (
+    SELECT doc_id, w, h, i, a, b,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY ABS(w * b - h * a) * ({_LADDER_LCM} // b), i
+           ) AS rn
+    FROM dims CROSS JOIN ladder
+)
+SELECT a || ':' || b AS aspect,
+       COUNT(*)::BIGINT AS n_images,
+       SUM(((w + {patch} - 1) // {patch})
+           * ((h + {patch} - 1) // {patch}))::BIGINT AS total_patches
+FROM scored WHERE rn = 1
+GROUP BY aspect, i
+ORDER BY i
+"""
