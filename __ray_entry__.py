@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 129 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 109 have a DuckDB twin in
+``queries()`` exposes 131 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 111 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_counts": events.hourly_event_counts,
         # sliding (hopping) windows: combine-then-replicate partials
         "sliding_event_counts": events.sliding_event_counts,
+        # gap-filled time spine: dense hourly counts with zero fill
+        "hourly_event_counts_dense": events.hourly_event_counts_dense,
+        # ordered multi-step conversion funnel (one user exchange)
+        "funnel_conversions": events.funnel_conversions,
         "sessionize": events.sessionize,
         "props_key_sum": events.props_key_sum,
         "distinct_users_hll": events.distinct_users_hll,  # rows-only (sketch)
@@ -415,6 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         "hourly_event_counts": events.HOURLY_EVENTS_SQL,
         "sliding_event_counts": events.sliding_event_counts_sql(),
+        "hourly_event_counts_dense": events.HOURLY_DENSE_SQL,
+        "funnel_conversions": events.funnel_conversions_sql(),
         "sessionize": events.SESSIONIZE_SQL,
         "props_key_sum": events.PROPS_KEY_SUM_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,

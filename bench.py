@@ -134,6 +134,8 @@ QUERY_NAMES = [
     "anchor_text_profiles",
     "train_doc_classifier",
     "image_aspect_buckets",
+    "hourly_event_counts_dense",
+    "funnel_conversions",
 ]
 
 

@@ -817,3 +817,176 @@ SELECT event_id,
              THEN wm - {delay_s} - tsec ELSE 0 END)::BIGINT AS lateness_s
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis — ordered multi-step conversion (product-analytics verb)
+
+
+def funnel_conversions(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """How many users complete each prefix of an ordered event funnel:
+    t₀ = first ``steps[0]``, t₁ = first ``steps[1]`` AFTER t₀ (strictly),
+    and so on — the classic conversion-funnel verb. Partitioning contract
+    (the ``sessionize`` one): a user's chain is computed where the user's
+    events co-reside, so ONE user_id exchange of the step-filtered events
+    resolves every chain; only |steps| × n_parts count partials leave."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def rows(t: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(
+            t["event_type"], value_set=pa.array(list(steps))
+        )
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy()
+        sidx = (
+            t["event_type"].to_pandas().map(step_idx).to_numpy(np.int64)
+        )
+        return pa.table(
+            {
+                "part": pa.array((uid % n_parts).astype(np.int64), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "step": pa.array(sidx, pa.int64()),
+                "ts_us": pa.array(
+                    t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def chain(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        counts = np.zeros(len(steps), np.int64)
+        # step 0: per-user min; step k: per-user min of step-k ts strictly
+        # after the user's step-(k-1) time — all vectorized group folds
+        cur = (
+            df[df["step"] == 0].groupby("user_id", sort=False)["ts_us"].min()
+        )
+        counts[0] = len(cur)
+        for k in range(1, len(steps)):
+            sk = df[df["step"] == k].merge(
+                cur.rename("prev"), left_on="user_id", right_index=True
+            )
+            sk = sk[sk["ts_us"] > sk["prev"]]
+            cur = sk.groupby("user_id", sort=False)["ts_us"].min()
+            counts[k] = len(cur)
+        return pa.table(
+            {
+                "step": pa.array(np.arange(len(steps), dtype=np.int64)),
+                "n_p": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(chain, batch_format="pyarrow")
+        .groupby("step")
+        .aggregate(Sum("n_p", alias_name="n_users"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("step", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "step_idx": df["step"].astype("int64"),
+                "step": [steps[i] for i in df["step"]],
+                "n_users": df["n_users"].astype("int64"),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def funnel_conversions_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> str:
+    ctes, prev = [], None
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, MIN(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+                f"JOIN s{i-1} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY 1)"
+            )
+        prev = i
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step_idx, '{s}' AS step, "
+        f"COUNT(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+# ---------------------------------------------------------------------------
+# gap-filled time spine — dense tumbling windows with zero fill
+
+
+def hourly_event_counts_dense(sf_dir: str) -> rd.Dataset:
+    """Hourly TOTAL event counts over the FULL [first, last] hour range,
+    zeros included — the "date spine" verb (dashboards and window models
+    need the gaps, a plain groupby silently drops them). The corpus-sized
+    work is the same hour-partial combiner as ``hourly_event_counts``; the
+    spine materializes only at the finish over the AGGREGATED hour rows
+    (bounded by the time range, not the event count), and its [min, max]
+    comes from that aggregate itself — no extra scan."""
+    ds = _read_events(sf_dir, ["ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour_i = t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        u, c = np.unique(hour_i, return_counts=True)
+        return pa.table(
+            {"hour_i": pa.array(u, pa.int64()),
+             "n_p": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour_i")
+        .aggregate(Sum("n_p", alias_name="n_events"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(df["hour_i"].min()), int(df["hour_i"].max())
+        spine = pd.DataFrame({"hour_i": np.arange(lo, hi + 1, dtype=np.int64)})
+        m = spine.merge(df, on="hour_i", how="left")
+        hour_s = pd.to_datetime(
+            m["hour_i"].to_numpy().astype("datetime64[h]")
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        return pd.DataFrame(
+            {
+                "hour": hour_s,
+                "n_events": m["n_events"].fillna(0).astype("int64"),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+HOURLY_DENSE_SQL = """
+WITH c AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1
+),
+spine AS (
+    SELECT unnest(generate_series(
+        (SELECT MIN(h) FROM c), (SELECT MAX(h) FROM c), INTERVAL 1 HOUR
+    )) AS h
+)
+SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(c.n, 0)::BIGINT AS n_events
+FROM spine LEFT JOIN c USING (h)
+"""
