@@ -2587,11 +2587,27 @@ def train_doc_classifier(
     docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
     w = np.zeros(dim + 1, np.int64)
 
+    # featurize ONCE: tokenize+hash is the per-superstep hot spot, and the
+    # features never change across iterations — materialize the slim
+    # (ids, counts, y) table and let the R supersteps scan THAT instead of
+    # re-tokenizing the corpus R times (measured 4.5 s → ~1.5 s at sf0.1)
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        ic = _hashed_counts(df["text"], dim)
+        return pd.DataFrame(
+            {
+                "ids": [i for i, _ in ic],
+                "cnts": [c for _, c in ic],
+                "y": (df["lang"] == label_lang).to_numpy(np.int64),
+            }
+        )
+
+    feats = docs.map_batches(featurize, batch_format="pandas").materialize()
+
     def make_partial(w_ref):
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             cur = _ray.get(w_ref) if isinstance(w_ref, _ray.ObjectRef) else w_ref
-            ic = _hashed_counts(df["text"], dim)
-            ys = (df["lang"] == label_lang).to_numpy(np.int64)
+            ic = list(zip(df["ids"], df["cnts"]))
+            ys = df["y"].to_numpy(np.int64)
             grad = _lr_step_partial(ic, ys, cur, dim + 1, W_SCALE)
             return pd.DataFrame(
                 {"feature": np.arange(dim + 1, dtype=np.int64), "g": grad}
@@ -2602,7 +2618,7 @@ def train_doc_classifier(
     for _ in range(n_iters):
         ref = _ray.put(w)
         agg = (
-            docs.map_batches(make_partial(ref), batch_format="pandas")
+            feats.map_batches(make_partial(ref), batch_format="pandas")
             .to_pandas()  # dim rows per block — O(dim × blocks) driver fold
             .groupby("feature", sort=True)["g"]
             .sum()
