@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 131 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 111 have a DuckDB twin in
+``queries()`` exposes 132 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 112 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_merge": dedup.snapshot_merge,
         # RANK/DENSE_RANK with real ties (one p_type exchange)
         "part_size_ranks": relational.part_size_ranks,
+        # PERCENT_RANK/CUME_DIST (normalized rank family, same exchange)
+        "part_size_percentiles": relational.part_size_percentiles,
         # BFS hop distances (frontier-expansion BSP; 5th graph verb)
         "doc_link_distances": clusters.doc_link_distances,
         # anchor-text aggregation: per-target in-link anchor profiles
@@ -460,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_window": layout.EVENTS_USER_WINDOW_SQL,
         "snapshot_merge": dedup.SNAPSHOT_MERGE_SQL,
         "part_size_ranks": relational.PART_SIZE_RANKS_SQL,
+        "part_size_percentiles": relational.PART_SIZE_PERCENTILES_SQL,
         "doc_link_distances": clusters.doc_link_distances_sql(),
         "anchor_text_profiles": clusters.ANCHOR_TEXT_PROFILES_SQL,
         "local_supplier_volume": joins.LOCAL_SUPPLIER_VOLUME_SQL,

@@ -136,6 +136,7 @@ QUERY_NAMES = [
     "image_aspect_buckets",
     "hourly_event_counts_dense",
     "funnel_conversions",
+    "part_size_percentiles",
 ]
 
 

@@ -1891,3 +1891,59 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)
 """
+
+
+def part_size_percentiles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """``PERCENT_RANK()`` and ``CUME_DIST() OVER (PARTITION BY p_type
+    ORDER BY p_size)`` — the normalized window verbs completing the rank
+    family (``part_size_ranks``). Same ONE p_type-hash exchange + order
+    statistics; both outputs are a division of two exact small integers,
+    evaluated with the identical float64 expression the oracle uses
+    ((rank−1)/(n−1), count≤/n), so values are bit-stable. Single-row
+    groups take PERCENT_RANK = 0 (the SQL definition for n = 1)."""
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (
+            pd.util.hash_array(df["p_type"].to_numpy(object)) % n_parts
+        ).astype(np.int64)
+        return df
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_type", "p_size"]
+    ).map_batches(add_part, batch_format="pandas")
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("p_type", sort=False):
+            v = grp["p_size"].to_numpy(np.int64)
+            n = len(v)
+            sv = np.sort(v)
+            rnk = np.searchsorted(sv, v, side="left") + 1
+            le = np.searchsorted(sv, v, side="right")
+            pr = (
+                (rnk - 1) / float(n - 1)
+                if n > 1
+                else np.zeros(n, np.float64)
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "p_partkey": grp["p_partkey"].to_numpy(np.int64),
+                        "p_type": grp["p_type"].to_numpy(),
+                        "p_size": v,
+                        "pct_rank": np.asarray(pr, np.float64),
+                        "cume_dist": le / float(n),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return part.groupby("part").map_groups(pct, batch_format="pandas")
+
+
+PART_SIZE_PERCENTILES_SQL = """
+SELECT p_partkey, p_type, p_size::BIGINT AS p_size,
+       PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_size) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY p_type ORDER BY p_size) AS cume_dist
+FROM part
+"""
