@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 132 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 112 have a DuckDB twin in
+``queries()`` exposes 137 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 117 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -141,6 +141,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_supplier_counts": joins.waiting_supplier_counts,
         # TPC-H Q22 shape: scalar-subquery threshold + anti join per nation
         "dormant_customer_balance": joins.dormant_customer_balance,
+        # TPC-H Q3 shape: segment gate + unshipped-revenue top-k
+        "shipping_priority_orders": joins.shipping_priority_orders,
+        # TPC-H Q13 shape: order-count distribution with zero fill
+        "order_count_distribution": joins.order_count_distribution,
+        # TPC-H Q15 shape: windowed supplier revenue argmax keeping ties
+        "top_revenue_suppliers": joins.top_revenue_suppliers,
+        # TPC-H Q6 shape: zero-exchange forecast scan
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        # TPC-H Q14 shape: promo share per month (broadcast part probe)
+        "promo_revenue_share": relational.promo_revenue_share,
         # TPC-H Q17 shape: correlated per-part average, decorrelated into
         # one partkey co-location fold (integer cross-multiply predicate)
         "small_qty_part_revenue": relational.small_qty_part_revenue,
@@ -472,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
         "waiting_supplier_counts": joins.waiting_supplier_counts_sql(),
         "dormant_customer_balance": joins.dormant_customer_balance_sql(),
         "small_qty_part_revenue": relational.small_qty_part_revenue_sql(),
+        "shipping_priority_orders": joins.shipping_priority_orders_sql(),
+        "order_count_distribution": joins.ORDER_COUNT_DISTRIBUTION_SQL,
+        "top_revenue_suppliers": joins.top_revenue_suppliers_sql(),
+        "forecast_revenue_change": relational.FORECAST_REVENUE_SQL,
+        "promo_revenue_share": relational.promo_revenue_share_sql(),
         "brand_size_quantity_revenue": relational.BRAND_SIZE_QTY_REVENUE_SQL,
         "lineitem_price_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "lineitem_price_percentiles_cont": relational.LINEITEM_PCT_CONT_SQL,

@@ -137,6 +137,11 @@ QUERY_NAMES = [
     "hourly_event_counts_dense",
     "funnel_conversions",
     "part_size_percentiles",
+    "shipping_priority_orders",
+    "order_count_distribution",
+    "top_revenue_suppliers",
+    "forecast_revenue_change",
+    "promo_revenue_share",
 ]
 
 

@@ -2364,3 +2364,346 @@ def salted_partitioned_hash_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-k — segment-filtered customer gate,
+# unshipped-revenue fold per order
+
+
+def shipping_priority_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    date: str = "1997-01-01",
+    k: int = 10,
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """Top-``k`` orders by outstanding revenue: customer in ``segment``,
+    order placed BEFORE ``date``, line items shipping AFTER it (TPC-H Q3;
+    the reference schema has no o_shippriority, so o_orderpriority is
+    reported instead). Two exchanges: segment-filtered customers join
+    date-filtered orders on custkey, the (orderkey, odate, opriority)
+    stream joins post-date lineitem revenue combiners on orderkey;
+    deterministic top-k = (revenue DESC, orderkey ASC) over exact
+    integers, per-partition prefilter then one bounded driver fold."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    cut = np.datetime64(date)
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        target_rows_per_block=4096,
+    )
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], segment))
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+                "priority": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        target_rows_per_block=4096,
+    )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        t = t.filter(pa.array(d < cut))
+        ck = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "priority": t["o_orderpriority"],
+            }
+        )
+
+    def merge_custkey(g: pa.Table) -> pa.Table:
+        is_c = pc.is_valid(g["o_orderkey"])
+        og = g.filter(is_c).select(
+            ["key", "o_orderkey", "o_orderdate", "priority"]
+        ).to_pandas()
+        cg = g.filter(pc.invert(is_c)).select(["key"]).to_pandas()
+        m = og.merge(cg, on="key", how="inner")
+        ok = m["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ok % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ok, pa.int64()),
+                "o_orderdate": pa.array(m["o_orderdate"], pa.timestamp("us")),
+                "priority": pa.array(m["priority"], pa.string()),
+                "rev": pa.nulls(len(m), pa.float64()),
+            }
+        )
+
+    o_c = (
+        cust.map_batches(c_rows, batch_format="pyarrow")
+        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_custkey, batch_format="pyarrow")
+    )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        target_rows_per_block=4096,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy()
+        t = t.filter(pa.array(d > cut))
+        rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
+            (1.0 - t["l_discount"].to_numpy()) * 100.0
+        )
+        df = pd.DataFrame({"key": t["l_orderkey"].to_numpy(), "rev": rev})
+        out = df.groupby("key", sort=False)["rev"].sum().reset_index()
+        key = out["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "o_orderdate": pa.nulls(len(out), pa.timestamp("us")),
+                "priority": pa.nulls(len(out), pa.string()),
+                "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    def merge_orderkey(g: pa.Table) -> pa.Table:
+        is_li = pc.is_valid(g["rev"])
+        lg = g.filter(is_li).select(["key", "rev"]).to_pandas()
+        og = g.filter(pc.invert(is_li)).select(
+            ["key", "o_orderdate", "priority"]
+        ).to_pandas()
+        agg = lg.groupby("key", sort=False)["rev"].sum().reset_index()
+        m = og.merge(agg, on="key", how="inner")
+        m = m.sort_values(
+            ["rev", "key"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    folded = (
+        o_c.union(li.map_batches(li_partial, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge_orderkey, batch_format="pyarrow")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["rev", "key"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["key"].astype("int64"),
+                "revenue": (df["rev"] / 10000.0).round(2),
+                "o_orderdate": df["o_orderdate"],
+                "o_orderpriority": df["priority"],
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def shipping_priority_orders_sql(
+    segment: str = "BUILDING", date: str = "1997-01-01", k: int = 10
+) -> str:
+    return f"""
+SELECT l_orderkey,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+             / 10000.0, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{date}'
+  AND l_shipdate  > TIMESTAMP '{date}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+         DESC, l_orderkey
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution — a two-level aggregate
+# where the SECOND groupby key is the FIRST aggregate's value
+
+
+def order_count_distribution(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """How many customers placed exactly N orders, for every N including 0
+    (TPC-H Q13). One custkey exchange: per-block per-custkey order-count
+    combiners ∪ bare customer keys; each partition zero-fills its
+    customers and emits a per-count distribution PARTIAL, so the second
+    aggregate's exchange is |distinct counts| × n_parts rows."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        target_rows_per_block=4096,
+    )
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "n_p": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        target_rows_per_block=4096,
+    )
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        ck, cnt = np.unique(t["o_custkey"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(ck, pa.int64()),
+                "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        is_c = df["n_p"].isna()
+        per_cust = (
+            df[~is_c].groupby("key", sort=False)["n_p"].sum()
+        )
+        all_keys = df[is_c]["key"]
+        counts = per_cust.reindex(all_keys, fill_value=0).astype(np.int64)
+        dist = counts.value_counts()
+        return pa.table(
+            {
+                "c_count": pa.array(dist.index.to_numpy(np.int64), pa.int64()),
+                "d_p": pa.array(dist.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        cust.map_batches(c_rows, batch_format="pyarrow")
+        .union(orders.map_batches(o_partial, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("d_p", alias_name="custdist"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "c_count": df["c_count"].astype("int64"),
+                "custdist": df["custdist"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by windowed revenue — aggregate + global
+# argmax KEEPING TIES (exact integers make the tie test trustworthy)
+
+
+def top_revenue_suppliers(
+    sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-04-01"
+) -> rd.Dataset:
+    """Every supplier achieving the MAXIMUM revenue over the ship-date
+    window (TPC-H Q15 — the view + WHERE total = MAX(total) shape; exact
+    integer revenue makes tie detection deterministic where float sums
+    would flap). Per-block (suppkey, rev) combiners → one slim suppkey
+    fold (supplier-cardinality exchange) → bounded driver argmax-with-ties
+    + broadcast name attach."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    d_lo, d_hi = np.datetime64(lo), np.datetime64(hi)
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        target_rows_per_block=4096,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy()
+        t = t.filter(pa.array((d >= d_lo) & (d < d_hi)))
+        rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
+            (1.0 - t["l_discount"].to_numpy()) * 100.0
+        )
+        df = pd.DataFrame({"supp": t["l_suppkey"].to_numpy(), "rev": rev})
+        out = df.groupby("supp", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {
+                "supp": pa.array(out["supp"].to_numpy(np.int64), pa.int64()),
+                "rev": pa.array(out["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby(
+        "supp"
+    ).aggregate(Sum("rev", alias_name="total"))
+
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        best = df["total"].max()
+        top = df[df["total"] == best].copy()  # exact ints: safe tie test
+        m = top.merge(sup, left_on="supp", right_on="s_suppkey", how="left")
+        m = m.sort_values("s_suppkey", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "s_suppkey": m["s_suppkey"].astype("int64"),
+                "s_name": m["s_name"],
+                "total_revenue": (m["total"] / 10000.0).round(2),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def top_revenue_suppliers_sql(lo: str = "1996-01-01", hi: str = "1996-04-01") -> str:
+    return f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
+               AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, ROUND(total / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total = (SELECT MAX(total) FROM rev)
+"""

@@ -1947,3 +1947,167 @@ SELECT p_partkey, p_type, p_size::BIGINT AS p_size,
        CUME_DIST() OVER (PARTITION BY p_type ORDER BY p_size) AS cume_dist
 FROM part
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the forecasting-change scan — pure filter + one global sum
+
+
+def forecast_revenue_change(sf_dir: str) -> rd.Dataset:
+    """Revenue that would vanish if 1996 discounts of 5-7% on sub-24-unit
+    lines were eliminated: ``SUM(price × discount)`` under the triple
+    filter (TPC-H Q6). Zero exchanges: per-block exact 1e-4-unit partials
+    (the discount band test runs on integer cents — no float BETWEEN
+    edge), one bounded fold. The read prunes to the four needed columns."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        target_rows_per_block=4096,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy()
+        disc_c = np.round(t["l_discount"].to_numpy() * 100.0)
+        keep = (
+            (d >= lo) & (d < hi)
+            & (disc_c >= 5) & (disc_c <= 7)
+            & (t["l_quantity"].to_numpy() < 24)
+        )
+        price_c = np.round(t["l_extendedprice"].to_numpy()[keep] * 100.0)
+        rev = price_c * disc_c[keep]
+        return pa.table({"rev_p": pa.array([float(rev.sum())], pa.float64())})
+
+    folded = li.map_batches(partial, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"revenue": [round(float(df["rev_p"].sum()) / 10000.0, 2)]}
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND(l_discount * 100))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND ROUND(l_discount * 100) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per month — a ratio of two exact
+# integer folds under a broadcast part-attribute probe, zero fact exchanges
+
+
+def promo_revenue_share(sf_dir: str, year: int = 1996) -> rd.Dataset:
+    """Per ship-month of ``year``, the percentage of revenue from PROMO
+    parts (TPC-H Q14). The part attribute is a slim (partkey → is_promo)
+    broadcast probe (sorted-array searchsorted; an open part vocabulary
+    would switch to a partitioned join — the doc_top_tfidf guard
+    pattern); each block folds [promo, total] exact integer partials per
+    month, the exchange is 12 × blocks slim rows, and the only float op
+    is the final ratio — the oracle's exact arithmetic."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas().sort_values("p_partkey")
+    bc = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            (part["p_type"] == "PROMO").to_numpy(),
+        )
+    )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        target_rows_per_block=4096,
+    )
+
+    class Partial:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys, self._promo = (
+                    ray.get(self.ref)
+                    if isinstance(self.ref, ray.ObjectRef)
+                    else self.ref
+                )
+            d = t["l_shipdate"].to_numpy()
+            t = t.filter(pa.array((d >= lo) & (d < hi)))
+            pk = t["l_partkey"].to_numpy()
+            pos = np.searchsorted(self._keys, pk)
+            pos = np.clip(pos, 0, len(self._keys) - 1)
+            is_promo = self._promo[pos] & (self._keys[pos] == pk)
+            month = (
+                t["l_shipdate"].to_numpy().astype("datetime64[M]")
+                .astype(np.int64) % 12 + 1
+            )
+            rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
+                (1.0 - t["l_discount"].to_numpy()) * 100.0
+            )
+            df = pd.DataFrame(
+                {
+                    "month": month,
+                    "promo": np.where(is_promo, rev, 0.0),
+                    "total": rev,
+                }
+            )
+            out = df.groupby("month", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        li.map_batches(Partial(bc), batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("promo", alias_name="promo_f"), Sum("total", alias_name="total_f")
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("month", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "l_month": df["month"].astype("int64"),
+                "promo_share": (100.0 * df["promo_f"] / df["total_f"]).round(6),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def promo_revenue_share_sql(year: int = 1996) -> str:
+    return f"""
+SELECT EXTRACT(month FROM l_shipdate)::BIGINT AS l_month,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)
+                 ELSE 0 END)
+             / SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)),
+             6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate <  TIMESTAMP '{year + 1}-01-01'
+GROUP BY 1
+"""
