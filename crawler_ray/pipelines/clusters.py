@@ -1750,3 +1750,148 @@ SELECT dst AS doc_id, tot::BIGINT AS in_links,
        anchor AS top_anchor, c AS top_anchor_n
 FROM ranked WHERE rn = 1
 """
+
+
+def pagerank_over_edges(
+    edges: rd.Dataset,
+    nodes: rd.Dataset,
+    n_iters: int = 5,
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """Fixed-point PageRank over an ARBITRARY edge table — the general
+    form ``doc_link_pagerank``'s docstring promises ("a real link graph
+    replaces ``_succ`` with an edges Dataset and one partitioned hash join
+    per superstep — the fold/fixed-point machinery is unchanged"). Tests
+    assert the two are BIT-IDENTICAL on the same graph.
+
+    ``edges``: (src int64, dst int64) rows; ``nodes``: (node int64) — the
+    rank domain (keeps in-link-less and dangling nodes alive; dangling
+    rank evaporates, exactly like the closed-form version's ``deg = 0``).
+
+    Per superstep, TWO exchanges (the price of real edges over a derived
+    successor function): a src-hash tagged-union join attaching each
+    edge's source rank, then the dst-hash contribution fold. The edge
+    table is augmented ONCE with its out-degree (one src exchange) and
+    materialized; rank state lives in the object store between
+    supersteps. Same int64 fixed point as ``doc_link_pagerank``:
+    r' = 0.15·SCALE + 85·Σ(r//deg) // 100."""
+    SCALE = np.int64(1_000_000_000)
+
+    # out-degree attach, ONCE: per-block (src, deg) combiners → src fold →
+    # rejoin the edges in the same exchange (tagged union)
+    def e_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((src % n_parts), pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": t["dst"].cast(pa.int64()),
+            }
+        )
+
+    def deg_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        deg = df.groupby("src", sort=False)["dst"].size().rename("deg")
+        out = df.join(deg, on="src")
+        return pa.table(
+            {
+                "src": pa.array(out["src"].to_numpy(np.int64), pa.int64()),
+                "dst": pa.array(out["dst"].to_numpy(np.int64), pa.int64()),
+                "deg": pa.array(out["deg"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    edges_deg = (
+        edges.map_batches(e_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(deg_fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "r": pa.array(
+                    np.full(t.num_rows, SCALE, np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((src % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(src, pa.int64()),
+                "dst": t["dst"],
+                "deg": t["deg"],
+                "r": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((node % n_parts).astype(np.int64), pa.int64()),
+                "key": pa.array(node, pa.int64()),
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "deg": pa.nulls(t.num_rows, pa.int64()),
+                "r": t["r"],
+            }
+        )
+
+    def contribs(g: pa.Table) -> pa.Table:
+        is_r = pc.is_valid(g["r"])
+        rg = g.filter(is_r).select(["key", "r"]).to_pandas()
+        eg = g.filter(pc.invert(is_r)).select(["key", "dst", "deg"]).to_pandas()
+        m = eg.merge(rg, on="key", how="inner")
+        dst = np.concatenate(
+            [m["dst"].to_numpy(np.int64), rg["key"].to_numpy(np.int64)]
+        )
+        # per-edge share r // deg, plus zero self-rows keeping every node
+        # (dangling included) in the fold — identical to the closed form
+        c = np.concatenate(
+            [
+                m["r"].to_numpy(np.int64) // m["deg"].to_numpy(np.int64),
+                np.zeros(len(rg), np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "part": pa.array((dst % n_parts).astype(np.int64), pa.int64()),
+                "node": pa.array(dst, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        s = df.groupby("node", sort=False)["c"].sum()
+        newr = 150_000_000 + (np.int64(85) * s.to_numpy(np.int64)) // 100
+        return pa.table(
+            {
+                "node": pa.array(s.index.to_numpy(np.int64), pa.int64()),
+                "r": pa.array(newr, pa.int64()),
+            }
+        )
+
+    tagged_edges = edges_deg.map_batches(tag_edges, batch_format="pyarrow")
+    for _ in range(n_iters):
+        ranks = (
+            tagged_edges.union(
+                ranks.map_batches(tag_ranks, batch_format="pyarrow")
+            )
+            .groupby("part")
+            .map_groups(contribs, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rank_scaled": t["r"]}),
+        batch_format="pyarrow",
+    )
