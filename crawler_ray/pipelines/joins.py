@@ -608,6 +608,81 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def _bloom_ref_from_keys(ds: rd.Dataset, col: str, cap: int | None = None):
+    """OR-fold per-block Bloom partials over ``ds[col]`` (slim, already
+    filtered) and ``ray.put`` the packed state — the build half of the
+    bloom-semi-join shape (``orders_from_event_users``), factored so any
+    fact-vs-filtered-dim exchange can prefilter its probe side. Only
+    fixed-size bit arrays reach the driver.
+
+    Pass ``cap`` (an upper bound, e.g. the dim table's footer row count)
+    to size the filter without a counting pass — oversizing only wastes
+    bits (at 10^10-key scale, size from a selectivity estimate instead)."""
+    from crawler_ray.state.filters import BloomFilter
+
+    if cap is None:
+        ds = ds.materialize()
+        cap = int(ds.count())
+    cap = max(1024, cap)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        f = BloomFilter(cap)
+        f.add(_splitmix64(t[col].to_numpy()))
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(block_bloom, batch_format="pyarrow").to_pandas()
+    bloom = BloomFilter(cap)
+    for b in parts["bits"]:
+        bloom.bits |= np.frombuffer(b, dtype=np.uint8)
+    return ray.put(bloom.state())
+
+
+class _BloomGate:
+    """Lazy per-worker bloom membership test over one int64 column —
+    resolve the broadcast state once per task/actor, filter each batch."""
+
+    def __init__(self, ref, col: str):
+        self.ref = ref
+        self.col = col
+        self._f = None
+
+    def keep(self, t: pa.Table) -> pa.Table:
+        if self.ref is None:  # gate disabled (below the bloom crossover)
+            return t
+        import ray as _ray
+
+        from crawler_ray.state.filters import BloomFilter
+
+        if self._f is None:
+            st = (
+                _ray.get(self.ref)
+                if isinstance(self.ref, _ray.ObjectRef)
+                else self.ref
+            )
+            self._f = BloomFilter.from_state(st)
+        keys = t[self.col].to_numpy()
+        return t.filter(pa.array(self._f.contains(_splitmix64(keys))))
+
+
+# bloom-prefilter crossover: the build's materialize gates the probe stream
+# (breaks read/shuffle pipelining), so on small facts it costs more than
+# the saved exchange; measured at sf0.1 (150k orders) bloom LOSES ~0.6 s
+# per query, and wins once the probe fact is ~10x that. Auto mode turns it
+# on when the probe side's footer row count clears this bar.
+BLOOM_PROBE_CROSSOVER_ROWS = 1_500_000
+
+
+def _want_bloom(flag: bool | None, probe_parquet: str) -> bool:
+    if flag is not None:
+        return flag
+    import pyarrow.parquet as pq_
+
+    return (
+        pq_.ParquetFile(probe_parquet).metadata.num_rows
+        >= BLOOM_PROBE_CROSSOVER_ROWS
+    )
+
+
 class _BloomProbe:
     """Task-mode bloom prefilter: the packed bit array ships once via
     ``ray.put`` and is resolved lazily per worker (the BroadcastJoiner
@@ -1309,6 +1384,7 @@ def nation_trade_flows(
     nat_a: str = "NATION_12",
     nat_b: str = "NATION_11",
     n_parts: int = 32,
+    bloom_prefilter: bool | None = None,
 ) -> rd.Dataset:
     """Revenue shipped between two nations per direction per ship-year
     (TPC-H Q7 shape). Reference parity: the reference's report joins are
@@ -1355,23 +1431,6 @@ def nation_trade_flows(
         )
     )
 
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"],
-        target_rows_per_block=4096,
-    )
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ck = t["o_custkey"].to_numpy()
-        return pa.table(
-            {
-                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
-                "key": pa.array(ck, pa.int64()),
-                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-                "c_nat": pa.nulls(t.num_rows, pa.int64()),
-            }
-        )
-
     cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey"],
@@ -1390,6 +1449,45 @@ def nation_trade_flows(
                 "c_nat": t["c_nationkey"].cast(pa.int64()),
             }
         )
+
+    # bloom-prefilter the orders probe: only ~2/|nations| of customers
+    # qualify, so shipping every order through the custkey exchange wastes
+    # the dominant shuffle at scale — the bloom (no false negatives; the
+    # in-partition merge stays exact) cuts it to ~matching + ε·FP rows.
+    # Auto mode (``_want_bloom``): the build's materialize gates the probe
+    # stream, so below the measured crossover the gate is skipped. When
+    # on: the filtered dim materializes ONCE (it is the c_rows stream
+    # too) and the filter is capacity-sized from the parquet footer.
+    if _want_bloom(bloom_prefilter, f"{sf_dir}/orders.parquet"):
+        cust_f = cust.map_batches(c_rows, batch_format="pyarrow").materialize()
+        cap = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        bloom_ref = _bloom_ref_from_keys(cust_f, "key", cap=cap)
+    else:
+        cust_f = cust.map_batches(c_rows, batch_format="pyarrow")
+        bloom_ref = None
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        target_rows_per_block=4096,
+    )
+
+    class ORows(_BloomGate):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = self.keep(t)
+            ck = t["o_custkey"].to_numpy()
+            return pa.table(
+                {
+                    "part": pa.array(
+                        (ck % n_parts).astype(np.int64), pa.int64()
+                    ),
+                    "key": pa.array(ck, pa.int64()),
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "c_nat": pa.nulls(t.num_rows, pa.int64()),
+                }
+            )
+
+    o_rows = ORows(bloom_ref, "o_custkey")
 
     def merge_custkey(g: pa.Table) -> pa.Table:
         is_c = pc.is_valid(g["c_nat"])
@@ -1410,7 +1508,7 @@ def nation_trade_flows(
 
     o_c = (
         orders.map_batches(o_rows, batch_format="pyarrow")
-        .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+        .union(cust_f)
         .groupby("part")
         .map_groups(merge_custkey, batch_format="pyarrow")
     )
@@ -1553,6 +1651,7 @@ def nation_market_share(
     region: str = "AMERICA",
     target: str = "NATION_1",
     n_parts: int = 32,
+    bloom_prefilter: bool | None = None,
 ) -> rd.Dataset:
     """Per order-year, the fraction of in-region customers' purchase revenue
     supplied by ``target`` (TPC-H Q8 shape). The share is a ratio of two
@@ -1606,30 +1705,6 @@ def nation_market_share(
         )
     )
 
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        target_rows_per_block=4096,
-    )
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        d = t["o_orderdate"].to_numpy()
-        t = t.filter(pa.array((d >= lo) & (d < hi)))
-        ck = t["o_custkey"].to_numpy()
-        year = (
-            t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
-            + 1970
-        )
-        return pa.table(
-            {
-                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
-                "key": pa.array(ck, pa.int64()),
-                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-                "year": pa.array(year, pa.int64()),
-                "is_cust": pa.nulls(t.num_rows, pa.bool_()),
-            }
-        )
-
     cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey"],
@@ -1649,6 +1724,46 @@ def nation_market_share(
                 "is_cust": pa.array(np.ones(t.num_rows, bool), pa.bool_()),
             }
         )
+
+    # bloom-prefilter the orders probe to in-region customers (the
+    # nation_trade_flows rationale + the same measured crossover gate)
+    if _want_bloom(bloom_prefilter, f"{sf_dir}/orders.parquet"):
+        cust_f = cust.map_batches(c_rows, batch_format="pyarrow").materialize()
+        cap = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        bloom_ref = _bloom_ref_from_keys(cust_f, "key", cap=cap)
+    else:
+        cust_f = cust.map_batches(c_rows, batch_format="pyarrow")
+        bloom_ref = None
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        target_rows_per_block=4096,
+    )
+
+    class ORows(_BloomGate):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t["o_orderdate"].to_numpy()
+            t = t.filter(pa.array((d >= lo) & (d < hi)))
+            t = self.keep(t)
+            ck = t["o_custkey"].to_numpy()
+            year = (
+                t["o_orderdate"].to_numpy().astype("datetime64[Y]")
+                .astype(np.int64) + 1970
+            )
+            return pa.table(
+                {
+                    "part": pa.array(
+                        (ck % n_parts).astype(np.int64), pa.int64()
+                    ),
+                    "key": pa.array(ck, pa.int64()),
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "year": pa.array(year, pa.int64()),
+                    "is_cust": pa.nulls(t.num_rows, pa.bool_()),
+                }
+            )
+
+    o_rows = ORows(bloom_ref, "o_custkey")
 
     def merge_custkey(g: pa.Table) -> pa.Table:
         is_c = pc.is_valid(g["is_cust"])
@@ -1670,7 +1785,7 @@ def nation_market_share(
 
     o_c = (
         orders.map_batches(o_rows, batch_format="pyarrow")
-        .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+        .union(cust_f)
         .groupby("part")
         .map_groups(merge_custkey, batch_format="pyarrow")
     )
@@ -2377,6 +2492,7 @@ def shipping_priority_orders(
     date: str = "1997-01-01",
     k: int = 10,
     n_parts: int = 32,
+    bloom_prefilter: bool | None = None,
 ) -> rd.Dataset:
     """Top-``k`` orders by outstanding revenue: customer in ``segment``,
     order placed BEFORE ``date``, line items shipping AFTER it (TPC-H Q3;
@@ -2409,25 +2525,43 @@ def shipping_priority_orders(
             }
         )
 
+    # bloom-prefilter the orders probe to the segment's customers
+    # (same measured crossover gate as nation_trade_flows)
+    import pyarrow.parquet as pq_
+
+    if _want_bloom(bloom_prefilter, f"{sf_dir}/orders.parquet"):
+        cust_f = cust.map_batches(c_rows, batch_format="pyarrow").materialize()
+        cap = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        bloom_ref = _bloom_ref_from_keys(cust_f, "key", cap=cap)
+    else:
+        cust_f = cust.map_batches(c_rows, batch_format="pyarrow")
+        bloom_ref = None
+
     orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         target_rows_per_block=4096,
     )
 
-    def o_rows(t: pa.Table) -> pa.Table:
-        d = t["o_orderdate"].to_numpy()
-        t = t.filter(pa.array(d < cut))
-        ck = t["o_custkey"].to_numpy()
-        return pa.table(
-            {
-                "part": pa.array((ck % n_parts).astype(np.int64), pa.int64()),
-                "key": pa.array(ck, pa.int64()),
-                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-                "o_orderdate": t["o_orderdate"],
-                "priority": t["o_orderpriority"],
-            }
-        )
+    class ORows(_BloomGate):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t["o_orderdate"].to_numpy()
+            t = t.filter(pa.array(d < cut))
+            t = self.keep(t)
+            ck = t["o_custkey"].to_numpy()
+            return pa.table(
+                {
+                    "part": pa.array(
+                        (ck % n_parts).astype(np.int64), pa.int64()
+                    ),
+                    "key": pa.array(ck, pa.int64()),
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "o_orderdate": t["o_orderdate"],
+                    "priority": t["o_orderpriority"],
+                }
+            )
+
+    o_rows = ORows(bloom_ref, "o_custkey")
 
     def merge_custkey(g: pa.Table) -> pa.Table:
         is_c = pc.is_valid(g["o_orderkey"])
@@ -2448,8 +2582,7 @@ def shipping_priority_orders(
         )
 
     o_c = (
-        cust.map_batches(c_rows, batch_format="pyarrow")
-        .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+        cust_f.union(orders.map_batches(o_rows, batch_format="pyarrow"))
         .groupby("part")
         .map_groups(merge_custkey, batch_format="pyarrow")
     )

@@ -339,3 +339,21 @@ def test_salted_join_rejects_outer(ray_session):
         joins.salted_partitioned_hash_join(
             rd.from_pandas(left), rd.from_pandas(right), "k", how="outer"
         )
+
+
+def test_bloom_prefilter_on_off_identical(ray_session):
+    """The bloom gate is an exchange-volume optimization only: forced ON
+    vs forced OFF must produce identical rows (no false negatives; FPs die
+    in the exact in-partition merge)."""
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        joins.nation_trade_flows,
+        joins.nation_market_share,
+        joins.shipping_priority_orders,
+    ):
+        on = fn(sf, bloom_prefilter=True).to_pandas()
+        off = fn(sf, bloom_prefilter=False).to_pandas()
+        cols = sorted(on.columns)
+        on = on[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        off = off[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(on, off)
