@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 137 pipelines over the driver testdata (one entry per
+``queries()`` exposes 138 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 117 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -55,7 +55,7 @@ folds, Q17's correlated per-part average decorrelated into one partkey
 co-location fold, Q18 grouped-HAVING volume top-k, Q19's disjunctive
 predicate as a zero-exchange broadcast filter-scan, Q21 sole-late-supplier
 per-order set logic, and Q22's scalar-threshold anti join per nation). The
-genuinely non-SQL-expressible twenty get the weaker rows-only driver check
+genuinely non-SQL-expressible twenty-one get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -247,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style unigram LM fluency gate (integer floor-log2 exact)
         "doc_lm_scores": textops.doc_lm_scores,
         "doc_bpe_token_count": textops.doc_bpe_token_count,
+        # tokenizer TRAINING: distributed BPE merge learning over the
+        # distinct-word table (rows-only: iterative — merge list equal to
+        # the single-node Sennrich reference in tests)
+        "bpe_learn_merges": textops.bpe_learn_merges,
         "doc_fingerprints": textops.doc_fingerprints,  # rows-only
         "doc_repetition_metrics": textops.doc_repetition_metrics,
         "doc_benchmark_overlap": textops.doc_benchmark_overlap,

@@ -142,6 +142,7 @@ QUERY_NAMES = [
     "top_revenue_suppliers",
     "forecast_revenue_change",
     "promo_revenue_share",
+    "bpe_learn_merges",
 ]
 
 

@@ -2656,3 +2656,159 @@ def train_doc_classifier_reference(
         grad = _lr_step_partial(ic, ys, w, dim + 1, W_SCALE)
         w = w - (grad * np.int64(lr_num)) // (np.int64(n) * np.int64(lr_den))
     return w
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING (Sennrich et al. 2016) — learn merge rules on the
+# engine; the tokenizer-side twin of train_doc_classifier
+# --------------------------------------------------------------------------
+
+
+def _bpe_reference(word_counts: dict, n_merges: int) -> list[tuple]:
+    """Single-node reference: identical argmax/tie rules to the
+    distributed trainer; tests assert the merge lists are equal."""
+    syms = {w: tuple(w) + ("</w>",) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        # deterministic: max count, ties to the lexicographically smallest
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append((best[0], best[1], pairs[best]))
+        la, lb = best
+        fused = la + lb
+        for w, s in syms.items():
+            if la not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == la and s[i + 1] == lb:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def bpe_learn_merges(
+    sf_dir: str, n_merges: int = 12, n_parts: int = 16
+) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merge rules over the corpus (character-level
+    with an explicit ``</w>`` end-of-word symbol — Sennrich et al. 2016)
+    — tokenizer training as an engine pipeline.
+
+    Scale shape: BPE statistics live on the DISTINCT-WORD table, not the
+    corpus — pass 1 folds (word, count) with per-block combiners through
+    one word exchange (corpus-size-independent afterwards; for web text
+    the word vocab is orders of magnitude smaller than the corpus). Each
+    merge round is one map_batches over the symbolized vocab emitting
+    per-block (pair, weighted-count) partials — only O(pairs × blocks)
+    slim rows reach the driver fold — followed by a broadcast merge apply;
+    the vocab table re-materializes between rounds (the kmeans/pagerank
+    superstep pattern). Deterministic: ties break to the lexicographically
+    smallest pair, so re-runs, any block split, and the single-node
+    reference produce the IDENTICAL merge list (asserted in tests).
+
+    Returns (rank, left, right, pair_count). Rows-only driver check
+    (iterative, no SQL twin)."""
+    import ray as _ray
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in df["text"]:
+            c.update(txt.split())
+        if not c:
+            return pd.DataFrame({"word": [], "n_p": [], "part": []})
+        w = np.array(list(c.keys()), object)
+        part = (pd.util.hash_array(w) % n_parts).astype(np.int64)
+        return pd.DataFrame(
+            {"word": w, "n_p": np.fromiter(c.values(), np.int64), "part": part}
+        )
+
+    def word_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", sort=False)["n_p"].sum().reset_index()
+        syms = [list(w) + ["</w>"] for w in out["word"]]
+        return pd.DataFrame(
+            {"count": out["n_p"].to_numpy(np.int64), "syms": syms}
+        )
+
+    vocab = (
+        docs.map_batches(word_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(word_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: dict = {}
+        for cnt, s in zip(df["count"], df["syms"]):
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + int(cnt)
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "c": []})
+        ks = list(pairs.keys())
+        return pd.DataFrame(
+            {
+                "a": [k[0] for k in ks],
+                "b": [k[1] for k in ks],
+                "c": np.fromiter(pairs.values(), np.int64),
+            }
+        )
+
+    def make_apply(la: str, lb: str):
+        fused = la + lb
+
+        def apply(df: pd.DataFrame) -> pd.DataFrame:
+            new_syms = []
+            for s in df["syms"]:
+                s = list(s)
+                if la not in s:
+                    new_syms.append(s)
+                    continue
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == la and s[i + 1] == lb:
+                        out.append(fused)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                new_syms.append(out)
+            return pd.DataFrame(
+                {"count": df["count"].to_numpy(np.int64), "syms": new_syms}
+            )
+
+        return apply
+
+    merges = []
+    for rank in range(n_merges):
+        agg = (
+            vocab.map_batches(pair_partial, batch_format="pandas")
+            .to_pandas()  # O(distinct pairs × blocks) slim rows
+        )
+        if agg.empty:
+            break
+        folded = agg.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+        order = folded.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        )
+        best = order.iloc[0]
+        merges.append((rank, str(best["a"]), str(best["b"]), int(best["c"])))
+        vocab = vocab.map_batches(
+            make_apply(str(best["a"]), str(best["b"])), batch_format="pandas"
+        ).materialize()
+
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})

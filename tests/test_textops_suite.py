@@ -592,3 +592,32 @@ def test_train_classifier_bit_equal_on_testdata(ray_session):
     )
     assert (got["weight_scaled"].to_numpy() == ref).all()
     assert got["feature"].tolist() == list(range(257))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: distributed merge learning == single-node
+# reference; classic toy corpus learns the known merge sequence
+
+
+def test_bpe_reference_toy_corpus():
+    toy = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = textops._bpe_reference(toy, 4)
+    # the canonical Sennrich example: es -> est -> est</w>, then lo
+    assert merges == [
+        ("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9), ("l", "o", 7),
+    ]
+
+
+def test_bpe_distributed_equals_reference(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    got = textops.bpe_learn_merges(SF_DIR, n_merges=8)
+    df = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pandas()
+    wc: Counter = Counter()
+    for t in df["text"]:
+        wc.update(t.split())
+    ref = textops._bpe_reference(dict(wc), 8)
+    assert list(zip(got["left"], got["right"], got["pair_count"])) == ref
+    assert got["rank"].tolist() == list(range(len(ref)))
