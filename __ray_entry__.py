@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 138 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 117 have a DuckDB twin in
+``queries()`` exposes 139 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 118 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_orbit_dups": clusters.image_orbit_dups,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
+        # contrastive-training prep: top-1 different-label neighbor
+        # (hard-negative mining on the block-nested-loop engine)
+        "hard_negative_pairs": similarity.hard_negative_pairs,
         # distributed Lloyd k-means (iterative ML; rows-only — bit-exact
         # vs a single-node numpy reference in tests)
         "embedding_kmeans": similarity.embedding_kmeans,
@@ -509,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": similarity.embedding_near_dup_sql(),
         "embedding_dedup_clusters": clusters.embedding_dedup_clusters_sql(),
         "embedding_label_centroids": similarity.EMBEDDING_LABEL_CENTROIDS_SQL,
+        "hard_negative_pairs": similarity.hard_negative_sql(),
         "orders_above_customer_avg": relational.ORDERS_ABOVE_CUST_AVG_SQL,
         "revenue_cube": relational.REVENUE_CUBE_SQL,
         "order_price_ntile": relational.order_price_ntile_sql(),

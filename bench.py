@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "forecast_revenue_change",
     "promo_revenue_share",
     "bpe_learn_merges",
+    "hard_negative_pairs",
 ]
 
 

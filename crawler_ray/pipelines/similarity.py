@@ -950,3 +950,160 @@ def append_to_ivf_index(
 
     parts = assigned.map_batches(write_part_files, batch_format="pyarrow").to_pandas()
     return int(parts["n"].sum())
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining — contrastive-training data prep: for every vector,
+# its most similar DIFFERENT-label neighbor (the best "hard" negative)
+
+
+def hard_negative_pairs(sf_dir: str, n_blocks: int = 8) -> rd.Dataset:
+    """Per vector: the top-1 cosine neighbor with a DIFFERENT label —
+    hard-negative mining for contrastive training. Same block-nested-loop
+    engine as ``embedding_near_dup_pairs`` (each vector ships to exactly
+    ``n_blocks`` pair-groups, per-task memory 2·n/B, O(n²) WORK inherent
+    to the exact answer; the ANN indexes are the approximate scale path),
+    plus ONE bounded argmax fold: each pair-group emits a per-vector
+    PARTIAL best (≤ n_blocks rows per vector), the final per-vec_id fold
+    keeps the max. Determinism: cosine rounds to 6 before the argmax and
+    ties break to the smallest neg_id — identical to the oracle's
+    ROW_NUMBER ordering."""
+    from crawler_ray.functions.rounding import round_np
+    from crawler_ray.sources.io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    B = n_blocks
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        blk = (ids % B).astype(np.int64)
+        pair_ids, idx = [], []
+        for i, b in enumerate(blk.tolist()):
+            for q in range(b, B):
+                pair_ids.append(b * B + q)
+                idx.append(i)
+            for p in range(0, b):
+                pair_ids.append(p * B + b)
+                idx.append(i)
+        take = pa.array(np.asarray(idx, dtype=np.int64))
+        return pa.table(
+            {
+                "pair": pa.array(np.asarray(pair_ids, np.int64), pa.int64()),
+                "vec_id": t["vec_id"].take(take),
+                "embedding": t["embedding"].take(take),
+                "label": t["label"].take(take),
+            }
+        )
+
+    def _best(ids_l, mat_l, lab_l, ids_r, mat_r, lab_r):
+        """Per left vector: best different-label right candidate."""
+        sims = round_np((mat_l @ mat_r.T).ravel(), 6).reshape(
+            len(ids_l), len(ids_r)
+        )
+        diff = lab_l[:, None] != lab_r[None, :]
+        sims = np.where(diff, sims, -np.inf)
+        # argmax with neg_id tiebreak: order candidates by (id) and use
+        # argmax's first-hit-wins on the row max
+        order = np.argsort(ids_r)
+        sims = sims[:, order]
+        cand = ids_r[order]
+        j = np.argmax(sims, axis=1)  # first (smallest neg_id) among ties
+        best = sims[np.arange(len(ids_l)), j]
+        ok = np.isfinite(best)
+        return ids_l[ok], cand[j[ok]], best[ok]
+
+    def score(g: pa.Table) -> pa.Table:
+        pair = int(g["pair"][0].as_py())
+        p, q = divmod(pair, B)
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(
+            np.stack(g["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64)
+        )
+        lab = g["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ids % B
+        outs = []
+        if p == q:
+            if len(ids) >= 2:
+                outs.append(_best(ids, mat, lab, ids, mat, lab))
+        else:
+            li, ri = blk == p, blk == q
+            if li.any() and ri.any():
+                outs.append(
+                    _best(ids[li], mat[li], lab[li], ids[ri], mat[ri], lab[ri])
+                )
+                outs.append(
+                    _best(ids[ri], mat[ri], lab[ri], ids[li], mat[li], lab[li])
+                )
+        if not outs:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "neg_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        v = np.concatenate([o[0] for o in outs])
+        n = np.concatenate([o[1] for o in outs])
+        c = np.concatenate([o[2] for o in outs])
+        return pa.table(
+            {"vec_id": pa.array(v, pa.int64()),
+             "neg_id": pa.array(n, pa.int64()),
+             "cos_sim": pa.array(c, pa.float64())}
+        )
+
+    partials = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(score, batch_format="pyarrow")
+    )
+
+    def final_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(
+            ["vec_id", "cos_sim", "neg_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("vec_id", sort=False).head(1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # bounded second exchange: ≤ n_blocks partial rows per vector
+    return (
+        partials.map_batches(
+            lambda t: t.append_column(
+                "fpart",
+                pa.array(
+                    (t["vec_id"].to_numpy() % 16).astype(np.int64), pa.int64()
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("fpart")
+        .map_groups(
+            lambda g: final_fold(g.drop_columns(["fpart"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def hard_negative_sql() -> str:
+    return """
+WITH pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])),
+                 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT vec_id, neg_id, cos_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id
+    ) AS rn
+    FROM pairs
+) t
+WHERE rn = 1
+"""
