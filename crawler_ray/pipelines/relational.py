@@ -1305,7 +1305,9 @@ def lineitem_qty_price_corr(sf_dir: str) -> rd.Dataset:
     partials (x = quantity units, y = price cents), one tiny groupby
     merges them, and the correlation derives once at the end with the
     same double expression as the oracle (covariance / sqrt(varx·vary),
-    divisions first). Bounds asserted: Σxy < 2^63 through sf ≈ 400."""
+    divisions first). The Σy² accumulator is a hi/lo 2^32 split (exact
+    through ~4·10^11 rows); Σxy fits int64 through ~3·10^10 rows — both
+    asserted per element at the read."""
     li = _read(
         sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
     )
@@ -1314,13 +1316,23 @@ def lineitem_qty_price_corr(sf_dir: str) -> rd.Dataset:
         x = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
         y = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
         assert (np.abs(y) < (1 << 31)).all() and (np.abs(x) < (1 << 16)).all()
+        # Σy² overflows int64 above ~10^7 rows of 10^7-cent prices (caught
+        # by the ×20 tiled-scale smoke), so the y² fold is carried as an
+        # exact hi/lo 2^32 split: per-element y² < 2^62 is exact int64,
+        # Σ(y²>>32) and Σ(y² & (2^32−1)) each stay far inside int64
+        # (~4·10^11 and ~4·10^9 per row resp.) — recombined as a Python
+        # int at the bounded finish
+        yy = y * y
         g = pd.DataFrame(
             {"f": df["l_returnflag"], "x": x, "y": y,
-             "xx": x * x, "yy": y * y, "xy": x * y}
+             "xx": x * x,
+             "yy_hi": yy >> 32, "yy_lo": yy & np.int64((1 << 32) - 1),
+             "xy": x * y}
         )
         out = g.groupby("f", sort=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
-            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+            sxx=("xx", "sum"), syy_hi=("yy_hi", "sum"),
+            syy_lo=("yy_lo", "sum"), sxy=("xy", "sum"),
         )
         return out.reset_index()
 
@@ -1330,7 +1342,9 @@ def lineitem_qty_price_corr(sf_dir: str) -> rd.Dataset:
         .aggregate(
             Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
             Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+            Sum("syy_hi", alias_name="syy_hi"),
+            Sum("syy_lo", alias_name="syy_lo"),
+            Sum("sxy", alias_name="sxy"),
         )
     )
 
@@ -1339,7 +1353,15 @@ def lineitem_qty_price_corr(sf_dir: str) -> rd.Dataset:
         sx = df["sx"].to_numpy(np.int64).astype(np.float64)
         sy = df["sy"].to_numpy(np.int64).astype(np.float64)
         sxx = df["sxx"].to_numpy(np.int64).astype(np.float64)
-        syy = df["syy"].to_numpy(np.int64).astype(np.float64)
+        # exact recombination in Python ints (few groups), then ONE
+        # nearest-rounding to double — identical to DuckDB's HUGEINT→DOUBLE
+        syy = np.array(
+            [
+                float((int(h) << 32) + int(lo))
+                for h, lo in zip(df["syy_hi"], df["syy_lo"])
+            ],
+            np.float64,
+        )
         sxy = df["sxy"].to_numpy(np.int64).astype(np.float64)
         cov = sxy / n - (sx / n) * (sy / n)
         vx = sxx / n - (sx / n) * (sx / n)
