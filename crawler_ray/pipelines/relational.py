@@ -1797,6 +1797,7 @@ def small_qty_part_revenue(
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         total = float(df["rev_c"].sum())
+        assert total < float(1 << 53), "rev sum exceeds exact-f64 envelope"
         return pd.DataFrame({"avg_yearly": [round(total / 100.0 / 7.0, 2)]})
 
     return folded.repartition(1).map_batches(
@@ -1896,9 +1897,9 @@ def brand_size_quantity_revenue(sf_dir: str) -> rd.Dataset:
     folded = li.map_batches(Disjunct(bc), batch_format="pyarrow")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"revenue": [round(float(df["rev_p"].sum()) / 10000.0, 2)]}
-        )
+        total = float(df["rev_p"].sum())
+        assert total < float(1 << 53), "rev sum exceeds exact-f64 envelope"
+        return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
 
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
@@ -2007,9 +2008,13 @@ def forecast_revenue_change(sf_dir: str) -> rd.Dataset:
     folded = li.map_batches(partial, batch_format="pyarrow")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"revenue": [round(float(df["rev_p"].sum()) / 10000.0, 2)]}
-        )
+        # block partials are exact integers in float64; the fold stays
+        # exact while the TOTAL is < 2^53 (the corr fix's hi/lo split is
+        # the recipe beyond) — assert the envelope instead of silently
+        # rounding
+        total = float(df["rev_p"].sum())
+        assert total < float(1 << 53), "rev sum exceeds exact-f64 envelope"
+        return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
 
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
