@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": relational.customer_order_gaps,
         # hierarchical ROLLUP subtotals (re-aggregate the finest level)
         "revenue_rollup": relational.revenue_rollup,
+        # GROUPING SETS: arbitrary slice list off one composite pass
+        "revenue_grouping_sets": relational.revenue_grouping_sets,
         # PIVOT: priority x year revenue matrix (finest-grain aggregate
         # + control-plane reshape; fixed column set)
         "priority_year_pivot": relational.priority_year_pivot,
@@ -469,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_source_report": textops.CORPUS_SOURCE_REPORT_SQL,
         "curriculum_export": textops.curriculum_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
+        "revenue_grouping_sets": relational.REVENUE_GROUPING_SETS_SQL,
         "priority_year_pivot": relational.priority_year_pivot_sql(),
         "repeat_customers": relational.REPEAT_CUSTOMERS_SQL,
         "churned_customers": relational.CHURNED_CUSTOMERS_SQL,

@@ -1013,6 +1013,86 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((region), (segment)) — ARBITRARY slice
+    lists, the third subtotal verb beside ROLLUP (hierarchy) and CUBE
+    (power set). The two requested sets are non-hierarchical (region and
+    market segment cut the fact independently), which is exactly what
+    GROUPING SETS exists for.
+
+    Scale shape — the same one-pass trick as ROLLUP/CUBE generalized:
+    every requested set is a COARSENING of the composite (region, segment)
+    grid, so ONE fact pass with an integer-cents combiner feeds one
+    groupby at the composite level (|regions| x |segments| ~ 25 rows) and
+    each requested set re-aggregates that tiny result driver-side. The
+    fact is scanned once, shuffled once (combined rows only); a set list
+    whose common refinement is NOT small would instead run one combined
+    pass per set — still one fact scan each, never a row-level shuffle."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .rename(columns={"c_custkey": "o_custkey", "r_name": "region",
+                         "c_mktsegment": "segment"})
+    )[["o_custkey", "region", "segment"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"],
+             "cents": pa.array(
+                 np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+                 pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["region", "segment"], sort=False)["cents"]
+            .agg(rev_c="sum", n_p="size")
+            .reset_index()
+        )
+
+    composite = (
+        _bjoin(orders, dim, "o_custkey")
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["region", "segment"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
+        .to_pandas()  # <= |regions| x |segments| rows by construction
+    )
+    by_region = (
+        composite.groupby("region", as_index=False)[["rev_c", "n"]]
+        .sum()
+        .assign(segment="ALL")
+    )
+    by_segment = (
+        composite.groupby("segment", as_index=False)[["rev_c", "n"]]
+        .sum()
+        .assign(region="ALL")
+    )
+    out = pd.concat([by_region, by_segment], ignore_index=True)
+    return pd.DataFrame(
+        {"region": out["region"], "segment": out["segment"],
+         "revenue": out["rev_c"].astype("int64") / 100.0,
+         "n_orders": out["n"].astype("int64")}
+    )
+
+
+REVENUE_GROUPING_SETS_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+"""
+
+
 # ---------------------------------------------------------------------------
 # NTILE: equal-frequency bucketing by global order statistics
 

@@ -211,6 +211,28 @@ def test_revenue_rollup_vs_oracle(ray_session):
     assert finest["n_orders"].sum() == total["n_orders"].iloc[0]
 
 
+def test_revenue_grouping_sets_vs_oracle(ray_session):
+    from crawler_ray.pipelines.relational import (
+        REVENUE_GROUPING_SETS_SQL, revenue_grouping_sets,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    got = revenue_grouping_sets(SF_DIR)
+    exp = con.sql(REVENUE_GROUPING_SETS_SQL).df()
+    _assert_same(got, exp)
+    # the two slices partition the same fact: slice totals agree
+    by_region = got[got["segment"] == "ALL"]
+    by_segment = got[got["region"] == "ALL"]
+    assert np.isclose(by_region["revenue"].sum(), by_segment["revenue"].sum())
+    assert by_region["n_orders"].sum() == by_segment["n_orders"].sum()
+    # no composite or grand-total rows — GROUPING SETS emits ONLY the
+    # requested sets (unlike CUBE)
+    assert not ((got["region"] != "ALL") & (got["segment"] != "ALL")).any()
+    assert not ((got["region"] == "ALL") & (got["segment"] == "ALL")).any()
+
+
 # ---------------------------------------------------------------- doc_chunks
 
 
