@@ -110,11 +110,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         layout,
         multimodal,
         relational,
+        reports,
         similarity,
         textops,
     )
 
     return {
+        # crawler-trap detection: digit-collapsed URL-family explosion
+        # counts (distinct urls/hosts per family, trap flag)
+        "url_trap_families": reports.url_trap_families,
         # flagship composition: lang -> quality -> repetition -> dedup,
         # per-doc verdict + first-failing-reason report
         "corpus_curation": curation.corpus_curation,
@@ -413,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         layout,
         multimodal,
         relational,
+        reports,
         similarity,
         textops,
     )
@@ -472,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_export": textops.curriculum_export_sql(),
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "revenue_grouping_sets": relational.REVENUE_GROUPING_SETS_SQL,
+        "url_trap_families": reports.url_trap_families_sql(),
         "priority_year_pivot": relational.priority_year_pivot_sql(),
         "repeat_customers": relational.REPEAT_CUSTOMERS_SQL,
         "churned_customers": relational.CHURNED_CUSTOMERS_SQL,

@@ -245,3 +245,111 @@ def recrawl_priority(
     return out.sort_values(
         ["priority", "url"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection: URL-family explosion counts
+
+
+_TRAP_CATS = ["sofa", "lamp", "desk", "rug", "chair", "bed", "shelf"]
+
+
+def _trap_urls(t: pa.Table) -> pa.Table:
+    """Deterministic URL derivation from the orders table (both engines
+    build the IDENTICAL strings): ~1/4 of orders map to a bounded catalog
+    path (``/p/<id%100>``), the rest to a session/pagination-exploded
+    search URL (``/search?q=..&page=<orderkey>``) — the classic crawler
+    trap (calendar pages, session ids, sort permutations) whose distinct
+    URL count grows with the crawl instead of the site."""
+    k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    host = pd.Series(c % 10).astype(str).radd("shop-") + ".example.com"
+    cat = pd.Series(np.array(_TRAP_CATS, dtype=object)[k % 7])
+    catalog = (k % 4) == 0
+    tail = pd.Series(
+        np.where(
+            catalog,
+            "/p/" + pd.Series(k % 100).astype(str),
+            "/search?q=" + pd.Series(k % 5).astype(str)
+            + "&page=" + pd.Series(k).astype(str),
+        )
+    )
+    url = "https://" + host + "/" + cat + tail
+    return pa.table(
+        {"url": pa.array(url, pa.string()), "host": pa.array(host, pa.string())}
+    )
+
+
+def url_trap_families(sf_dir: str, min_urls: int = 1200, n_parts: int = 32) -> rd.Dataset:
+    """Crawler-trap detection over a URL corpus: collapse every digit run
+    to ``N`` (the standard URL-template normalization), then count DISTINCT
+    urls and hosts per family — families whose variant count explodes past
+    ``min_urls`` are flagged as traps (a frontier-side kill list: a real
+    crawl feeds these families into the politeness/selection stage to cap
+    or drop them).
+
+    Scale shape: per-batch the family map is ONE compiled vectorized regex
+    pass, then an in-batch distinct(family, url) combiner; ONE family-hash
+    exchange moves deduplicated triples only; per-partition pandas
+    nunique/min folds finish. No driver-side URL state — the output is
+    O(|families|).
+    """
+    from crawler_ray.sources.io import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        target_rows_per_block=4096,
+    )
+
+    def fam_rows(t: pa.Table) -> pa.Table:
+        u = _trap_urls(t)
+        url = u["url"].to_pandas()
+        fam = url.str.replace(r"[0-9]+", "N", regex=True)
+        df = pd.DataFrame(
+            {"family": fam, "url": url, "host": u["host"].to_pandas()}
+        ).drop_duplicates(["family", "url"])
+        part = pd.util.hash_array(df["family"].to_numpy(dtype=object)) % n_parts
+        df["part"] = part.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["family", "url"])
+        out = df.groupby("family", sort=False).agg(
+            n_urls=("url", "nunique"),
+            n_hosts=("host", "nunique"),
+            example_url=("url", "min"),
+        ).reset_index()
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        out["n_hosts"] = out["n_hosts"].astype(np.int64)
+        out["is_trap"] = out["n_urls"] >= min_urls
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        orders.map_batches(fam_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .select_columns(["family", "n_urls", "n_hosts", "example_url", "is_trap"])
+    )
+
+
+def url_trap_families_sql(min_urls: int = 1200) -> str:
+    cats = ", ".join(f"'{c}'" for c in _TRAP_CATS)
+    return f"""
+WITH urls AS (
+  SELECT 'https://shop-' || (o_custkey % 10) || '.example.com/'
+         || ([{cats}])[(o_orderkey % 7) + 1]
+         || CASE WHEN o_orderkey % 4 = 0
+                 THEN '/p/' || (o_orderkey % 100)
+                 ELSE '/search?q=' || (o_orderkey % 5) || '&page=' || o_orderkey
+            END AS url,
+         'shop-' || (o_custkey % 10) || '.example.com' AS host
+  FROM orders
+)
+SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS family,
+       COUNT(DISTINCT url)::BIGINT AS n_urls,
+       COUNT(DISTINCT host)::BIGINT AS n_hosts,
+       MIN(url) AS example_url,
+       COUNT(DISTINCT url) >= {min_urls} AS is_trap
+FROM urls
+GROUP BY 1
+"""

@@ -228,3 +228,37 @@ def test_image_caption_alignment_separation(ray_session):
     assert (out["aligned"].to_numpy() == ~is_mismatch).all()
     n = len(pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]))
     assert len(out) == n
+
+
+def test_url_trap_families_vs_oracle(ray_session):
+    """Digit-collapsed URL families: exact vs the DuckDB twin, search
+    families (distinct count grows with the corpus) flagged as traps while
+    bounded catalog families are not."""
+    import duckdb
+
+    from crawler_ray.pipelines.reports import (
+        url_trap_families, url_trap_families_sql,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    got = (
+        url_trap_families(sf)
+        .to_pandas()
+        .sort_values("family")
+        .reset_index(drop=True)
+    )
+    exp = con.sql(url_trap_families_sql()).df().sort_values("family").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=True)
+    # structure: 7 catalog + 7 search families; every search family is a
+    # trap at sf0.01 (>=1200 distinct urls), no catalog family is
+    assert len(got) == 14
+    is_search = got["family"].str.contains("search")
+    assert is_search.sum() == 7
+    assert got.loc[is_search, "is_trap"].all()
+    assert not got.loc[~is_search, "is_trap"].any()
+    # all 10 digit-collapsed hosts appear in each family
+    assert (got["n_hosts"] == 10).all()
