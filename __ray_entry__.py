@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dihedral phash orbit (rows-only: pixel synthesis; planted
         # rotated/mirrored copies exact in tests)
         "image_orbit_dups": clusters.image_orbit_dups,
+        # crop/thumbnail derivative detection via quadrant-phash matching
+        # (rows-only: pixel synthesis; planted crops exact in tests)
+        "image_crop_dups": clusters.image_crop_dups,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # contrastive-training prep: top-1 different-label neighbor

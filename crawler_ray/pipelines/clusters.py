@@ -1158,6 +1158,114 @@ def image_orbit_dups(
     )
 
 
+def image_crop_dups(
+    sf_dir: str,
+    max_hamming: int = 4,
+    seed: int = 42,
+    n_parts: int = 16,
+) -> rd.Dataset:
+    """CROP/derivative image detection — catches the third re-hosting
+    transform plain phash misses (beside ``image_orbit_dups``'s
+    rotations/mirrors): thumbnails and social-media crops that keep one
+    REGION of the original. Method: every image contributes its full-frame
+    phash plus the 4 QUADRANT phashes; a crop-of-a-quadrant duplicate is a
+    (source-quadrant, crop-full-frame) match — phash is scale-invariant
+    (both sides resize to the same 32x32 DCT grid), so an exact quadrant
+    crop matches at Hamming 0 regardless of the crop's stored resolution.
+
+    Distributed shape: the 5 tagged hash rows per image ride the SAME
+    single-exchange banded segment walk as plain phash (5x band-row
+    volume, constant factor, size-independent); a vectorized post-filter
+    keeps only full<->quadrant cross-image matches, then ONE slim
+    pair-dedup fold keeps the minimum-Hamming quadrant per (src, crop).
+    Finer grids (3x3 overlapped tiles) are the same plan at 10 rows/image.
+
+    Planted truth (``planted_image_batch(crop=True)``): doc ``10k+2`` IS
+    doc ``10k+1``'s top-left quadrant (Hamming 0, quadrant 0); doc
+    ``10k+5`` is ``10k+4``'s bottom-right quadrant perturbed
+    (quadrant-near, quadrant 3). Rows-only driver check — pixel synthesis
+    is not SQL-expressible; tests assert the planted pairs exactly AND
+    that full-frame phash alone misses them.
+    """
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_tile_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, _caps = planted_image_batch(ids, seed, crop=True)
+        out_id: list[str] = []
+        out_ph: list[int] = []
+        for d, data in zip(ids, payloads):
+            sid = str(int(d))
+            px = decode_image(data, sniff_fmt(data))
+            h2, w2 = px.shape[0] // 2, px.shape[1] // 2
+            out_id.append(sid + "#f")
+            out_ph.append(phash64(px))
+            for qi, q in enumerate(
+                (px[:h2, :w2], px[:h2, w2:], px[h2:, :w2], px[h2:, w2:])
+            ):
+                out_id.append(f"{sid}#q{qi}")
+                out_ph.append(phash64(q))
+        return pa.table(
+            {"image_id": pa.array(out_id, pa.string()),
+             "phash": pa.array(out_ph, pa.int64())}
+        )
+
+    tile_rows = docs.map_batches(synth_tile_rows, batch_format="pyarrow")
+    pairs = images_phash_near_dups(tile_rows, max_hamming=max_hamming)
+
+    def cross_kind(t: pa.Table) -> pa.Table:
+        """Keep full<->quadrant matches across DIFFERENT images, oriented
+        (src=quadrant side, crop=full side); tag the quadrant index."""
+        df = t.to_pandas()
+        a = df["img_a"].str.rsplit("#", n=1, expand=True)
+        b = df["img_b"].str.rsplit("#", n=1, expand=True)
+        a_full = a[1] == "f"
+        b_full = b[1] == "f"
+        keep = (a_full ^ b_full) & (a[0] != b[0])
+        df = df[keep]
+        src = np.where(a_full[keep], b[0][keep], a[0][keep])
+        crp = np.where(a_full[keep], a[0][keep], b[0][keep])
+        quad = np.where(a_full[keep], b[1][keep], a[1][keep])
+        out = pd.DataFrame(
+            {"src_img": src, "crop_img": crp,
+             "quadrant": pd.Series(quad).str[1:].astype(np.int64),
+             "hamming": df["hamming"].to_numpy(np.int64)}
+        )
+        out["part"] = (
+            pd.util.hash_array(
+                (out["src_img"] + "|" + out["crop_img"]).to_numpy(dtype=object)
+            ).astype(np.int64)
+            % n_parts
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedup_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        # min-Hamming quadrant per (src, crop); quadrant index breaks ties
+        df = df.sort_values(
+            ["src_img", "crop_img", "hamming", "quadrant"], kind="mergesort"
+        ).drop_duplicates(["src_img", "crop_img"])
+        return pa.table(
+            {"src_img": pa.array(df["src_img"], pa.string()),
+             "crop_img": pa.array(df["crop_img"], pa.string()),
+             "quadrant": pa.array(df["quadrant"].to_numpy(np.int64), pa.int64()),
+             "hamming": pa.array(df["hamming"].to_numpy(np.int64), pa.int64())}
+        )
+
+    return (
+        pairs.map_batches(cross_kind, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_fold, batch_format="pyarrow")
+        .select_columns(["src_img", "crop_img", "quadrant", "hamming"])
+    )
+
+
 def _kcore_batch(t: pa.Table, n: int, k: int) -> pa.Table:
     """Whole-graph k-core peel in one task (small-graph fast path): the
     same peel-to-fixpoint, all numpy. O(E) per sweep, few sweeps."""

@@ -429,6 +429,7 @@ def planted_image_batch(
     lowq: bool = False,
     watermark: bool = False,
     orbit: bool = False,
+    crop: bool = False,
     w: int = 32,
     h: int = 32,
 ) -> tuple[list[bytes], list[str]]:
@@ -445,6 +446,10 @@ def planted_image_batch(
                     under a dihedral transform, ~32 bits away in plain
                     phash); % 10 == 9 is the neighbor's content MIRRORED
                     + perturbed (orbit-near)
+    - ``crop``:     % 10 == 2 is the neighbor's TOP-LEFT quadrant verbatim
+                    (its full phash equals the neighbor's q0 quadrant
+                    phash exactly); % 10 == 5 is the neighbor's
+                    BOTTOM-RIGHT quadrant perturbed (quadrant-near)
     - ``watermark``: row 0 carries md5(true caption) so the declared-fake
       CLIP image tower can read the signature back from decoded pixels
 
@@ -459,6 +464,7 @@ def planted_image_batch(
         d = int(d)
         base = d - 1 if (
             (dup and d % 10 in (1, 6)) or (orbit and d % 10 in (4, 9))
+            or (crop and d % 10 in (2, 5))
         ) else d
         cid = f"img{base}"
         true_cap = _caption(cid, seed)
@@ -471,6 +477,11 @@ def planted_image_batch(
             px = np.rot90(px).copy()
         if orbit and d % 10 == 9:
             px = np.fliplr(px).copy()
+            px[1::7, ::5] ^= 3
+        if crop and d % 10 == 2:
+            px = px[: px.shape[0] // 2, : px.shape[1] // 2].copy()
+        if crop and d % 10 == 5:
+            px = px[px.shape[0] // 2:, px.shape[1] // 2:].copy()
             px[1::7, ::5] ^= 3
         if watermark:
             px[0, :16, 0] = np.frombuffer(

@@ -289,3 +289,59 @@ def test_pagerank_over_edges_bit_equal_to_closed_form(ray_session):
     )
     assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
     assert (got["rank_scaled"].to_numpy() == exp["rank_scaled"].to_numpy()).all()
+
+
+def test_image_crop_dups_planted(ray_session):
+    """Quadrant-phash crop detection: the planted exact top-left crops
+    (10k+2 = quadrant 0 of 10k+1, Hamming 0) and perturbed bottom-right
+    crops (10k+5 = quadrant 3 of 10k+4, quadrant-near) are recovered with
+    the correct orientation (src = original, crop = derived) and quadrant
+    index; zero false positives; full-frame phash alone misses them all."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.pipelines.clusters import image_crop_dups
+    from crawler_ray.pipelines.reports import images_phash_near_dups
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    sf = "/root/testdata/sf0.001"
+    out = image_crop_dups(sf).to_pandas()
+    ids = set(
+        int(d)
+        for d in pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+    )
+    expected = {}
+    for d in ids:
+        if d % 10 == 2 and d - 1 in ids:
+            expected[(d - 1, d)] = 0  # exact top-left
+        if d % 10 == 5 and d - 1 in ids:
+            expected[(d - 1, d)] = 3  # perturbed bottom-right
+    got = {
+        (int(r.src_img), int(r.crop_img)): int(r.quadrant)
+        for r in out.itertuples()
+    }
+    assert got == expected
+    ham = {(int(r.src_img), int(r.crop_img)): int(r.hamming) for r in out.itertuples()}
+    exact = {p for p, q in expected.items() if q == 0}
+    assert all(ham[p] == 0 for p in exact)
+    assert out["hamming"].max() <= 4
+
+    # full-frame phash on the SAME planted corpus misses every crop pair
+    id_list = sorted(ids)
+    payloads, _ = planted_image_batch(np.array(id_list), 42, crop=True)
+    plain = rd.from_arrow(pa.table({
+        "image_id": [str(d) for d in id_list],
+        "phash": [phash64(decode_image(p, sniff_fmt(p))) for p in payloads],
+    }))
+    plain_pairs = images_phash_near_dups(plain, max_hamming=4).to_pandas()
+    plain_set = {
+        (min(int(r.img_a), int(r.img_b)), max(int(r.img_a), int(r.img_b)))
+        for r in plain_pairs.itertuples()
+    }
+    assert not (plain_set & set(expected))
