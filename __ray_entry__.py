@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_crop_dups": clusters.image_crop_dups,
         # per-label embedding centroids (fixed-point exact vector aggregate)
         "embedding_label_centroids": similarity.embedding_label_centroids,
+        # distributed PCA projection (exact integer moment folds -> driver
+        # eigh -> broadcast basis; rows-only: eigendecomposition is not
+        # SQL-expressible; bit-identical across parallelism in tests)
+        "embedding_pca_project": similarity.embedding_pca_project,
         # contrastive-training prep: top-1 different-label neighbor
         # (hard-negative mining on the block-nested-loop engine)
         "hard_negative_pairs": similarity.hard_negative_pairs,

@@ -1107,3 +1107,143 @@ FROM (
 ) t
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA projection (SemDeDup / embedding-whitening preprocessing)
+
+
+def _pca_moments(sf_dir: str, n_parts: int = 16):
+    """EXACT distributed second moments of the embedding matrix: fixed-point
+    fx = floor(e * 2^23) int64, per-batch Gram
+    partials fxᵀ·fx (int64-exact for <=4096-row batches x dim<=2^21 values),
+    folded across batches with the hi/lo 2^32 split (the
+    ``lineitem_qty_price_corr`` overflow recipe — a 100 TB corpus pushes
+    Σfx² past 2^63, the split fold never does). Returns Python-int exact
+    (n, Σfx per dim, Σfxᵀfx upper triangle) — O(dim²) driver state, zero
+    dependence on block boundaries or accumulation order."""
+    ds = _read_emb(sf_dir)
+    SCALE_I = 1 << 23
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        # |e| < 4 keeps the per-batch gram int64-exact: |fx| <= 2^25,
+        # products <= 2^50, 4096-row batch sums <= 2^62
+        assert np.abs(mat).max(initial=0.0) < 4.0
+        fx = np.floor(mat * float(SCALE_I)).astype(np.int64)
+        d = fx.shape[1]
+        gram = fx.T @ fx
+        iu = np.triu_indices(d)
+        g = gram[iu]
+        idx = (iu[0] * d + iu[1]).astype(np.int64)
+        # hi/lo split so the cross-batch fold stays int64-exact at any n
+        hi, lo = g >> 32, g & 0xFFFFFFFF
+        sums = fx.sum(axis=0)  # |sum|<=4096*2^20=2^32
+        s_hi, s_lo = sums >> 32, sums & 0xFFFFFFFF
+        rows_idx = np.concatenate([idx, -np.arange(1, d + 1), [-(d + 1)]])
+        rows_hi = np.concatenate([hi, s_hi, [0]])
+        rows_lo = np.concatenate([lo, s_lo, [len(fx)]])
+        return pa.table(
+            {"idx": pa.array(rows_idx, pa.int64()),
+             "hi": pa.array(rows_hi, pa.int64()),
+             "lo": pa.array(rows_lo, pa.int64()),
+             "part": pa.array(np.abs(rows_idx) % n_parts, pa.int64())}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("idx", sort=False)[["hi", "lo"]].sum()
+        return pa.Table.from_pandas(df.reset_index(), preserve_index=False)
+
+    moments = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()  # <= dim(dim+1)/2 + dim + 1 rows by construction
+    )
+    vals = {
+        int(r.idx): (int(r.hi) << 32) + int(r.lo) for r in moments.itertuples()
+    }
+    n = vals.pop(min(vals))  # most-negative idx = -(d+1), the count row
+    d = -min(vals)  # remaining most-negative = -d (mean rows)
+    s1 = [vals.pop(-(i + 1)) for i in range(d)]
+    iu = np.triu_indices(d)
+    s2 = np.zeros((d, d), dtype=object)
+    for i, j in zip(*iu):
+        v = vals[int(i * d + j)]
+        s2[i, j] = v
+        s2[j, i] = v
+    return n, np.array(s1, dtype=object), s2, SCALE_I
+
+
+def embedding_pca_project(sf_dir: str, k: int = 4, n_parts: int = 16) -> rd.Dataset:
+    """Distributed PCA: project every embedding onto the top-k principal
+    components — the whitening / dimensionality-reduction step in front of
+    SemDeDup-style clustering and ANN index builds. Two passes:
+
+    1. ONE moment pass (`_pca_moments`): exact integer (n, Σx, Σxxᵀ) via
+       fixed-point + hi/lo-split folds — O(dim²) rows to the driver, never
+       a vector.
+    2. Driver: exact-rational covariance  C = (n·Sij − Si·Sj) / (n²·2^46)
+       evaluated once in float64, then `np.linalg.eigh` on the dim×dim
+       matrix (O(dim³), corpus-independent); top-k eigenvectors get a
+       CANONICAL sign (largest-|component| entry positive, lowest index on
+       ties). C is bit-identical at any block split/parallelism, so the
+       basis — and therefore every projected row — is too.
+    3. ONE projection pass: (E − μ) @ V per batch against the
+       ``ray.put``-broadcast basis; output (vec_id, label, pc0..pc{k-1}).
+
+    Rows-only driver check (eigendecomposition is not SQL-expressible);
+    tests assert bit-identical output across parallelism levels, allclose
+    agreement with single-node numpy PCA, and that projected components
+    are centered and mutually uncorrelated with variances = eigenvalues.
+    """
+    n, s1, s2, SCALE_I = _pca_moments(sf_dir, n_parts)
+    d = len(s1)
+    # exact integers -> one float64 rounding per entry, identical everywhere
+    denom = float(n) * float(n) * float(SCALE_I) * float(SCALE_I)
+    cov = np.empty((d, d), np.float64)
+    for i in range(d):
+        for j in range(i, d):
+            num = n * int(s2[i, j]) - int(s1[i]) * int(s1[j])
+            cov[i, j] = cov[j, i] = float(num) / denom
+    mu = np.array([float(v) for v in s1], np.float64) / (float(n) * float(SCALE_I))
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    basis = evecs[:, order]
+    # canonical sign: the largest-|v| entry (first on ties) is positive
+    for c in range(basis.shape[1]):
+        m = np.argmax(np.abs(basis[:, c]))
+        if basis[m, c] < 0:
+            basis[:, c] = -basis[:, c]
+    basis_ref = ray.put((mu, basis))
+
+    from crawler_ray.sources.io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    class _Project:
+        def __init__(self, ref):
+            self.ref = ref
+            self._mb = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._mb is None:
+                self._mb = ray.get(self.ref) if isinstance(
+                    self.ref, ray.ObjectRef) else self.ref
+            mu_, v_ = self._mb
+            mat = np.stack(
+                batch["embedding"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            # float64 throughout: fixed fx basis + per-row dot products are
+            # order-independent (each output is ONE row's reduction)
+            proj = (mat - mu_) @ v_
+            cols = {"vec_id": batch["vec_id"], "label": batch["label"]}
+            for c in range(proj.shape[1]):
+                cols[f"pc{c}"] = pa.array(proj[:, c], pa.float64())
+            return pa.table(cols)
+
+    return ds.map_batches(_Project(basis_ref), batch_format="pyarrow")

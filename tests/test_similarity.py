@@ -444,3 +444,50 @@ def test_ivf_append_serves_new_vectors(ray_session, tmp_path):
     similarity.append_to_ivf_index(idx, new)
     assert len(glob.glob(os.path.join(idx, "list_id=*", "*.parquet"))) == n_files
     assert n_files == n_files_before + 1
+
+
+def test_embedding_pca_project(ray_session):
+    """Distributed PCA: bit-identical across exchange partitionings (the
+    moment fold is exact integers), allclose to single-node float PCA with
+    the same canonical sign rule, and the projected components are
+    centered, mutually uncorrelated, with variances equal to the top
+    eigenvalues."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.similarity import embedding_pca_project
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        embedding_pca_project(sf, k=4, n_parts=4)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        embedding_pca_project(sf, k=4, n_parts=16)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # exact: no tolerance
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    mu = E.mean(axis=0)
+    C = np.cov(E.T, bias=True)
+    ev, V = np.linalg.eigh(C)
+    order = np.argsort(ev)[::-1][:4]
+    B = V[:, order]
+    for c in range(4):
+        m = np.argmax(np.abs(B[:, c]))
+        if B[m, c] < 0:
+            B[:, c] = -B[:, c]
+    ref = ((E - mu) @ B)[np.argsort(ids)]
+    got = a[["pc0", "pc1", "pc2", "pc3"]].to_numpy()
+    # fixed-point moments quantize the covariance at 2^-46 per entry; the
+    # basis agrees with float PCA to ~1e-7 on this corpus
+    assert np.abs(got - ref).max() < 1e-5
+
+    assert np.abs(got.mean(axis=0)).max() < 1e-6
+    cv = np.cov(got.T, bias=True)
+    off = cv - np.diag(np.diag(cv))
+    assert np.abs(off).max() < 1e-8
+    assert np.allclose(np.diag(cv), np.sort(ev)[::-1][:4], atol=1e-6)
