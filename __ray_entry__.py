@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship image-corpus curation: alignment -> quality -> phash
         # dedup keep-one, first-failing-reason verdict (rows-only)
         "image_corpus_curation": multimodal.image_corpus_curation,
+        # image-axis flagship BUILD: curation -> md5 split -> shard layout
+        # via a distributed byte prefix sum (rows-only: pixel synthesis)
+        "image_training_data_build": multimodal.image_training_data_build,
         # audio near-dup pairs: WAV decode -> energy-delta fingerprint ->
         # the SAME banded-Hamming walk as image phash (rows-only;
         # planted-truth exact in tests)

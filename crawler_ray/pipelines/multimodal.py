@@ -756,3 +756,131 @@ FROM scored WHERE rn = 1
 GROUP BY aspect, i
 ORDER BY i
 """
+
+
+# ---------------------------------------------------------------------------
+# Image-axis flagship BUILD: curation -> split -> shard layout, one manifest
+
+
+def image_training_data_build(
+    sf_dir: str,
+    shard_bytes: int = 1 << 16,
+    split_seed: int = 3,
+    seed: int = 42,
+    n_parts: int = 32,
+    **curation_kwargs,
+) -> "rd.Dataset":
+    """The end-to-end IMAGE training-data build a contrastive/diffusion
+    run consumes — the image-axis twin of ``curation.training_data_build``:
+    the full image-curation chain (alignment gate → decoded-pixel quality
+    gate → phash near-dup keep-one) decides who survives, survivors get
+    the deterministic md5 90/5/5 train/val/test assignment, and the kept
+    corpus is laid out into size-bounded WebDataset-style shards by a
+    distributed BYTE prefix sum in image_id order. One manifest row per
+    kept image: (image_id, split, n_bytes, byte_start, shard_id).
+
+    Shard semantics: ``shard_id = byte_start // shard_bytes`` — the
+    crossing-allowed layout a prefix sum expresses exactly (a sample may
+    straddle a boundary; every shard holds ~shard_bytes). The greedy
+    close-when-exceed variant (``packing.ShardPacker``) is sequentially
+    dependent and stays the single-writer path; this manifest is the
+    parallel contract for cluster-scale exports.
+
+    Shape: curation verdicts and per-image encoded sizes are computed in
+    their own passes (ONE decode each — the size pass never decodes),
+    co-located by one id-hash exchange (in-task semi join keeps survivor
+    sizes), per-range byte totals to the driver (O(n_parts)), exclusive
+    offsets back, in-range vectorized cumsum + md5 split map. Rows-only
+    driver check (pixel synthesis is not SQL-expressible); planted-truth
+    survivor set, exact prefix-sum bytes and cross-parallelism
+    bit-identity are asserted in tests."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from crawler_ray.pipelines.textops import _docid_bounds
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    verdicts = image_corpus_curation(sf_dir, seed=seed, **curation_kwargs)
+
+    lo, hi = _docid_bounds(f"{sf_dir}/documents.parquet")
+    rng = max(1, -(-(hi - lo + 1) // n_parts))
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads, _caps = planted_image_batch(
+            ids, seed, dup=True, mismatch=True, lowq=True, watermark=True
+        )
+        sizes = np.array([len(b) for b in payloads], np.int64)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.int64()),
+             "jpart": pa.array(ids % n_parts, pa.int64()),
+             "n_bytes": pa.array(sizes, pa.int64()),
+             "kept": pa.nulls(len(ids), pa.bool_())}
+        )
+
+    def kept_rows(t: pa.Table) -> pa.Table:
+        k = t.filter(t["keep"])
+        ids = k["image_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.int64()),
+             "jpart": pa.array(ids % n_parts, pa.int64()),
+             "n_bytes": pa.nulls(len(ids), pa.int64()),
+             "kept": pa.array(np.ones(len(ids), bool), pa.bool_())}
+        )
+
+    def semi(g: pa.Table) -> pa.Table:
+        keep_ids = g.filter(pa.compute.is_valid(g["kept"]))["image_id"].to_numpy(
+            zero_copy_only=False
+        )
+        sz = g.filter(pa.compute.invert(pa.compute.is_valid(g["kept"])))
+        ids = sz["image_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.isin(ids, keep_ids)
+        ids = ids[sel]
+        nb = sz["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+        return pa.table(
+            {"image_id": pa.array(ids, pa.int64()),
+             "n_bytes": pa.array(nb, pa.int64()),
+             "part": pa.array((ids - lo) // rng, pa.int64())}
+        )
+
+    sizes = (
+        docs.map_batches(size_rows, batch_format="pyarrow", batch_size=256)
+        .union(verdicts.map_batches(kept_rows, batch_format="pyarrow"))
+        .groupby("jpart")
+        .map_groups(semi, batch_format="pyarrow")
+        .materialize()  # slim survivor rows; feeds totals + final fold
+    )
+
+    totals = sizes.groupby("part").aggregate(
+        Sum("n_bytes", alias_name="b")
+    ).take_all()
+    base, offsets = 0, {}
+    for row in sorted(totals, key=lambda r: r["part"]):
+        offsets[int(row["part"])] = base
+        base += int(row["b"])
+
+    def layout(g: pa.Table) -> pa.Table:
+        ids = g["image_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids, nb = ids[order], nb[order]
+        start = np.cumsum(nb) - nb + offsets[int((ids[0] - lo) // rng)]
+        h = np.array(
+            [int(hashlib.md5(f"{split_seed}:{i}".encode()).hexdigest()[:8], 16)
+             % 100 for i in ids],
+            dtype=np.int64,
+        )
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {"image_id": pa.array(ids, pa.int64()),
+             "split": pa.array(split, pa.string()),
+             "n_bytes": pa.array(nb, pa.int64()),
+             "byte_start": pa.array(start, pa.int64()),
+             "shard_id": pa.array(start // shard_bytes, pa.int64())}
+        )
+
+    return sizes.groupby("part").map_groups(layout, batch_format="pyarrow")

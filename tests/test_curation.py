@@ -92,3 +92,44 @@ def test_image_corpus_curation_planted_truth(ray_session):
     assert (out["keep"] == (out["first_fail"] == "")).all()
     kept = int(out["keep"].sum())
     assert 0 < kept < len(out)
+
+
+def test_image_training_data_build(ray_session):
+    """Image-axis flagship build: the manifest holds EXACTLY the curation
+    survivors, byte_start is the exact prefix sum of survivor sizes in
+    image_id order, shard assignment follows the crossing-allowed formula,
+    the md5 split matches the text build's rule, and the whole manifest is
+    bit-identical across range-partition counts."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.pipelines.multimodal import (
+        image_corpus_curation, image_training_data_build,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m = (
+        image_training_data_build(sf)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    v = image_corpus_curation(sf).to_pandas()
+    keeps = set(v.loc[v["keep"], "image_id"].astype(int))
+    assert set(m["image_id"].astype(int)) == keeps
+
+    nb = m["n_bytes"].to_numpy()
+    assert (m["byte_start"].to_numpy() == np.cumsum(nb) - nb).all()
+    assert (m["shard_id"].to_numpy() == m["byte_start"].to_numpy() // (1 << 16)).all()
+
+    import hashlib
+    h = np.array(
+        [int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:8], 16) % 100
+         for i in m["image_id"]], dtype=np.int64,
+    )
+    exp_split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+    assert (m["split"].to_numpy() == exp_split).all()
+
+    m2 = (
+        image_training_data_build(sf, n_parts=7)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(m, m2)
