@@ -2,8 +2,8 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 139 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 118 have a DuckDB twin in
+``queries()`` exposes 144 pipelines over the driver testdata (one entry per
+SURVEY.md §2 family + the training-data suite); 120 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,
@@ -54,8 +54,10 @@ trade flows, Q8 national market share as a ratio of two exact integer
 folds, Q17's correlated per-part average decorrelated into one partkey
 co-location fold, Q18 grouped-HAVING volume top-k, Q19's disjunctive
 predicate as a zero-exchange broadcast filter-scan, Q21 sole-late-supplier
-per-order set logic, and Q22's scalar-threshold anti join per nation). The
-genuinely non-SQL-expressible twenty-one get the weaker rows-only driver check
+per-order set logic, and Q22's scalar-threshold anti join per nation; and late-continuation exact twins: a GROUPING SETS
+report off one composite pass, and crawler-trap URL-family explosion
+counts over identically-derived URL corpora). The
+genuinely non-SQL-expressible twenty-four get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -68,7 +70,11 @@ in tests), and the PQ-compressed ANN serve whose exact-rerank rows are
 bit-equal to brute force on the overlap; and the audio energy-delta
 fingerprint near-dup pairs, planted-truth exact in tests; and the zlib compression-ratio
 redundancy signal, property-tested for monotonicity; and the incremental image-dedup
-probe, planted cross-parity truths exact in tests).
+probe, planted cross-parity truths exact in tests; and three
+late-continuation ones: quadrant-phash crop detection and the image-axis
+flagship training-data build — both planted-truth exact in tests — and
+the distributed-PCA projection, bit-identical across parallelism and
+allclose to single-node float PCA).
 
 Ray is initialised by the caller BEFORE this module is used; nothing in
 crawler_ray calls ``ray.init``/``ray.shutdown``.

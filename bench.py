@@ -144,6 +144,11 @@ QUERY_NAMES = [
     "promo_revenue_share",
     "bpe_learn_merges",
     "hard_negative_pairs",
+    "revenue_grouping_sets",
+    "url_trap_families",
+    "image_crop_dups",
+    "embedding_pca_project",
+    "image_training_data_build",
 ]
 
 
