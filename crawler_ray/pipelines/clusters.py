@@ -484,6 +484,7 @@ def image_dup_clusters(
     max_hamming: int = 4,
     seed: int = 42,
     n_buckets: int = 8,
+    walk: str = "auto",
 ) -> rd.Dataset:
     """IMAGE duplicate clusters: connected components over the phash
     near-dup pair graph — the image-side twin of :func:`near_dup_clusters`
@@ -506,12 +507,16 @@ def image_dup_clusters(
     images and the in-bucket pair walk goes quadratic (measured 33x time
     for 10x images at the 50k smoke). Radius 4 (5 bands x ~13 bits) keeps
     expected bucket occupancy bounded far longer while still catching the
-    perturbed copies (Hamming <= 2); for larger radii at corpus scale,
-    split the walk by a second band (multi-probe) instead of widening
-    buckets."""
+    perturbed copies (Hamming <= 2). ``walk='auto'`` (default) therefore
+    routes radii >= 6 through the MULTI-PROBE walk
+    (``reports.images_phash_near_dups_multiprobe``: r//2+1 wide bands,
+    per-band radius 1 via downward bit probes — identical pair output,
+    bucket width stays ~16 bits); 'banded'/'multiprobe' force a walk."""
     from crawler_ray.functions.codecs import decode_image, sniff_fmt
     from crawler_ray.functions.hashing import phash64
-    from crawler_ray.pipelines.reports import images_phash_near_dups
+    from crawler_ray.pipelines.reports import (
+        images_phash_near_dups, images_phash_near_dups_multiprobe,
+    )
     from crawler_ray.sources.io import read_parquet_sized
     from crawler_ray.sources.synthetic import planted_image_batch
 
@@ -529,7 +534,9 @@ def image_dup_clusters(
         )
 
     images = docs.map_batches(synth_phash, batch_format="pyarrow")
-    pairs = images_phash_near_dups(images, max_hamming=max_hamming)
+    use_mp = walk == "multiprobe" or (walk == "auto" and max_hamming >= 6)
+    pair_fn = images_phash_near_dups_multiprobe if use_mp else images_phash_near_dups
+    pairs = pair_fn(images, max_hamming=max_hamming)
 
     def to_int_edges(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -109,6 +109,44 @@ def submit_view(out_dir: str) -> pd.DataFrame:
     )
 
 
+def _segment_pair_chunks(starts: np.ndarray, sizes: np.ndarray, pair_chunk: int):
+    """Yield (ai, bi) global pair-index chunks for all within-segment pairs.
+
+    Vectorized across segments: segments are GROUPED BY SIZE and each
+    group's pairs come from one ``starts[:, None] + triu`` broadcast — one
+    Python iteration per distinct size per chunk instead of one per
+    segment (the multi-probe walk sees ~2^16 tiny segments per partition;
+    the per-segment ``triu_indices`` loop was ~40 µs × segments = seconds
+    of pure Python)."""
+    sel = sizes >= 2
+    starts, sizes = starts[sel], sizes[sel]
+    if not len(starts):
+        return
+    order = np.argsort(sizes, kind="stable")
+    starts, sizes = starts[order], sizes[order]
+    bounds = np.flatnonzero(np.r_[True, sizes[1:] != sizes[:-1]])
+    ends = np.r_[bounds[1:], len(sizes)]
+    buf_a: list[np.ndarray] = []
+    buf_b: list[np.ndarray] = []
+    buf_n = 0
+    for gi, gs in zip(bounds.tolist(), ends.tolist()):
+        m = int(sizes[gi])
+        tri_i, tri_j = np.triu_indices(m, k=1)
+        st = starts[gi:gs]
+        npairs = len(tri_i)
+        seg_per_chunk = max(1, pair_chunk // npairs)
+        for c0 in range(0, len(st), seg_per_chunk):
+            stc = st[c0:c0 + seg_per_chunk]
+            buf_a.append((stc[:, None] + tri_i[None, :]).ravel())
+            buf_b.append((stc[:, None] + tri_j[None, :]).ravel())
+            buf_n += len(stc) * npairs
+            if buf_n >= pair_chunk:
+                yield np.concatenate(buf_a), np.concatenate(buf_b)
+                buf_a, buf_b, buf_n = [], [], 0
+    if buf_n:
+        yield np.concatenate(buf_a), np.concatenate(buf_b)
+
+
 def images_phash_near_dups(
     images: rd.Dataset, max_hamming: int = 6, n_parts: int = 16
 ) -> rd.Dataset:
@@ -183,25 +221,7 @@ def images_phash_near_dups(
         n = len(bkt)
         starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
         sizes = np.r_[starts[1:], n] - starts
-        # global pair-index chunks over all segments (small triu lists;
-        # mega-segments only appear at extreme radii)
-        buf_a: list[np.ndarray] = []
-        buf_b: list[np.ndarray] = []
-        chunks: list[tuple[np.ndarray, np.ndarray]] = []
-        buf_n = 0
-        for s, m in zip(starts.tolist(), sizes.tolist()):
-            if m < 2:
-                continue
-            tri = np.triu_indices(m, k=1)
-            buf_a.append(tri[0] + s)
-            buf_b.append(tri[1] + s)
-            buf_n += len(tri[0])
-            if buf_n >= pair_chunk:
-                chunks.append((np.concatenate(buf_a), np.concatenate(buf_b)))
-                buf_a, buf_b, buf_n = [], [], 0
-        if buf_n:
-            chunks.append((np.concatenate(buf_a), np.concatenate(buf_b)))
-        for ai, bi in chunks:
+        for ai, bi in _segment_pair_chunks(starts, sizes, pair_chunk):
             xr = ph[ai] ^ ph[bi]
             d = _POP[xr.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
             ok = d <= max_hamming
@@ -213,6 +233,159 @@ def images_phash_near_dups(
             band_eq = (xs[:, None] & (mask_arr << off_arr)[None, :]) == 0
             cur = (bkt[ai[sel]] >> np.int64(48)).astype(np.int64)
             keep = band_eq.argmax(axis=1) == cur
+            if keep.any():
+                ks = sel[keep]
+                out_a.append(ids[ai[ks]])
+                out_b.append(ids[bi[ks]])
+                out_d.append(d[ks])
+        if not out_a:
+            return empty
+        return pa.table(
+            {"img_a": pa.array(np.concatenate(out_a), pa.string()),
+             "img_b": pa.array(np.concatenate(out_b), pa.string()),
+             "hamming": pa.array(np.concatenate(out_d), pa.int64())}
+        )
+
+    return (
+        images.select_columns(["image_id", "phash"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(walk_pairs, batch_format="pyarrow")
+    )
+
+
+def images_phash_near_dups_multiprobe(
+    images: rd.Dataset, max_hamming: int = 6, n_parts: int = 16
+) -> rd.Dataset:
+    """Multi-probe variant of :func:`images_phash_near_dups` for LARGER
+    Hamming radii — the scale path the classic walk's docstring names:
+    ``max_hamming + 1`` disjoint bands shrink to ~9 bits at radius 6,
+    whose 512 values saturate beyond ~10k images and send the in-bucket
+    pair walk quadratic (measured 33x time for 10x images at the 50k
+    smoke).
+
+    Here only ``B = r//2 + 1`` WIDE bands are used with per-band radius 1
+    (pigeonhole: if every band differed by ≥ 2 the total would be
+    ≥ 2B > r), and the 1-bit slack is closed by DOWNWARD probing: each row
+    emits, per band, its exact band value plus one probe per SET bit with
+    that bit cleared. Any pair at band-distance 1 has exactly one side
+    with a 1 at the differing position, so down-only probes meet —
+    up-probes would be redundant. Band width stays ~64/(r//2+1) bits
+    (16 at radius 6 — occupancy bounded until ~4-billion-value load),
+    at the cost of ~B·(1 + w/2) rows/image in the one exchange (~36 at
+    radius 6 vs 7 — a constant, size-independent factor).
+
+    Output-uniqueness without a trailing exchange (the canonical-band
+    trick adapted): a candidate pair co-occurs in a band's buckets exactly
+    at ``bx & by`` (equal values also co-occur in their common down-flips,
+    but only the AND equals the exact value), so each verified pair is
+    kept only in its FIRST band with band-distance ≤ 1 AND only in the
+    bucket equal to ``bx & by`` — both computable from the pair's two
+    phashes alone, so every bucket holding the pair makes the same
+    decision. Tests assert the pair set is IDENTICAL to the classic walk
+    (both are exact) on planted corpora at radius 6.
+
+    Measured (50k images, radius 6, 32 cpus): REAL decoded-image phashes
+    — whose DCT band values are heavily skewed — run 27.9 s banded vs
+    **4.0 s multiprobe** (identical 20k output rows): the skew saturates
+    9-bit bands but spreads fine over 16-bit ones. On UNIFORM random
+    hashes the classic walk stays faster (1.6 s vs 3.3 s — 5x band-row
+    volume with no saturation to pay for), and under extreme bit bias
+    (p(1)=0.2) both are hot-bucket-bound (40 s vs 36 s) — a genuinely hot
+    bucket needs recursive re-banding or capping, not probing. Routing:
+    ``image_dup_clusters(walk='auto')`` uses multiprobe for radius >= 6
+    where the real-phash regime is the one that matters."""
+    B = max(2, max_hamming // 2 + 1)
+    widths = [64 // B + (1 if i < 64 % B else 0) for i in range(B)]
+    offsets = np.cumsum([0] + widths[:-1]).tolist()
+    off_arr = np.asarray(offsets, dtype=np.uint64)
+    mask_arr = np.asarray([(1 << w) - 1 for w in widths], dtype=np.uint64)
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.uint8)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy().astype(np.uint64)
+        n = len(ph)
+        buckets: list[np.ndarray] = []
+        idxs: list[np.ndarray] = []
+        base_idx = np.arange(n)
+        for b in range(B):
+            val = (ph >> off_arr[b]) & mask_arr[b]
+            tag = np.int64(b) << np.int64(48)
+            buckets.append(tag | val.astype(np.int64))
+            idxs.append(base_idx)
+            for bit in range(widths[b]):
+                m = np.uint64(1) << np.uint64(bit)
+                hit = np.flatnonzero((val & m) != 0)
+                if len(hit):
+                    buckets.append(tag | (val[hit] ^ m).astype(np.int64))
+                    idxs.append(hit)
+        bucket = np.concatenate(buckets)
+        idx = np.concatenate(idxs)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "part": pa.array(
+                    (bucket % np.int64(n_parts)).astype(np.int64), pa.int64()
+                ),
+                "image_id": t["image_id"].take(pa.array(idx)),
+                "phash": t["phash"].take(pa.array(idx)),
+            }
+        )
+
+    pair_chunk = 1 << 16
+
+    def walk_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        empty = pa.table(
+            {"img_a": pa.array([], pa.string()),
+             "img_b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        bkt = g["bucket"].to_numpy()
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, bkt))
+        bkt, ids, ph = bkt[order], ids[order], ph[order]
+        uniq = np.r_[True, (bkt[1:] != bkt[:-1]) | (ids[1:] != ids[:-1])]
+        bkt, ids, ph = bkt[uniq], ids[uniq], ph[uniq]
+        n = len(bkt)
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        sizes = np.r_[starts[1:], n] - starts
+        for ai, bi in _segment_pair_chunks(starts, sizes, pair_chunk):
+            xr = ph[ai] ^ ph[bi]
+            d = _POP[xr.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+            ok = d <= max_hamming
+            # same image reached via two different probes of one bucket is
+            # already impossible (probes of one row are distinct buckets),
+            # but identical phashes make ids[ai]==ids[bi] impossible too
+            # only after the (bucket, image_id) dedup above
+            if not ok.any():
+                continue
+            sel = np.flatnonzero(ok)
+            xs = xr[sel]
+            pa_, pb_ = ph[ai[sel]], ph[bi[sel]]
+            # per-band distances (k, B)
+            bd = np.empty((len(sel), B), np.int64)
+            for b in range(B):
+                seg = (xs >> off_arr[b]) & mask_arr[b]
+                bd[:, b] = _POP[
+                    seg.view(np.uint8).reshape(-1, 8)
+                ].sum(axis=1).astype(np.int64)
+            first = (bd <= 1).argmax(axis=1)
+            cur = (bkt[ai[sel]] >> np.int64(48)).astype(np.int64)
+            # canonical bucket: AND of the two band values in that band
+            band_and = (
+                ((pa_ & pb_) >> off_arr[first]) & mask_arr[first]
+            ).astype(np.int64)
+            low = bkt[ai[sel]] & ((np.int64(1) << np.int64(48)) - 1)
+            keep = (first == cur) & (band_and == low)
             if keep.any():
                 ks = sel[keep]
                 out_a.append(ids[ai[ks]])

@@ -262,3 +262,67 @@ def test_url_trap_families_vs_oracle(ray_session):
     assert not got.loc[~is_search, "is_trap"].any()
     # all 10 digit-collapsed hosts appear in each family
     assert (got["n_hosts"] == 10).all()
+
+
+def test_multiprobe_phash_walk_identical(ray_session):
+    """The multi-probe walk (r//2+1 wide bands, per-band radius 1 via
+    downward bit probes, AND-bucket canonical dedup) emits EXACTLY the
+    classic banded walk's pair set — same pairs, same Hamming values, each
+    pair exactly once — on an adversarial corpus with planted pairs at
+    every distance 0..8, at radii spanning the auto crossover."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.reports import (
+        images_phash_near_dups, images_phash_near_dups_multiprobe,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    ph = rng.integers(-2**63, 2**63, n, dtype=np.int64)
+    for i in range(0, 360, 2):
+        d = (i // 2) % 9
+        v = np.uint64(ph[i].astype(np.uint64))
+        for b in rng.choice(64, size=d, replace=False):
+            v ^= np.uint64(1) << np.uint64(b)
+        ph[i + 1] = v.astype(np.int64)
+    ds = rd.from_arrow(pa.table(
+        {"image_id": [str(i) for i in range(n)],
+         "phash": pa.array(ph, pa.int64())}
+    ))
+
+    def norm(df):
+        return {
+            tuple(sorted((a, b))): h
+            for a, b, h in df.itertuples(index=False)
+        }
+
+    for r in (2, 6, 8):
+        a = norm(images_phash_near_dups(ds, max_hamming=r).to_pandas())
+        bdf = images_phash_near_dups_multiprobe(ds, max_hamming=r).to_pandas()
+        b = norm(bdf)
+        assert a == b, f"radius {r}: pair sets differ"
+        assert len(bdf) == len(b), f"radius {r}: duplicate emissions"
+        assert len(a) > 0
+
+
+def test_image_dup_clusters_auto_multiprobe(ray_session):
+    """image_dup_clusters at radius 6 routes through the multi-probe walk
+    and recovers the identical clusters the banded walk produces."""
+    from crawler_ray.pipelines.clusters import image_dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    auto = image_dup_clusters(sf, max_hamming=6).to_pandas()
+    banded = image_dup_clusters(sf, max_hamming=6, walk="banded").to_pandas()
+
+    def norm(df):
+        return sorted(
+            tuple(sorted(g)) for _, g in
+            df.groupby("cluster_id")["image_id"].apply(list).items()
+        ) if "cluster_id" in df.columns else sorted(
+            map(tuple, df.sort_values(df.columns.tolist()).to_numpy().tolist())
+        )
+
+    assert norm(auto) == norm(banded)
+    assert len(auto) > 0
