@@ -124,6 +124,21 @@ def _segment_pair_chunks(starts: np.ndarray, sizes: np.ndarray, pair_chunk: int)
         return
     order = np.argsort(sizes, kind="stable")
     starts, sizes = starts[order], sizes[order]
+    # mega-segments (hot buckets) stream out in row blocks so no O(m²)
+    # index array is ever materialized (the dedup.py recipe)
+    mega = sizes > 2048
+    for s, m in zip(starts[mega].tolist(), sizes[mega].tolist()):
+        rb = max(1, pair_chunk // m)
+        for r0 in range(0, m - 1, rb):
+            rows = np.arange(r0, min(r0 + rb, m - 1))
+            counts = m - rows - 1
+            ai = np.repeat(rows, counts)
+            csum = np.cumsum(counts) - counts
+            bi = np.arange(int(counts.sum())) - np.repeat(csum, counts) + ai + 1
+            yield ai + s, bi + s
+    starts, sizes = starts[~mega], sizes[~mega]
+    if not len(starts):
+        return
     bounds = np.flatnonzero(np.r_[True, sizes[1:] != sizes[:-1]])
     ends = np.r_[bounds[1:], len(sizes)]
     buf_a: list[np.ndarray] = []

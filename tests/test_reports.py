@@ -326,3 +326,27 @@ def test_image_dup_clusters_auto_multiprobe(ray_session):
 
     assert norm(auto) == norm(banded)
     assert len(auto) > 0
+
+
+def test_segment_pair_chunks_exact_coverage():
+    """The shared pair-index generator covers every within-segment pair
+    exactly once — including mega-segments (> 2048 rows) that stream in
+    row blocks rather than materializing O(m²) indices."""
+    import numpy as np
+
+    from crawler_ray.pipelines.reports import _segment_pair_chunks
+
+    sizes = np.array([1, 2, 3, 5, 3000, 2, 7, 2500, 1, 64])
+    starts = np.r_[0, np.cumsum(sizes)[:-1]]
+    got = set()
+    for ai, bi in _segment_pair_chunks(starts.copy(), sizes.copy(), 1 << 14):
+        assert (ai < bi).all()
+        pairs = set(zip(ai.tolist(), bi.tolist()))
+        assert not (pairs & got)
+        got |= pairs
+    exp = {
+        (s + i, s + j)
+        for s, m in zip(starts.tolist(), sizes.tolist())
+        for i in range(m) for j in range(i + 1, m)
+    }
+    assert got == exp
