@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image-axis flagship BUILD: curation -> md5 split -> shard layout
         # via a distributed byte prefix sum (rows-only: pixel synthesis)
         "image_training_data_build": multimodal.image_training_data_build,
+        # PSNR-verified lossy transcode report (the input_hint >=40dB
+        # per-row invariant enforced in-pipeline; rows-only)
+        "image_transcode_report": multimodal.image_transcode_report,
         # audio near-dup pairs: WAV decode -> energy-delta fingerprint ->
         # the SAME banded-Hamming walk as image phash (rows-only;
         # planted-truth exact in tests)

@@ -884,3 +884,98 @@ def image_training_data_build(
         )
 
     return sizes.groupby("part").map_groups(layout, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PSNR-verified transcoding (storage-optimization stage; input_hint invariant)
+
+
+class TranscodeStage:
+    """Re-encode every image to ``to_fmt`` with a PER-ROW PSNR gate — the
+    LAION-style storage-optimization pass (re-encode crawled PNGs to a
+    lossy format) carrying the input_hint invariant as code: a transcoded
+    row is accepted only if PSNR(decode(new), decode(orig)) ≥ ``min_psnr``
+    dB; below the bar the ORIGINAL bytes are kept and the row is flagged.
+    Emits (bytes, fmt, orig_bytes_len, new_bytes_len, psnr_db, transcoded).
+
+    Task-mode per-batch stage: decode→encode→decode→PSNR per row (codecs
+    are per-buffer), numpy PSNR. At 100 TB size batches so decode memory
+    x batch_size fits the worker heap — same sizing note as ImageStats."""
+
+    def __init__(self, to_fmt: str = "webp", min_psnr: float = 40.0):
+        self.to_fmt = to_fmt
+        self.min_psnr = min_psnr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.functions.codecs import (
+            decode_image, encode_image, psnr, sniff_fmt,
+        )
+
+        out_bytes: list[bytes] = []
+        out_fmt: list[str] = []
+        o_len = np.empty(batch.num_rows, np.int64)
+        n_len = np.empty(batch.num_rows, np.int64)
+        db = np.empty(batch.num_rows, np.float64)
+        ok = np.empty(batch.num_rows, bool)
+        for i, data in enumerate(batch["bytes"].to_pylist()):
+            px = decode_image(data, sniff_fmt(data))
+            new = encode_image(px, self.to_fmt)
+            q = psnr(decode_image(new, self.to_fmt), px)
+            o_len[i], n_len[i], db[i] = len(data), len(new), q
+            if q >= self.min_psnr:
+                out_bytes.append(new)
+                out_fmt.append(self.to_fmt)
+                ok[i] = True
+            else:  # keep the original; never publish below the bar
+                out_bytes.append(data)
+                out_fmt.append(sniff_fmt(data))
+                ok[i] = False
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("bytes", "fmt")}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["fmt"] = pa.array(out_fmt, pa.string())
+        cols["orig_bytes_len"] = pa.array(o_len, pa.int64())
+        cols["new_bytes_len"] = pa.array(n_len, pa.int64())
+        cols["psnr_db"] = pa.array(db, pa.float64())
+        cols["transcoded"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+
+def image_transcode_report(
+    sf_dir: str, to_fmt: str = "webp", min_psnr: float = 40.0, seed: int = 42
+) -> "rd.Dataset":
+    """Transcode the synthesized PNG corpus to the lossy stand-in format
+    and report per-image fidelity + size: (image_id, orig_bytes_len,
+    new_bytes_len, psnr_db, transcoded). Zero exchanges — a pure
+    decode/encode map; the PSNR bar enforces the BASELINE.json input_hint
+    per-row invariant (``PSNR ≥ 40 dB for lossy formats``) in-pipeline
+    rather than only in tests. Rows-only driver check (pixel synthesis);
+    tests assert every row clears the bar with the stand-in codec and
+    that a planted high bar flags rows instead of publishing them."""
+    import ray.data as rd
+
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, _caps = planted_image_batch(ids, seed)
+        return pa.table(
+            {"image_id": pa.array([str(int(d)) for d in ids], pa.string()),
+             "bytes": pa.array(payloads, pa.binary()),
+             "fmt": pa.array(["png"] * len(ids), pa.string())}
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            TranscodeStage(to_fmt, min_psnr), batch_format="pyarrow",
+            batch_size=256,
+        )
+        .select_columns(
+            ["image_id", "orig_bytes_len", "new_bytes_len", "psnr_db",
+             "transcoded"]
+        )
+    )

