@@ -979,3 +979,53 @@ def image_transcode_report(
              "transcoded"]
         )
     )
+
+
+def image_build_card(sf_dir: str, **build_kwargs) -> "rd.Dataset":
+    """Dataset card for the image training-data build — the per-split
+    publishable summary (the image twin of ``corpus_source_report``):
+    (split, n_images, total_bytes, n_shards, first_shard, last_shard),
+    derived from the build manifest in ONE split-keyed aggregate (three
+    tiny groups; combiner per batch). Rows-only driver check; tests assert
+    the card reconciles exactly with the manifest it summarizes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    manifest = image_training_data_build(sf_dir, **build_kwargs)
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_images", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        )
+
+    card = (
+        manifest.map_batches(widen, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_bytes", alias_name="total_bytes"),
+            Min("shard_id", alias_name="first_shard"),
+            Max("shard_id", alias_name="last_shard"),
+        )
+    )
+
+    # exact distinct shards per split: ONE (split, shard_id) groupby whose
+    # result is O(n_shards) rows by construction (shards = bytes/shard_bytes),
+    # then a driver-side count over that tiny table
+    sh_pairs = (
+        manifest.select_columns(["split", "shard_id"])
+        .groupby(["split", "shard_id"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    sh_df = (
+        sh_pairs.groupby("split", as_index=False)["shard_id"]
+        .nunique()
+        .rename(columns={"shard_id": "n_shards"})
+    )
+    sh_df["n_shards"] = sh_df["n_shards"].astype(np.int64)
+    card_df = card.to_pandas()  # 3 rows
+    out = card_df.merge(sh_df, on="split")
+    out = out[["split", "n_images", "total_bytes", "n_shards",
+               "first_shard", "last_shard"]].sort_values("split")
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -157,3 +157,23 @@ def test_image_transcode_report(ray_session):
     # flagged rows keep the original byte length
     assert (strict["new_bytes_len"] != strict["orig_bytes_len"]).any() or True
     assert (strict["psnr_db"] < 60.0).all()
+
+
+def test_image_build_card_reconciles(ray_session):
+    """The per-split card equals a pandas recomputation over the manifest
+    it summarizes (counts, bytes, distinct shards, shard bounds)."""
+    from crawler_ray.pipelines.multimodal import (
+        image_build_card, image_training_data_build,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    card = image_build_card(sf).to_pandas().set_index("split")
+    m = image_training_data_build(sf).to_pandas()
+    for split, r in card.iterrows():
+        sub = m[m["split"] == split]
+        assert len(sub) == r["n_images"]
+        assert sub["n_bytes"].sum() == r["total_bytes"]
+        assert sub["shard_id"].nunique() == r["n_shards"]
+        assert sub["shard_id"].min() == r["first_shard"]
+        assert sub["shard_id"].max() == r["last_shard"]
+    assert set(card.index) == {"train", "val", "test"}
