@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 146 pipelines over the driver testdata (one entry per
+``queries()`` exposes 147 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 120 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -57,7 +57,7 @@ predicate as a zero-exchange broadcast filter-scan, Q21 sole-late-supplier
 per-order set logic, and Q22's scalar-threshold anti join per nation; and late-continuation exact twins: a GROUPING SETS
 report off one composite pass, and crawler-trap URL-family explosion
 counts over identically-derived URL corpora). The
-genuinely non-SQL-expressible twenty-six get the weaker rows-only driver check
+genuinely non-SQL-expressible twenty-seven get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -339,6 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_transcode_report": multimodal.image_transcode_report,
         # per-split dataset card over the image build manifest (rows-only)
         "image_build_card": multimodal.image_build_card,
+        # reverse-image-search: exact Hamming top-k over the phash corpus
+        # (per-batch partial top-k; rows-only, numpy-equal in tests)
+        "image_phash_knn": multimodal.image_phash_knn,
         # audio near-dup pairs: WAV decode -> energy-delta fingerprint ->
         # the SAME banded-Hamming walk as image phash (rows-only;
         # planted-truth exact in tests)

@@ -149,6 +149,7 @@ QUERY_NAMES = [
     "image_crop_dups",
     "embedding_pca_project",
     "image_training_data_build",
+    "image_transcode_report",
 ]
 
 

@@ -1029,3 +1029,56 @@ def image_build_card(sf_dir: str, **build_kwargs) -> "rd.Dataset":
     out = out[["split", "n_images", "total_bytes", "n_shards",
                "first_shard", "last_shard"]].sort_values("split")
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+def image_phash_knn(
+    sf_dir: str, query_doc_id: int = 0, k: int = 20, seed: int = 42
+) -> "rd.Dataset":
+    """Visual similar-image search: exact top-k nearest images to the
+    query image by phash Hamming distance — the serving-path twin of
+    ``similarity.knn_brute_force`` on the image axis (reverse-image-search
+    / dedup-triage lookup). Per-batch partial top-k (vectorized XOR +
+    popcount against the 8-byte query hash shipped in the task closure —
+    nothing broadcast), then a tiny global sort; ties break on image_id.
+    The corpus pass is ONE scan; at 10^10 images the same query serves
+    from the banded phash index instead (``cross_snapshot_image_dups``'s
+    warm path) — this is the exact baseline that validates it. Rows-only
+    driver check (pixel synthesis); tests assert equality with a numpy
+    brute force and that the planted near-copies of the query rank first."""
+    import ray.data as rd
+
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.sources.io import read_parquet_sized
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    q_payload, _ = planted_image_batch(np.array([query_doc_id]), seed, dup=True)
+    q_hash = np.uint64(
+        np.int64(phash64(decode_image(q_payload[0], sniff_fmt(q_payload[0]))))
+    )
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.uint8)
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids != query_doc_id]
+        payloads, _caps = planted_image_batch(ids, seed, dup=True)
+        ph = np.empty(len(ids), np.uint64)
+        for i, data in enumerate(payloads):
+            ph[i] = np.uint64(np.int64(phash64(decode_image(data, sniff_fmt(data)))))
+        xr = ph ^ q_hash
+        d = _POP[xr.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        order = np.lexsort((ids, d))[:k]
+        return pa.table(
+            {"image_id": pa.array(ids[order], pa.int64()),
+             "hamming": pa.array(d[order], pa.int64())}
+        )
+
+    return (
+        docs.map_batches(partial_topk, batch_format="pyarrow", batch_size=256)
+        .sort(["hamming", "image_id"])
+        .limit(k)
+    )

@@ -177,3 +177,37 @@ def test_image_build_card_reconciles(ray_session):
         assert sub["shard_id"].min() == r["first_shard"]
         assert sub["shard_id"].max() == r["last_shard"]
     assert set(card.index) == {"train", "val", "test"}
+
+
+def test_image_phash_knn_exact(ray_session):
+    """Hamming top-k equals a single-node numpy brute force exactly, and
+    the planted duplicate of the query ranks first at distance 0."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import phash64
+    from crawler_ray.pipelines.multimodal import image_phash_knn
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    sf = "/root/testdata/sf0.001"
+    k = 15
+    got = image_phash_knn(sf, query_doc_id=0, k=k).to_pandas()
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    payloads, _ = planted_image_batch(ids, 42, dup=True)
+    ph = np.array(
+        [phash64(decode_image(p, sniff_fmt(p))) for p in payloads], np.int64
+    ).astype(np.uint64)
+    q = ph[ids == 0][0]
+    mask = ids != 0
+    d = np.unpackbits(
+        (ph[mask] ^ q).view(np.uint8).reshape(-1, 8), axis=1
+    ).sum(axis=1).astype(np.int64)
+    order = np.lexsort((ids[mask], d))[:k]
+    exp_ids, exp_d = ids[mask][order], d[order]
+    assert (got["image_id"].to_numpy() == exp_ids).all()
+    assert (got["hamming"].to_numpy() == exp_d).all()
+    assert got["image_id"].iloc[0] == 1 and got["hamming"].iloc[0] == 0
