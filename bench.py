@@ -150,6 +150,7 @@ QUERY_NAMES = [
     "embedding_pca_project",
     "image_training_data_build",
     "image_transcode_report",
+    "image_phash_knn",
 ]
 
 
