@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawler-trap detection: digit-collapsed URL-family explosion
         # counts (distinct urls/hosts per family, trap flag)
         "url_trap_families": reports.url_trap_families,
+        # URL canonicalization dedup: raw variants (case/port/utm/param
+        # order/fragment) collapsed by the REAL frontier canonicalizer
+        "url_canonical_dups": reports.url_canonical_dups,
         # flagship composition: lang -> quality -> repetition -> dedup,
         # per-doc verdict + first-failing-reason report
         "corpus_curation": curation.corpus_curation,
@@ -232,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_counts": events.hourly_event_counts,
         # sliding (hopping) windows: combine-then-replicate partials
         "sliding_event_counts": events.sliding_event_counts,
+        # streaming anomaly verb: spike hours per type (dense spine,
+        # integer trailing-window cross-multiplied compare)
+        "event_spike_hours": events.event_spike_hours,
         # gap-filled time spine: dense hourly counts with zero fill
         "hourly_event_counts_dense": events.hourly_event_counts_dense,
         # ordered multi-step conversion funnel (one user exchange)
@@ -471,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         "hourly_event_counts": events.HOURLY_EVENTS_SQL,
         "sliding_event_counts": events.sliding_event_counts_sql(),
+        "event_spike_hours": events.event_spike_hours_sql(),
         "hourly_event_counts_dense": events.HOURLY_DENSE_SQL,
         "funnel_conversions": events.funnel_conversions_sql(),
         "sessionize": events.SESSIONIZE_SQL,
@@ -504,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "revenue_grouping_sets": relational.REVENUE_GROUPING_SETS_SQL,
         "url_trap_families": reports.url_trap_families_sql(),
+        "url_canonical_dups": reports.URL_CANONICAL_DUPS_SQL,
         "priority_year_pivot": relational.priority_year_pivot_sql(),
         "repeat_customers": relational.REPEAT_CUSTOMERS_SQL,
         "churned_customers": relational.CHURNED_CUSTOMERS_SQL,

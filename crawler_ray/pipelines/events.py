@@ -990,3 +990,99 @@ SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour,
        COALESCE(c.n, 0)::BIGINT AS n_events
 FROM spine LEFT JOIN c USING (h)
 """
+
+
+def event_spike_hours(sf_dir: str, window: int = 3, factor: int = 2) -> rd.Dataset:
+    """Traffic-spike detection per event type: an hour is a SPIKE when its
+    count more than ``factor``-times exceeds the mean of the previous
+    ``window`` hours — the streaming anomaly verb (rate-limit alarms, crawl
+    storm detection) expressed over the dense hourly spine so silent hours
+    count as zeros instead of being dropped.
+
+    The comparison is pure integer cross-multiplication
+    (``n * window > factor * prev_sum``), so the flag is exact — no float
+    mean, no accumulation-order sensitivity.
+
+    Scale shape: the corpus-sized work is the in-batch (type, hour) combiner;
+    ONE exchange moves O(types × hours) aggregated partials; the per-type
+    spine + trailing-window fold runs in ``map_groups`` over rows bounded by
+    the TIME RANGE, never the event count. Only hours with a full trailing
+    window (row number > ``window`` in the type's spine) are emitted,
+    matching the SQL twin's ``rn > window`` filter.
+    """
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour_i = t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "hour_i": hour_i}
+        )
+        g = (
+            df.groupby(["event_type", "hour_i"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+        g["n_p"] = g["n_p"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_i"])
+        .aggregate(Sum("n_p", alias_name="n_events"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].iloc[0]
+        lo, hi = int(df["hour_i"].min()), int(df["hour_i"].max())
+        spine = np.arange(lo, hi + 1, dtype=np.int64)
+        n = np.zeros(len(spine), np.int64)
+        n[df["hour_i"].to_numpy() - lo] = df["n_events"].to_numpy()
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(n)])
+        idx = np.arange(window, len(spine))  # full trailing window only
+        prev = cs[idx] - cs[idx - window]
+        kept = n[idx]
+        hour_s = pd.to_datetime(spine[idx].astype("datetime64[h]")).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(np.array(et, dtype=object), len(idx)),
+                "hour": hour_s,
+                "n_events": kept,
+                "prev_sum": prev,
+                "is_spike": (kept * window) > (factor * prev),
+            }
+        )
+
+    return agg.groupby("event_type").map_groups(finish, batch_format="pandas")
+
+
+def event_spike_hours_sql(window: int = 3, factor: int = 2) -> str:
+    return f"""
+WITH c AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY 1
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+),
+d AS (
+    SELECT s.event_type, s.h, COALESCE(c.n, 0)::BIGINT AS n
+    FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h
+),
+w AS (
+    SELECT event_type, h, n,
+           COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS prev_sum,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM d
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n AS n_events,
+       prev_sum, (n * {window}) > ({factor} * prev_sum) AS is_spike
+FROM w WHERE rn > {window}
+"""

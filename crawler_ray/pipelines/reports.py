@@ -541,3 +541,122 @@ SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS family,
 FROM urls
 GROUP BY 1
 """
+
+
+def _noisy_urls(t: pa.Table) -> pd.Series:
+    """Deterministic RAW URL derivation from orders — the same product page
+    reached through the noise variants a real crawl sees: host-case
+    differences, an explicit default port, tracking params, param-order
+    permutations, and fragments. Both engines derive the IDENTICAL raw
+    strings; only the Ray side then runs the real canonicalizer
+    (``strip_tracking_params`` + ``normalize_url``), so the SQL twin — which
+    constructs the canonical form directly from the integer fields — is
+    ground truth for the canonicalizer itself."""
+    k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    host_lo = pd.Series(c % 10).astype(str).radd("shop-") + ".example.com"
+    host_up = host_lo.str.upper()
+    host = pd.Series(np.where(k % 2 == 1, host_up, host_lo))
+    port = pd.Series(np.where(k % 5 == 0, ":443", ""))
+    pid = pd.Series(k % 400).astype(str)
+    ref = pd.Series(c % 5).astype(str)
+    q_id_first = "?id=" + pid + "&ref=" + ref
+    q_ref_first = "?ref=" + ref + "&id=" + pid
+    query = pd.Series(np.where(k % 2 == 0, q_id_first, q_ref_first))
+    utm = pd.Series(
+        np.where(k % 3 == 0, "&utm_source=aff" + pd.Series(c % 3).astype(str), "")
+    )
+    frag = pd.Series(np.where(k % 7 == 0, "#s" + pd.Series(k % 4).astype(str), ""))
+    return "https://" + host + port + "/item" + query + utm + frag
+
+
+def url_canonical_dups(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """URL canonicalization dedup: collapse raw URL variants (host case,
+    default port, tracking params, param order, fragments) onto their
+    canonical frontier key and count distinct raw variants per canonical
+    URL — the normalization step in front of the URL-seen set that keeps a
+    crawl from fetching the same page once per campaign tag.
+
+    Uses the REAL canonicalizers (``functions.urls.strip_tracking_params``
+    then ``normalize_url``) on the Ray side, validated end-to-end because
+    the DuckDB twin constructs the canonical string directly from the
+    integer fields the noise was derived from.
+
+    Scale shape: per batch, raw URLs dedup in-batch, the canonicalizer runs
+    once per distinct raw (stdlib urlsplit per URL — inherently a string
+    parse; ~10 µs/URL, and a real frontier pays this exactly once per
+    discovered URL anyway); ONE canonical-hash exchange moves deduplicated
+    (canon, raw) pairs; per-partition pandas folds finish. Output is
+    O(|canonical urls|); no driver-side URL state."""
+    from crawler_ray.functions.urls import normalize_url, strip_tracking_params
+    from crawler_ray.sources.io import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        target_rows_per_block=4096,
+    )
+
+    def canon_rows(t: pa.Table) -> pa.Table:
+        raw = _noisy_urls(t)
+        n_rows = raw.groupby(raw, sort=False).size()  # rows per raw, in batch
+        uniq = n_rows.index.to_numpy(dtype=object)
+        canon = np.array(
+            [normalize_url(strip_tracking_params(u)) for u in uniq], dtype=object
+        )
+        df = pd.DataFrame(
+            {"canon": canon, "raw": uniq, "n_rows_p": n_rows.to_numpy(np.int64)}
+        )
+        part = pd.util.hash_array(df["canon"].to_numpy(dtype=object)) % n_parts
+        df["part"] = part.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.groupby("canon", sort=False)
+            .agg(
+                n_variants=("raw", "nunique"),
+                n_rows=("n_rows_p", "sum"),
+                example_raw=("raw", "min"),
+            )
+            .reset_index()
+            .rename(columns={"canon": "canonical_url"})
+        )
+        out["n_variants"] = out["n_variants"].astype(np.int64)
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        orders.map_batches(canon_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .select_columns(["canonical_url", "n_variants", "n_rows", "example_raw"])
+    )
+
+
+URL_CANONICAL_DUPS_SQL = """
+WITH u AS (
+  SELECT
+    'https://shop-' || (o_custkey % 10) || '.example.com/item?id='
+        || (o_orderkey % 400) || '&ref=' || (o_custkey % 5) AS canon,
+    'https://'
+    || CASE WHEN o_orderkey % 2 = 1
+            THEN upper('shop-' || (o_custkey % 10) || '.example.com')
+            ELSE 'shop-' || (o_custkey % 10) || '.example.com' END
+    || CASE WHEN o_orderkey % 5 = 0 THEN ':443' ELSE '' END
+    || '/item'
+    || CASE WHEN o_orderkey % 2 = 0
+            THEN '?id=' || (o_orderkey % 400) || '&ref=' || (o_custkey % 5)
+            ELSE '?ref=' || (o_custkey % 5) || '&id=' || (o_orderkey % 400) END
+    || CASE WHEN o_orderkey % 3 = 0
+            THEN '&utm_source=aff' || (o_custkey % 3) ELSE '' END
+    || CASE WHEN o_orderkey % 7 = 0
+            THEN '#s' || (o_orderkey % 4) ELSE '' END AS raw
+  FROM orders
+)
+SELECT canon AS canonical_url,
+       COUNT(DISTINCT raw)::BIGINT AS n_variants,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(raw) AS example_raw
+FROM u GROUP BY 1
+"""
