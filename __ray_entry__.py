@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_spans": textops.doc_pack_spans,
         # per-doc top-k TF-IDF terms (integer-exact scoring, broadcast DF)
         "doc_top_tfidf": textops.doc_top_tfidf,
+        # Okapi BM25 top-k search (exact int64 fixed-point scoring,
+        # query-sized stats fold, per-batch partial top-k)
+        "bm25_search": textops.bm25_search,
         # cross-document repeated n-grams (boilerplate/template detector)
         "boilerplate_ngrams": textops.boilerplate_ngrams,
         # exact frequent tokens via a Misra-Gries candidate pass (two-pass)
@@ -495,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": textops.stratified_sample_sql(),
         "doc_pack_spans": textops.doc_pack_spans_sql(),
         "doc_top_tfidf": textops.doc_top_tfidf_sql(),
+        "bm25_search": textops.bm25_search_sql(),
         "boilerplate_ngrams": textops.boilerplate_ngrams_sql(),
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_sql(),
         "doc_normalized": textops.DOC_NORMALIZED_SQL,

@@ -2812,3 +2812,218 @@ def bpe_learn_merges(
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+# --------------------------------------------------------------------------
+# BM25 full-text search (top-k documents for a term query)
+# --------------------------------------------------------------------------
+
+
+_BM25_STATS_ROW = "\x00__stats__"
+
+
+class _Bm25Scorer:
+    """Per-batch BM25 scoring against a fixed query-term table.
+
+    The score is EXACT integer fixed point so both engines agree bit-for-bit:
+    with k1 = 6/5 and b = 3/4 and integer ``avgdl`` (= total_tokens // n_docs),
+    the per-term Okapi contribution
+
+        idf · (k1+1)·tf / (tf + k1·(1 − b + b·dl/avgdl))
+
+    becomes  ``idf_fp · 44 · avgdl · tf  //  (20·avgdl·tf + 6·avgdl + 18·dl)``
+    with ``idf_fp = (N·10^6) // df`` (the same integer-ratio IDF as
+    ``doc_top_tfidf``; monotone in the log IDF, so ranking-equivalent for a
+    fixed N). All operands are int64; the caller asserts the overflow
+    envelope before broadcasting the constants.
+    """
+
+    def __init__(self, terms: list[str], idf_fp: list[int], avgdl: int, k: int):
+        self.terms = np.array(terms, dtype=object)
+        self.idf = {t: int(v) for t, v in zip(terms, idf_fp)}
+        self.avgdl = int(avgdl)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_terms_matched": pd.Series([], dtype=np.int64),
+                "dl": pd.Series([], dtype=np.int64),
+                "score_fp": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        s = df["text"].str.strip().str.lower().str.split()
+        dl = s.str.len().to_numpy(dtype=np.int64)
+        if not dl.sum():
+            return empty
+        doc = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), dl)
+        toks = np.concatenate(s.to_numpy())
+        hit = np.isin(toks, self.terms)
+        if not hit.any():
+            return empty
+        tf = (
+            pd.DataFrame({"doc_id": doc[hit], "term": toks[hit]})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        dl_map = pd.Series(dl, index=df["doc_id"].to_numpy(dtype=np.int64))
+        d = dl_map.loc[tf["doc_id"]].to_numpy(dtype=np.int64)
+        t = tf["tf"].to_numpy(dtype=np.int64)
+        idf = tf["term"].map(self.idf).to_numpy(dtype=np.int64)
+        a = self.avgdl
+        contrib = (idf * 44 * a * t) // (20 * a * t + 6 * a + 18 * d)
+        tf["c"] = contrib
+        tf["dl"] = d
+        out = (
+            tf.groupby("doc_id", sort=False)
+            .agg(
+                n_terms_matched=("term", "size"),
+                dl=("dl", "min"),
+                score_fp=("c", "sum"),
+            )
+            .reset_index()
+            .astype(
+                {"n_terms_matched": np.int64, "dl": np.int64, "score_fp": np.int64}
+            )
+        )
+        # per-batch partial top-k keeps the final exchange O(k × blocks)
+        out = out.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(self.k)
+        return out.reset_index(drop=True)
+
+
+def bm25_search(
+    sf_dir: str, query: str = "hash join vector", k: int = 10
+) -> rd.Dataset:
+    """Okapi BM25 top-k document search — the classic web-search ranking
+    operator over the crawl's document corpus.
+
+    Two streaming passes, no inverted index needed for one-shot queries
+    (``token_postings`` is the persisted-index path):
+
+    1. **Stats pass** — per batch, a slim partial table: per-query-term
+       document frequency (distinct docs in batch — doc rows are whole) plus
+       one row carrying the batch token count and max doc length. The driver
+       folds O((q+1) × blocks) rows — query-sized, never corpus-sized.
+    2. **Score pass** — the tiny (term → idf_fp) map, ``avgdl`` and ``k``
+       broadcast as actor-constructor constants; each batch tokenizes,
+       computes tf for query terms only, scores in exact int64 fixed point
+       (see ``_Bm25Scorer``), and emits its LOCAL top-k, so the final
+       sort+limit exchange moves O(k × blocks) rows.
+
+    Ranking ties break on doc_id ascending in both engines, so the top-k SET
+    is deterministic. The int64 overflow envelope
+    ``idf_max · 44 · avgdl · dl_max < 2^63`` is asserted from the measured
+    stats (holds to ≈20× the sf0.1 corpus; beyond that, raise the fixed-point
+    scale down or split hi/lo like ``lineitem_qty_price_corr``)."""
+    import pyarrow.parquet as pq_
+
+    terms = sorted(set(query.strip().lower().split()))
+    if not terms:
+        raise ValueError("empty query")
+    tarr = np.array(terms, dtype=object)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        s = df["text"].str.strip().str.lower().str.split()
+        dl = s.str.len().to_numpy(dtype=np.int64)
+        names = [_BM25_STATS_ROW]
+        dfp = [0]
+        if dl.sum():
+            doc = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), dl)
+            toks = np.concatenate(s.to_numpy())
+            hit = np.isin(toks, tarr)
+            if hit.any():
+                dd = (
+                    pd.DataFrame({"d": doc[hit], "t": toks[hit]})
+                    .drop_duplicates()
+                    .groupby("t", sort=False)
+                    .size()
+                )
+                names += list(dd.index)
+                dfp += [int(v) for v in dd.to_numpy()]
+        n = len(names)
+        return pa.table(
+            {
+                "term": pa.array(names, pa.string()),
+                "df_p": pa.array(dfp, pa.int64()),
+                "t_p": pa.array([int(dl.sum())] + [0] * (n - 1), pa.int64()),
+                "dlmax_p": pa.array(
+                    [int(dl.max()) if len(dl) else 0] + [0] * (n - 1), pa.int64()
+                ),
+            }
+        )
+
+    partials = docs.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    total_tokens = int(partials["t_p"].sum())
+    dl_max = int(partials["dlmax_p"].max()) if len(partials) else 0
+    df_by_term = partials.groupby("term")["df_p"].sum()
+    avgdl = max(1, total_tokens // max(1, n_docs))
+
+    live_terms, idf_fp = [], []
+    for t in terms:
+        dfv = int(df_by_term.get(t, 0))
+        if dfv > 0:  # absent terms contribute nothing; skip (guards div-by-0)
+            live_terms.append(t)
+            idf_fp.append((n_docs * 1_000_000) // dfv)
+    if live_terms:
+        worst = max(idf_fp) * 44 * avgdl * max(1, dl_max)
+        if worst >= 2**63:  # pragma: no cover - ~20x-sf0.1 envelope
+            raise ValueError(
+                f"BM25 int64 envelope exceeded (worst={worst:.3g}); lower the "
+                "idf fixed-point scale or split hi/lo"
+            )
+    return docs.map_batches(
+        _Bm25Scorer,
+        fn_constructor_args=(live_terms, idf_fp, avgdl, k),
+        concurrency=(1, 8),
+        batch_format="pandas",
+    ).sort(["score_fp", "doc_id"], descending=[True, False]).limit(k)
+
+
+def bm25_search_sql(query: str = "hash join vector", k: int = 10) -> str:
+    terms = sorted(set(query.strip().lower().split()))
+    qlist = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    return rf"""
+WITH q(term) AS (VALUES {qlist}),
+toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+tt AS (SELECT COUNT(*)::BIGINT AS t FROM toks),
+avg AS (SELECT GREATEST(1, tt.t // GREATEST(1, n.n)) AS avgdl FROM tt, n),
+dfq AS (
+    SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks
+    WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+    WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+sc AS (
+    SELECT tf.doc_id,
+           COUNT(*)::BIGINT AS n_terms_matched,
+           MIN(dl.dl)::BIGINT AS dl,
+           SUM( (((n.n * 1000000) // dfq.df) * 44 * avg.avgdl * tf.tf)
+                // (20*avg.avgdl*tf.tf + 6*avg.avgdl + 18*dl.dl) )::BIGINT
+               AS score_fp
+    FROM tf
+    JOIN dfq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN avg
+    GROUP BY 1
+)
+SELECT doc_id, n_terms_matched, dl, score_fp
+FROM sc
+ORDER BY score_fp DESC, doc_id
+LIMIT {k}
+"""

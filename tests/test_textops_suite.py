@@ -643,3 +643,49 @@ def test_bpe_distributed_equals_reference(ray_session):
     ref = textops._bpe_reference(dict(wc), 8)
     assert list(zip(got["left"], got["right"], got["pair_count"])) == ref
     assert got["rank"].tolist() == list(range(len(ref)))
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def test_bm25_known_ranking(ray_session, tmp_path):
+    """Hand-checkable corpus: rare-term docs outrank common-term docs;
+    shorter docs outrank longer ones at equal tf; exact oracle parity."""
+    texts = {
+        1: "zebra apple apple",              # rare term once, short
+        2: "apple apple apple apple",        # common term only (df 4)
+        3: "zebra zebra apple " + "pad " * 30,  # both terms, long
+        4: "apple banana",                   # raises df(apple) above df(zebra)
+        5: "zebra",                          # rare term, shortest
+        6: "",                               # empty doc (counts toward N)
+    }
+    con = _write_docs(tmp_path, texts)
+    got = textops.bm25_search(str(tmp_path), query="zebra apple", k=5).to_pandas()
+    exp = con.execute(textops.bm25_search_sql(query="zebra apple", k=5)).df()
+    _assert_same(got, exp)
+    # the empty doc never appears
+    assert 6 not in set(got["doc_id"])
+    s = got.set_index("doc_id")["score_fp"]
+    # one hit of the rarer term in the shortest doc beats four hits of the
+    # common term (idf + length normalization)
+    assert s[5] > s[2]
+    # the long doc pays the dl penalty: despite matching BOTH terms it
+    # scores below the short single-zebra doc
+    assert s[3] < s[5]
+    assert int(got.set_index("doc_id")["n_terms_matched"][3]) == 2
+
+
+def test_bm25_absent_term_and_ties(ray_session, tmp_path):
+    """A query term absent from the corpus contributes nothing (no div/0),
+    and exact ties break on doc_id ascending, cross-checked vs the oracle."""
+    texts = {i: "alpha beta" for i in range(1, 8)}  # 7 identical docs
+    con = _write_docs(tmp_path, texts)
+    got = textops.bm25_search(
+        str(tmp_path), query="alpha nosuchterm", k=3
+    ).to_pandas()
+    exp = con.execute(
+        textops.bm25_search_sql(query="alpha nosuchterm", k=3)
+    ).df()
+    _assert_same(got, exp)
+    assert list(got.sort_values("doc_id")["doc_id"]) == [1, 2, 3]
+    assert (got["n_terms_matched"] == 1).all()
