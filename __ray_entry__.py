@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue_rows": relational.filtered_revenue_rows,
         "first_order_per_customer": relational.first_order_per_customer,
         "part_type_stats": relational.part_type_stats,
+        # 2-D Pareto frontier / skyline (local prune -> single small fold)
+        "pareto_price_size": relational.pareto_price_size,
         "lineitem_price_quantiles": relational.lineitem_price_quantiles,
         # interpolated percentile_cont twin of the disc quantiles
         "lineitem_price_percentiles_cont":
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_revenue_rows": relational.FILTERED_REVENUE_SQL,
         "first_order_per_customer": relational.FIRST_ORDER_SQL,
         "part_type_stats": relational.PART_TYPE_SQL,
+        "pareto_price_size": relational.PARETO_PRICE_SIZE_SQL,
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         "hourly_event_counts": events.HOURLY_EVENTS_SQL,
         "sliding_event_counts": events.sliding_event_counts_sql(),

@@ -2218,3 +2218,82 @@ WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
   AND l_shipdate <  TIMESTAMP '{year + 1}-01-01'
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline): cheapest price per strictly-better size
+# --------------------------------------------------------------------------
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline kernel (minimize price, maximize size), vectorized.
+
+    A row is dominated iff another row has (price <=, size >=) with at least
+    one strict. Duplicate (price, size) points are mutually non-dominating
+    and are ALL kept. O(n log n): per-price group max, exclusive running max
+    over distinct ascending prices, two boolean masks.
+    """
+    if not len(df):
+        return df
+    price = df["p_retailprice"].to_numpy()
+    size = df["p_size"].to_numpy()
+    # per-price max size
+    uprice, inv = np.unique(price, return_inverse=True)
+    gmax = np.full(len(uprice), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(gmax, inv, size.astype(np.int64))
+    # exclusive running max over strictly-smaller prices (uprice is sorted)
+    prevmax = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]]
+    )
+    keep_price = gmax > prevmax  # frontier prices
+    keep = keep_price[inv] & (size.astype(np.int64) == gmax[inv])
+    return df.loc[keep]
+
+
+def pareto_price_size(sf_dir: str) -> rd.Dataset:
+    """Pareto-optimal parts on (minimize ``p_retailprice``, maximize
+    ``p_size``) — the skyline operator (multi-objective shortlisting:
+    price/quality frontiers, best-effort dedup champions). Ray Data has no
+    skyline verb; this is the standard exact two-phase decomposition:
+
+    1. **Local prune** (per batch): rows dominated within a batch are
+       dominated globally, so each batch emits only its LOCAL skyline —
+       corpus-sized work, vectorized sort/running-max kernel, no exchange.
+    2. **Global fold**: survivors gather into one partition and the same
+       kernel runs once more. Survivor volume is bounded by
+       Σ per-batch skyline sizes — data-dependent (anti-chains can be
+       large), but for any realistic price/size distribution it is tiny
+       (≤ distinct sizes + duplicates at frontier points). The planted
+       worst case is tested; if survivors outgrew a single partition the
+       fold would become a sorted-by-price repartition + running-max scan
+       (the ``doc_pack_spans`` prefix-scan shape).
+
+    Exactness: no arithmetic — only comparisons on values both engines read
+    verbatim — so the oracle matches bit-for-bit including duplicates.
+    """
+    from crawler_ray.sources.io import read_parquet_sized
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    local = parts.map_batches(_skyline_2d, batch_format="pandas")
+    return local.repartition(1).map_batches(
+        _skyline_2d, batch_format="pandas", batch_size=None
+    )
+
+
+PARETO_PRICE_SIZE_SQL = """
+WITH g AS (
+    SELECT p_retailprice AS price, MAX(p_size) AS msize FROM part GROUP BY 1
+),
+r AS (
+    SELECT price, msize,
+           MAX(msize) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+    FROM g
+),
+k AS (SELECT price, msize FROM r WHERE prevmax IS NULL OR msize > prevmax)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN k ON k.price = p.p_retailprice AND k.msize = p.p_size
+"""

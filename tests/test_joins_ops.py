@@ -357,3 +357,57 @@ def test_bloom_prefilter_on_off_identical(ray_session):
         on = on[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         off = off[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         pd.testing.assert_frame_equal(on, off)
+
+
+# ------------------------------------------------------------ 2-D skyline
+
+
+def _write_parts(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_retailprice": pa.array([r[1] for r in rows], pa.float64()),
+                "p_size": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        f"{tmp_path}/part.parquet",
+    )
+
+
+def test_pareto_skyline_planted(ray_session, tmp_path):
+    """Planted frontier with duplicates, an equal-price-worse-size row, an
+    equal-size-worse-price row, and an interior point."""
+    from crawler_ray.pipelines.relational import pareto_price_size
+
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate of a frontier point -> kept too
+        (3, 10.0, 4),   # same price, smaller size -> dominated
+        (4, 12.0, 5),   # same size, higher price -> dominated
+        (5, 12.0, 7),   # frontier
+        (6, 11.0, 6),   # frontier (between)
+        (7, 15.0, 6),   # interior -> dominated by 6
+        (8, 20.0, 9),   # frontier (most expensive, biggest)
+    ]
+    _write_parts(tmp_path, rows)
+    got = pareto_price_size(str(tmp_path)).to_pandas()
+    assert sorted(got["p_partkey"]) == [1, 2, 5, 6, 8]
+    assert str(got["p_size"].dtype) == "int32"
+
+
+def test_pareto_skyline_worstcase_antichain(ray_session, tmp_path):
+    """Every point on the frontier (price and size both strictly increasing):
+    the local prune removes nothing, forcing the global fold to handle the
+    full survivor volume — and still return every row exactly once."""
+    from crawler_ray.pipelines.relational import pareto_price_size
+
+    n = 5000
+    rows = [(i, float(i), i) for i in range(n)]
+    _write_parts(tmp_path, rows)
+    got = pareto_price_size(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    assert sorted(got["p_partkey"]) == list(range(n))
