@@ -284,6 +284,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Okapi BM25 top-k search (exact int64 fixed-point scoring,
         # query-sized stats fold, per-batch partial top-k)
         "bm25_search": textops.bm25_search,
+        # fuzzy vocab join: edit-distance-1 pairs via deletion-neighborhood
+        # LSH (FastSS) + exact verify
+        "typo_word_pairs": textops.typo_word_pairs,
+        # entity-resolution fuzzy join over customer names (same engine;
+        # linear candidate-offset oracle)
+        "fuzzy_name_pairs": textops.fuzzy_name_pairs,
         # cross-document repeated n-grams (boilerplate/template detector)
         "boilerplate_ngrams": textops.boilerplate_ngrams,
         # exact frequent tokens via a Misra-Gries candidate pass (two-pass)
@@ -502,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_spans": textops.doc_pack_spans_sql(),
         "doc_top_tfidf": textops.doc_top_tfidf_sql(),
         "bm25_search": textops.bm25_search_sql(),
+        "typo_word_pairs": textops.TYPO_WORD_PAIRS_SQL,
+        "fuzzy_name_pairs": textops.FUZZY_NAME_PAIRS_SQL,
         "boilerplate_ngrams": textops.boilerplate_ngrams_sql(),
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_sql(),
         "doc_normalized": textops.DOC_NORMALIZED_SQL,

@@ -3027,3 +3027,264 @@ FROM sc
 ORDER BY score_fp DESC, doc_id
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Fuzzy vocabulary join: edit-distance-1 word pairs (typo detection)
+# --------------------------------------------------------------------------
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 for DISTINCT a != b, O(len) early-exit."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    # b is a with ONE insertion iff dropping b's first mismatch char equals a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return b[i + 1:] == a[i:]
+
+
+def _edit1_pairs(words: rd.Dataset, n_parts: int = 32) -> rd.Dataset:
+    """All edit-distance-1 pairs over a (word:string, n:int64) dataset via
+    POSITION-AWARE FastSS deletion-neighborhood LSH. Bucket key is
+    (variant, deletion_position); each word emits its single-deletion
+    variants keyed by position PLUS len+1 replicas of itself (one per
+    position, covering the insertion case). Within a bucket every
+    cross-word pair is PROVABLY lev <= 1 — two words sharing del_i are
+    equal everywhere but position i (substitution), and an identity
+    replica meeting del_i(b) == a is one insertion — so there is NO string
+    verification step at all, and candidate volume equals true-pair volume
+    (completeness: an equal-length lev-1 pair differs at exactly one
+    position i and co-buckets at (del_i, i); a length±1 pair co-buckets at
+    (shorter word, deleted position)).
+
+    Everything here is WORD-TABLE-sized: ~2·(len+1) variant rows per word
+    and ONE coarse bucket-hash exchange feeding vectorized segment walks.
+    An insertion pair meets at every deletion position of the inserted
+    char's equal-char run; the canonical-position rule inside the walk
+    (keep only the run's FIRST position) makes every emitted pair GLOBALLY
+    unique, so there is no pair-dedup exchange at all. The ``n`` payload
+    rides along unchanged. Output columns: (word_a, word_b, n_a, n_b),
+    with word_a < word_b."""
+    from crawler_ray.pipelines.reports import _segment_pair_chunks
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ws_in = df["word"].astype(str).to_numpy(dtype=object)
+        ns = df["n"].to_numpy(dtype=np.int64)
+        vs, ps, ws, vn = [], [], [], []
+        for w, n in zip(ws_in, ns):  # word-table-sized, not corpus-sized
+            L = len(w)
+            for i in range(L):
+                vs.append(w[:i] + w[i + 1:])  # deletion at i
+                ps.append(i)
+                ws.append(w)
+                vn.append(n)
+            for i in range(L + 1):  # identity replicas (insertion case)
+                vs.append(w)
+                ps.append(i)
+                ws.append(w)
+                vn.append(n)
+        out = pd.DataFrame(
+            {"variant": vs, "pos": np.asarray(ps, np.int64), "word": ws, "n": vn}
+        )
+        out["part"] = (
+            (
+                pd.util.hash_array(out["variant"].to_numpy(dtype=object))
+                ^ pd.util.hash_array(out["pos"].to_numpy())
+            )
+            % n_parts
+        ).astype(np.int64)
+        return out
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["variant", "pos", "word"], kind="mergesort")
+        v = g["variant"].to_numpy(dtype=object)
+        p = g["pos"].to_numpy(dtype=np.int64)
+        w = g["word"].to_numpy(dtype=object)
+        n = g["n"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, (v[1:] != v[:-1]) | (p[1:] != p[:-1])])
+        sizes = np.diff(np.r_[starts, len(v)])
+        outs = []
+        for ai, bi in _segment_pair_chunks(starts, sizes, 1 << 18):
+            A, B = w[ai], w[bi]
+            keep = A != B  # identity×identity of the same word
+            if not keep.any():
+                continue
+            A, B = A[keep], B[keep]
+            na, nb, pp = n[ai][keep], n[bi][keep], p[ai][keep]
+            # CANONICAL-POSITION rule (pairs leave globally unique — no
+            # pair-dedup exchange): substitution pairs (equal length) meet
+            # in exactly one bucket; an insertion pair meets at every
+            # deletion position of the equal-char run, and
+            # del_{p-1}(b) == del_p(b) ⟺ b[p-1] == b[p], so keeping only
+            # p == 0 or b[p-1] != b[p] keeps exactly the run's first
+            # position. Per-pair O(1); volume is true pairs only.
+            canon = np.fromiter(
+                (
+                    len(x) == len(y)
+                    or (q == 0 or (y if len(y) > len(x) else x)[q - 1]
+                        != (y if len(y) > len(x) else x)[q])
+                    for x, y, q in zip(A, B, pp)
+                ),
+                dtype=bool,
+                count=len(A),
+            )
+            if not canon.any():
+                continue
+            A, B, na, nb = A[canon], B[canon], na[canon], nb[canon]
+            swap = A > B
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "word_a": np.where(swap, B, A),
+                        "word_b": np.where(swap, A, B),
+                        "n_a": np.where(swap, nb, na),
+                        "n_b": np.where(swap, na, nb),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "word_a": pd.Series([], dtype=object),
+                    "word_b": pd.Series([], dtype=object),
+                    "n_a": pd.Series([], dtype=np.int64),
+                    "n_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = pd.concat(outs)
+        return out.astype({"n_a": np.int64, "n_b": np.int64})
+
+    return (
+        words.map_batches(variants, batch_format="pandas")
+        .groupby("part")
+        .map_groups(walk, batch_format="pandas")
+    )
+
+
+def typo_word_pairs(sf_dir: str, n_parts: int = 32) -> pd.DataFrame:
+    """Edit-distance-1 word pairs over the corpus vocabulary — the fuzzy/
+    typo join of text cleaning (OCR noise, misspelling normalization),
+    built on the FastSS deletion-neighborhood engine (``_edit1_pairs``)
+    instead of a quadratic all-pairs scan.
+
+    Scale shape: the corpus-sized work is the distinct-word combiner (one
+    word exchange, one row per distinct token per batch); everything after
+    is VOCABULARY-sized. Word counts ride along so the report can rank
+    typo candidates by frequency asymmetry (rare word ~1 edit from a
+    frequent word ⟹ likely misspelling). Returned as a typed pandas
+    DataFrame — the pair table is vocabulary-sized by construction, and
+    ``Dataset.to_pandas()`` loses the column schema on an empty result
+    (a clean corpus legitimately has zero typo pairs)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        c: Counter = Counter()
+        for txt in df["text"]:
+            c.update(txt.strip().lower().split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    df = _edit1_pairs(vocab, n_parts=n_parts).to_pandas()
+    if not len(df.columns):  # Ray drops the schema of an all-empty Dataset
+        df = pd.DataFrame(
+            {
+                "word_a": pd.Series([], dtype=object),
+                "word_b": pd.Series([], dtype=object),
+                "n_a": pd.Series([], dtype=np.int64),
+                "n_b": pd.Series([], dtype=np.int64),
+            }
+        )
+    return df.reset_index(drop=True)
+
+
+def fuzzy_name_pairs(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Entity-resolution fuzzy join: customer-name pairs within edit
+    distance 1 — the record-linkage verb (near-identical entity names are
+    merge candidates), on the same FastSS deletion-neighborhood engine.
+    Names are unique, so the payload is the entity key and the output is
+    (custkey_a, custkey_b, name_a, name_b) with name_a < name_b.
+
+    The DuckDB twin is deliberately a DIFFERENT algorithm: equal-length
+    zero-padded numeric names are distance 1 iff they differ by d·10^p
+    without a decimal carry, so it generates the 81 linear candidate
+    offsets per key and verifies each with ``levenshtein() = 1`` — sound
+    (every candidate is verified) and complete (one substitution at digit
+    position p IS a ±d·10^p difference), giving an independent
+    linear-time oracle for the LSH engine."""
+    from crawler_ray.sources.io import read_parquet_sized
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"word": t["c_name"], "n": pc.cast(t["c_custkey"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = _edit1_pairs(cust, n_parts=n_parts)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "custkey_a": df["n_a"].astype(np.int64),
+                "custkey_b": df["n_b"].astype(np.int64),
+                "name_a": df["word_a"],
+                "name_b": df["word_b"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH d(d) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+p(p) AS (VALUES (1),(10),(100),(1000),(10000),(100000),(1000000),
+                (10000000),(100000000)),
+c AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+cand AS MATERIALIZED (
+    -- materialized so the probe is a hash join, not a nested loop over
+    -- the computed key
+    SELECT c.k AS ka, c.name AS name_a, c.k + d.d * p.p AS kb
+    FROM c CROSS JOIN d CROSS JOIN p
+)
+SELECT cand.ka AS custkey_a, b.k AS custkey_b,
+       cand.name_a AS name_a, b.name AS name_b
+FROM cand JOIN c b ON b.k = cand.kb
+WHERE levenshtein(cand.name_a, b.name) = 1
+"""
+
+
+TYPO_WORD_PAIRS_SQL = r"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+v AS (SELECT word, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1)
+SELECT a.word AS word_a, b.word AS word_b, a.n AS n_a, b.n AS n_b
+FROM v a JOIN v b ON a.word < b.word AND levenshtein(a.word, b.word) = 1
+"""

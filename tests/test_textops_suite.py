@@ -689,3 +689,51 @@ def test_bm25_absent_term_and_ties(ray_session, tmp_path):
     _assert_same(got, exp)
     assert list(got.sort_values("doc_id")["doc_id"]) == [1, 2, 3]
     assert (got["n_terms_matched"] == 1).all()
+
+
+# --------------------------------------------------------- edit-distance-1
+
+
+def test_typo_pairs_planted_vs_quadratic_oracle(ray_session, tmp_path):
+    """Typo-rich corpus: engine output equals the quadratic DuckDB
+    levenshtein join exactly — pairs AND counts."""
+    texts = {
+        1: "kitten kitten sitten",      # substitution pair
+        2: "kitten kittens",            # insertion at end
+        3: "aaa aa",                    # insertion into an equal-char run
+        4: "a b ab",                    # 1-char words: '' variant bucket
+        5: "cat cut cot act",           # multiple subs; act is lev-2 from cat
+        6: "banana bananas bananna",
+    }
+    con = _write_docs(tmp_path, texts)
+    got = textops.typo_word_pairs(str(tmp_path))
+    exp = con.execute(textops.TYPO_WORD_PAIRS_SQL).df()
+    _assert_same(got, exp)
+    pairs = set(zip(got["word_a"], got["word_b"]))
+    assert ("kitten", "sitten") in pairs
+    assert ("aa", "aaa") in pairs          # emitted once despite the run
+    assert ("a", "b") in pairs             # both 1-char: substitution via ''
+    assert ("act", "cat") not in pairs     # transposition is lev 2
+    assert ("banana", "bananna") in pairs
+
+
+def test_typo_pairs_empty_schema_stable(ray_session, tmp_path):
+    """A clean corpus (no distance-1 pairs) must return ZERO rows with the
+    full typed schema — the driver hashes schema as well as values."""
+    con = _write_docs(tmp_path, {1: "alpha delta omega", 2: "alpha omega"})
+    got = textops.typo_word_pairs(str(tmp_path))
+    exp = con.execute(textops.TYPO_WORD_PAIRS_SQL).df()
+    assert len(got) == 0
+    _assert_same(got, exp)
+
+
+def test_fuzzy_name_pairs_parallelism_invariant(ray_session):
+    """Same pair set at two read parallelisms (canonical-position dedup is
+    global by construction, not an artifact of block boundaries)."""
+    from crawler_ray.pipelines.textops import fuzzy_name_pairs
+
+    a = fuzzy_name_pairs("/root/testdata/sf0.001", n_parts=4).to_pandas()
+    b = fuzzy_name_pairs("/root/testdata/sf0.001", n_parts=61).to_pandas()
+    ka = sorted(zip(a["custkey_a"], a["custkey_b"]))
+    kb = sorted(zip(b["custkey_a"], b["custkey_b"]))
+    assert ka == kb and len(ka) == len(set(ka)) and len(ka) > 0
