@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": events.event_type_transitions,
         # next-day retention cohorts on the presence-pair fold
         "user_retention": events.user_retention,
+        # gaps-and-islands: longest consecutive-day streak per user
+        "user_activity_streaks": events.user_activity_streaks,
         # watermark late-arrival audit: distributed prefix-max scan over
         # a deterministic replayed arrival order
         "late_event_audit": events.late_event_audit,
@@ -589,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": events.DAILY_ACTIVE_USERS_SQL,
         "event_type_transitions": events.EVENT_TYPE_TRANSITIONS_SQL,
         "user_retention": events.USER_RETENTION_SQL,
+        "user_activity_streaks": events.USER_ACTIVITY_STREAKS_SQL,
         "late_event_audit": events.late_event_audit_sql(),
         "doc_split_assign": textops.doc_split_assign_sql(),
         "image_aspect_buckets": multimodal.image_aspect_buckets_sql(),

@@ -1086,3 +1086,88 @@ SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n AS n_events,
        prev_sum, (n * {window}) > ({factor} * prev_sum) AS is_spike
 FROM w WHERE rn > {window}
 """
+
+
+def user_activity_streaks(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (ties broken by earliest start) — the classic streak verb every
+    engagement warehouse computes with the ``day - ROW_NUMBER()`` trick.
+
+    Scale shape: per-batch exact partial distinct of (user, day) packed
+    into one int64 (the ``daily_active_users`` combiner), then ONE
+    user-hash exchange so a user's full day set co-resides, then a pure
+    numpy segment walk per partition: sort the packed keys (user major,
+    day minor for free), island boundaries where the user changes or the
+    day step != 1, run lengths by boundary diff, and a lexicographic
+    (len desc, start asc) argmax per user via one more packed sort. No
+    per-user Python loop; the exchange moves one row per distinct
+    (user, day) — already combiner-reduced."""
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        uid = t["user_id"].to_numpy()
+        comb = np.unique(uid * np.int64(1 << 32) + day)
+        u = comb >> np.int64(32)
+        return pa.table(
+            {"comb": pa.array(comb, pa.int64()),
+             "part": pa.array((u % n_parts).astype(np.int64), pa.int64())}
+        )
+
+    def walk(g: pa.Table) -> pa.Table:
+        comb = np.unique(g["comb"].to_numpy())  # sorted: user major, day minor
+        if len(comb) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "best_streak": pa.array([], pa.int64()),
+                 "streak_start": pa.array([], pa.int64())}
+            )
+        u = comb >> np.int64(32)
+        d = comb & np.int64((1 << 32) - 1)
+        # island starts: first row, user change, or day gap
+        start = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        idx = np.flatnonzero(start)
+        runs_u = u[idx]
+        runs_d0 = d[idx]
+        lens = np.diff(np.r_[idx, len(comb)]).astype(np.int64)
+        # per-user best: sort by (user asc, len desc, start asc) and take
+        # the first row of each user segment
+        order = np.lexsort((runs_d0, -lens, runs_u))
+        first = np.r_[True, runs_u[order][1:] != runs_u[order][:-1]]
+        sel = order[first]
+        return pa.table(
+            {"user_id": pa.array(runs_u[sel], pa.int64()),
+             "best_streak": pa.array(lens[sel], pa.int64()),
+             "streak_start": pa.array(runs_d0[sel], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
+USER_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+    FROM events
+),
+isl AS (
+    SELECT user_id, day,
+           day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM days
+),
+runs AS (
+    SELECT user_id, MIN(day) AS start_day, COUNT(*) AS len
+    FROM isl GROUP BY user_id, grp
+),
+best AS (
+    SELECT user_id, len, start_day,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rn
+    FROM runs
+)
+SELECT user_id, len::BIGINT AS best_streak, start_day::BIGINT AS streak_start
+FROM best WHERE rn = 1
+"""

@@ -118,3 +118,43 @@ def test_props_key_sum_escaped_quote_adversarial(ray_session, tmp_path):
         " AS k_sum FROM events GROUP BY event_type ORDER BY event_type"
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_activity_streaks_planted(ray_session, tmp_path):
+    """Gaps-and-islands semantics on a hand-built fixture: longest run
+    wins, ties broken by EARLIEST start, single-day users count as a
+    1-day streak."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.events import user_activity_streaks
+
+    day = 86_400_000_000  # us
+    rows = [
+        # user 1: runs [d0..d2] (len 3) and [d10..d11] (len 2) -> (3, d0)
+        (1, 0), (1, 1), (1, 2), (1, 10), (1, 11),
+        # user 2: two len-2 runs -> earliest start wins: (2, d5)
+        (2, 5), (2, 6), (2, 20), (2, 21),
+        # user 3: single day (duplicate events same day collapse)
+        (3, 7), (3, 7),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(
+            np.array([r[1] * day + 3600_000_000 for r in rows], "datetime64[us]")
+        ),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        user_activity_streaks(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {"user_id": [1, 2, 3], "best_streak": [3, 2, 1],
+         "streak_start": [0, 5, 7]}
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
