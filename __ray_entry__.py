@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entity-resolution fuzzy join over customer names (same engine;
         # linear candidate-offset oracle)
         "fuzzy_name_pairs": textops.fuzzy_name_pairs,
+        # entity-resolution merge groups: connected components over the
+        # fuzzy name-pair graph (transitive record linkage)
+        "fuzzy_name_clusters": clusters.fuzzy_name_clusters,
         # cross-document repeated n-grams (boilerplate/template detector)
         "boilerplate_ngrams": textops.boilerplate_ngrams,
         # exact frequent tokens via a Misra-Gries candidate pass (two-pass)
@@ -512,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": textops.bm25_search_sql(),
         "typo_word_pairs": textops.TYPO_WORD_PAIRS_SQL,
         "fuzzy_name_pairs": textops.FUZZY_NAME_PAIRS_SQL,
+        "fuzzy_name_clusters": clusters.fuzzy_name_clusters_sql(),
         "boilerplate_ngrams": textops.boilerplate_ngrams_sql(),
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_sql(),
         "doc_normalized": textops.DOC_NORMALIZED_SQL,

@@ -2010,3 +2010,78 @@ def pagerank_over_edges(
         lambda t: pa.table({"doc_id": t["node"], "rank_scaled": t["r"]}),
         batch_format="pyarrow",
     )
+
+
+def fuzzy_name_clusters(
+    sf_dir: str, n_parts: int = 32, n_buckets: int = 8
+) -> rd.Dataset:
+    """Entity-resolution MERGE GROUPS: connected components over the
+    edit-distance-1 customer-name graph — the record-linkage verb that
+    turns fuzzy match PAIRS into transitive merge clusters (A~B, B~C ⟹
+    {A,B,C} is one entity group even when A and C differ by 2 edits).
+
+    Same pluggable CC engine as :func:`near_dup_clusters`; the edge
+    front-end is the FastSS deletion-neighborhood join
+    (:func:`~crawler_ray.pipelines.textops.fuzzy_name_pairs`), so the
+    corpus-sized work is one distinct-key exchange and nothing is
+    quadratic. Every node in the edge list has degree ≥ 1, so every
+    surviving component has ≥ 2 members; customers with no fuzzy match
+    vanish (mirrors the SQL oracle, where they never enter the pair
+    relation). Output: (custkey, cluster_id = min custkey of the group,
+    cluster_size)."""
+    from crawler_ray.pipelines.textops import fuzzy_name_pairs
+
+    pairs = fuzzy_name_pairs(sf_dir, n_parts=n_parts)
+    cc = connected_components(
+        pairs, src="custkey_a", dst="custkey_b", n_buckets=n_buckets
+    )
+    labeled = cc.map_batches(
+        lambda t: pa.table(
+            {"custkey": t["node"].cast(pa.int64()),
+             "lab": t["lab"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _labels_to_clusters(labeled, "custkey", n_buckets)
+
+
+def fuzzy_name_clusters_sql(n_rounds: int = 24) -> str:
+    """Oracle for :func:`fuzzy_name_clusters`. NOT the recursive-closure
+    CTE the other cluster oracles use: zero-padded numeric names make the
+    whole customer table ONE component (every key is 1 substitution from
+    many others), and closure materializes |component|² reachability rows
+    — ~225M at sf0.1, unrunnable. Instead: UNROLLED min-label propagation
+    with POINTER JUMPING (the pagerank-oracle pattern) — per round each
+    node takes ``min(lab, min neighbor lab, lab[lab])``; the jump term
+    doubles propagation distance per round, so ``n_rounds=24`` converges
+    for any component diameter ≤ 2^24 while each round is one linear
+    edge join. Cost O(rounds × edges) — this oracle scales to ×20."""
+    from crawler_ray.pipelines.textops import FUZZY_NAME_PAIRS_SQL
+
+    ctes = [
+        f"pairs AS MATERIALIZED ({FUZZY_NAME_PAIRS_SQL})",
+        """edges AS MATERIALIZED (
+    SELECT custkey_a AS src, custkey_b AS dst FROM pairs
+    UNION ALL
+    SELECT custkey_b, custkey_a FROM pairs
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS k, src AS lab FROM edges)",
+    ]
+    for i in range(1, n_rounds + 1):
+        prev, cur = f"l{i - 1}", f"l{i}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+    SELECT v.k,
+           LEAST(v.lab, COALESCE(n.nmin, v.lab), COALESCE(j.lab, v.lab)) AS lab
+    FROM {prev} v
+    LEFT JOIN (
+        SELECT e.dst AS k, MIN(p.lab) AS nmin
+        FROM edges e JOIN {prev} p ON p.k = e.src
+        GROUP BY e.dst
+    ) n ON n.k = v.k
+    LEFT JOIN {prev} j ON j.k = v.lab
+)""")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT k AS custkey, lab::BIGINT AS cluster_id,
+       (COUNT(*) OVER (PARTITION BY lab))::BIGINT AS cluster_size
+FROM l{n_rounds}
+"""

@@ -1608,8 +1608,12 @@ def nation_trade_flows(
         # typed construction so an empty fold still yields the full schema
         return pd.DataFrame(
             {
-                "supp_nation": out["s_nat"].map(name_of).astype("string"),
-                "cust_nation": out["c_nat"].map(name_of).astype("string"),
+                # object (not pandas "string") dtype: Arrow round-trips the
+                # pandas extension dtype through block metadata, so the
+                # driver-side to_pandas() would diverge from DuckDB's object
+                # columns on a strict dtype compare
+                "supp_nation": out["s_nat"].map(name_of).astype(object),
+                "cust_nation": out["c_nat"].map(name_of).astype(object),
                 "l_year": out["year"].astype("int64"),
                 "revenue": (out["rev"] / 10000.0).round(2).astype("float64"),
             }

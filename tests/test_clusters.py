@@ -345,3 +345,44 @@ def test_image_crop_dups_planted(ray_session):
         for r in plain_pairs.itertuples()
     }
     assert not (plain_set & set(expected))
+
+
+def test_fuzzy_name_clusters_planted_transitivity(ray_session, tmp_path):
+    # edit-distance-1 chain: 1~2 (units digit), 2~12 (tens digit) — 1 and
+    # 12 are distance 2 apart yet land in ONE merge group transitively;
+    # 500 has no neighbor within 1 edit and must vanish
+    import duckdb
+
+    from crawler_ray.pipelines.clusters import (
+        fuzzy_name_clusters,
+        fuzzy_name_clusters_sql,
+    )
+
+    keys = [1, 2, 12, 500]
+    df = pd.DataFrame(
+        {"c_custkey": keys, "c_name": [f"Customer#{k:09d}" for k in keys]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        f"{tmp_path}/customer.parquet",
+    )
+    got = (
+        fuzzy_name_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("custkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet')"
+    )
+    exp = (
+        con.sql(fuzzy_name_clusters_sql())
+        .df()
+        .sort_values("custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=True)
+    assert set(got["custkey"]) == {1, 2, 12}
+    assert (got["cluster_id"] == 1).all()
+    assert (got["cluster_size"] == 3).all()
