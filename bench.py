@@ -151,6 +151,14 @@ QUERY_NAMES = [
     "image_training_data_build",
     "image_transcode_report",
     "image_phash_knn",
+    "event_spike_hours",
+    "url_canonical_dups",
+    "bm25_search",
+    "pareto_price_size",
+    "typo_word_pairs",
+    "fuzzy_name_pairs",
+    "user_activity_streaks",
+    "fuzzy_name_clusters",
 ]
 
 
