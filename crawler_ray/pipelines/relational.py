@@ -71,6 +71,28 @@ def _bjoin(ds: rd.Dataset, small: pd.DataFrame, on, how="inner", concurrency=Non
     )
 
 
+# broadcast-vs-partitioned crossover: customer (and any other SF-scaled
+# "dimension") grows with the data — 15k rows at sf0.1 but ~500 MB pickled
+# at sf100 and a driver OOM at the 100-TB design point — so a driver-side
+# ``.to_pandas()`` broadcast is only safe below a size bar. Above it the dim
+# side streams through ``joins.partitioned_hash_join`` with the same
+# downstream combiner. The gate mirrors ``joins._want_bloom``: a parquet
+# FOOTER row-count read (no data scan) decides; ``broadcast=True/False``
+# forces either path (tests pin both and assert identical results).
+BROADCAST_DIM_CROSSOVER_ROWS = 2_000_000
+
+
+def _want_broadcast(flag: bool | None, dim_parquet: str) -> bool:
+    if flag is not None:
+        return flag
+    import pyarrow.parquet as pq_
+
+    return (
+        pq_.ParquetFile(dim_parquet).metadata.num_rows
+        < BROADCAST_DIM_CROSSOVER_ROWS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary (filter → computed cols → grouped aggregate)
 
@@ -165,33 +187,62 @@ GROUP BY l_returnflag, l_linestatus
 # broadcast joins (dimension lookups)
 
 
-def market_segment_revenue(sf_dir: str) -> rd.Dataset:
-    """orders ⋈ customer (broadcast) → revenue per market segment (A1-style
-    grouped report joined to names)."""
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    )  # small dimension side — materializing it is the point of a broadcast join
+def market_segment_revenue(sf_dir: str, broadcast: bool | None = None) -> rd.Dataset:
+    """orders ⋈ customer → revenue per market segment (A1-style grouped
+    report joined to names). Customer scales with SF, so the join strategy
+    is auto-guarded (``_want_broadcast``): below the crossover the dim is
+    broadcast (``ray.put`` once, map-side merge); above it BOTH sides
+    stream through ``joins.partitioned_hash_join`` — the orders side
+    pre-combined to one cents-row per (custkey, block) so the bucket
+    exchange moves combined rows, never raw orders."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         # exact integer-cents: 2-decimal money summed as int64 is
         # associative — no accumulation-order flips vs the oracle whatever
-        # the block split (events.py / joins.py pattern)
-        lambda t: pa.table(
-            {"o_custkey": t["o_custkey"],
-             "cents": pa.array(
-                 np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
-                 pa.int64())}
+        # the block split (events.py / joins.py pattern); combined per
+        # (custkey, block) so the partitioned path shuffles partials
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {"o_custkey": t["o_custkey"].to_numpy(),
+                 "cents": np.round(
+                     t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)}
+            )
+            .groupby("o_custkey", sort=False, as_index=False)
+            .agg(cents=("cents", "sum"), n_ord=("cents", "size")),
+            preserve_index=False,
         ),
         batch_format="pyarrow",
     )
-    joined = _bjoin(orders, cust.rename(columns={"c_custkey": "o_custkey"}), "o_custkey")
+    if _want_broadcast(broadcast, f"{sf_dir}/customer.parquet"):
+        cust = (
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+        )  # below the crossover — materializing the dim is the point
+        joined = _bjoin(
+            orders, cust.rename(columns={"c_custkey": "o_custkey"}), "o_custkey"
+        )
+    else:
+        from crawler_ray.pipelines.joins import partitioned_hash_join
+
+        dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+            lambda t: t.select(["c_custkey", "c_mktsegment"]).rename_columns(
+                ["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+        joined = partitioned_hash_join(
+            orders, dim, "o_custkey",
+            left_schema=pa.schema(
+                [("o_custkey", pa.int64()), ("cents", pa.int64()),
+                 ("n_ord", pa.int64())]),
+            right_schema=pa.schema(
+                [("o_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        )
 
     # combiner BEFORE the exchange: the aggregate sees one row per (segment,
-    # block) instead of one per order — int64-cents partials keep the
-    # distributed sum exact whatever the block split
+    # block) instead of one per custkey-partial — int64-cents partials keep
+    # the distributed sum exact whatever the block split
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
-            df.groupby("c_mktsegment", sort=False)["cents"]
-            .agg(revenue_c="sum", n_orders_p="size")
+            df.groupby("c_mktsegment", sort=False)[["cents", "n_ord"]]
+            .agg(revenue_c=("cents", "sum"), n_orders_p=("n_ord", "sum"))
             .reset_index()
         )
 
@@ -733,25 +784,25 @@ FROM orders
 """
 
 
-def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+def revenue_rollup(sf_dir: str, broadcast: bool | None = None) -> pd.DataFrame:
     """GROUP BY ROLLUP(region, nation) revenue report — the hierarchical
     subtotal verb Ray Data lacks. Scale shape: ONE pass over the orders
     fact (cents combiner per batch AFTER the custkey→(region, nation)
-    broadcast map-join) feeds a groupby at the FINEST level only
-    (|nations| groups); the coarser levels — per-region subtotals and the
-    grand total — re-aggregate that |nations|-row result, never the fact
-    table. Driver-side work is O(groups), not O(orders); a fact side too
-    big for a broadcast dim switches to joins.partitioned_hash_join with
-    the same combiner."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    map-join) feeds a groupby at the FINEST level only (|nations| groups);
+    the coarser levels — per-region subtotals and the grand total —
+    re-aggregate that |nations|-row result, never the fact table.
+    Driver-side work is O(groups), not O(orders). The custkey join is
+    auto-guarded (``_want_broadcast``): customer scales with SF, so above
+    the footer-row-count crossover the customer→(region, nation) dim
+    STREAMS (customer broadcast-joined to the fixed-size 25-row
+    nation×region map, never materialized) into
+    ``joins.partitioned_hash_join`` with the same downstream combiner."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    dim = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-        .rename(columns={"c_custkey": "o_custkey", "r_name": "region",
-                         "n_name": "nation"})
-    )[["o_custkey", "region", "nation"]]
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name", "n_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey", "r_name": "region",
+                      "n_name": "nation"})  # fixed 25 rows — always broadcast
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: pa.table(
@@ -763,6 +814,32 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
+    if _want_broadcast(broadcast, f"{sf_dir}/customer.parquet"):
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        dim = cust.merge(nr, on="c_nationkey").rename(
+            columns={"c_custkey": "o_custkey"}
+        )[["o_custkey", "region", "nation"]]
+        joined = _bjoin(orders, dim, "o_custkey")
+    else:
+        from crawler_ray.pipelines.joins import partitioned_hash_join
+
+        dim_ds = _bjoin(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]), nr,
+            "c_nationkey",
+        ).map_batches(
+            lambda t: t.select(["c_custkey", "region", "nation"]).rename_columns(
+                ["o_custkey", "region", "nation"]),
+            batch_format="pyarrow",
+        )
+        joined = partitioned_hash_join(
+            orders, dim_ds, "o_custkey",
+            left_schema=pa.schema(
+                [("o_custkey", pa.int64()), ("cents", pa.int64())]),
+            right_schema=pa.schema(
+                [("o_custkey", pa.int64()), ("region", pa.string()),
+                 ("nation", pa.string())]),
+        )
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.groupby(["region", "nation"], sort=False)["cents"]
@@ -771,7 +848,7 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         )
 
     finest = (
-        _bjoin(orders, dim, "o_custkey")
+        joined
         .map_batches(partial, batch_format="pandas")
         .groupby(["region", "nation"])
         .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
@@ -1013,7 +1090,7 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
-def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
+def revenue_grouping_sets(sf_dir: str, broadcast: bool | None = None) -> pd.DataFrame:
     """GROUP BY GROUPING SETS ((region), (segment)) — ARBITRARY slice
     lists, the third subtotal verb beside ROLLUP (hierarchy) and CUBE
     (power set). The two requested sets are non-hierarchical (region and
@@ -1027,16 +1104,15 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
     each requested set re-aggregates that tiny result driver-side. The
     fact is scanned once, shuffled once (combined rows only); a set list
     whose common refinement is NOT small would instead run one combined
-    pass per set — still one fact scan each, never a row-level shuffle."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]).to_pandas()
+    pass per set — still one fact scan each, never a row-level shuffle.
+    The custkey join is auto-guarded (``_want_broadcast``, see
+    ``revenue_rollup``): above the crossover the customer-sized dim
+    streams into ``joins.partitioned_hash_join``."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    dim = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-        .rename(columns={"c_custkey": "o_custkey", "r_name": "region",
-                         "c_mktsegment": "segment"})
-    )[["o_custkey", "region", "segment"]]
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey", "r_name": "region"})
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: pa.table(
@@ -1048,6 +1124,35 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
+    if _want_broadcast(broadcast, f"{sf_dir}/customer.parquet"):
+        cust = _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]
+        ).to_pandas()
+        dim = cust.merge(nr, on="c_nationkey").rename(
+            columns={"c_custkey": "o_custkey", "c_mktsegment": "segment"}
+        )[["o_custkey", "region", "segment"]]
+        joined = _bjoin(orders, dim, "o_custkey")
+    else:
+        from crawler_ray.pipelines.joins import partitioned_hash_join
+
+        dim_ds = _bjoin(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]),
+            nr, "c_nationkey",
+        ).map_batches(
+            lambda t: t.select(
+                ["c_custkey", "region", "c_mktsegment"]).rename_columns(
+                ["o_custkey", "region", "segment"]),
+            batch_format="pyarrow",
+        )
+        joined = partitioned_hash_join(
+            orders, dim_ds, "o_custkey",
+            left_schema=pa.schema(
+                [("o_custkey", pa.int64()), ("cents", pa.int64())]),
+            right_schema=pa.schema(
+                [("o_custkey", pa.int64()), ("region", pa.string()),
+                 ("segment", pa.string())]),
+        )
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.groupby(["region", "segment"], sort=False)["cents"]
@@ -1056,7 +1161,7 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
         )
 
     composite = (
-        _bjoin(orders, dim, "o_custkey")
+        joined
         .map_batches(partial, batch_format="pandas")
         .groupby(["region", "segment"])
         .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
