@@ -1562,6 +1562,38 @@ def _cross_pairs_multi(threshold: float):
     return est_pairs
 
 
+def minhash_band_index_dir(sf_dir: str, ngram: int = 3) -> str:
+    """Canonical cache location of the persisted band index for a corpus
+    (content-addressed by absolute path + shingle width)."""
+    import os
+    import tempfile
+
+    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"crawler_ray_bands_{key}_{ngram}")
+
+
+def ensure_minhash_band_index(
+    sf_dir: str, ngram: int = 3, n_parts: int = 16
+) -> str:
+    """Build-once/publish-atomically protocol for the band index: the
+    rename IS the done marker; concurrent builders lose the rename and
+    keep serving from the winner. Exposed separately so bench.py can time
+    build and probe independently (VERDICT r3 #7)."""
+    import os
+
+    idx = minhash_band_index_dir(sf_dir, ngram)
+    if not os.path.isdir(idx):
+        stage = f"{idx}.tmp-{os.getpid()}"
+        build_minhash_band_index(sf_dir, stage, ngram=ngram, n_parts=n_parts)
+        try:
+            os.rename(stage, idx)  # atomic publish; losers keep serving
+        except OSError:  # pragma: no cover - concurrent builder won
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return idx
+
+
 def cross_snapshot_near_dups(
     sf_dir: str, ngram: int = 3, threshold: float = 0.8, n_parts: int = 16
 ) -> rd.Dataset:
@@ -1577,22 +1609,7 @@ def cross_snapshot_near_dups(
     Emits (base_doc, new_doc, jaccard) pairs with EXACT char n-gram
     Jaccard ≥ threshold, verified via the same fused single-exchange text
     attach as ``minhash_near_dup_pairs``."""
-    import os
-    import tempfile
-
-    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
-    idx = os.path.join(
-        tempfile.gettempdir(), f"crawler_ray_bands_{key}_{ngram}"
-    )
-    if not os.path.isdir(idx):  # the atomic rename IS the done marker
-        stage = f"{idx}.tmp-{os.getpid()}"
-        build_minhash_band_index(sf_dir, stage, ngram=ngram, n_parts=n_parts)
-        try:
-            os.rename(stage, idx)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
+    idx = ensure_minhash_band_index(sf_dir, ngram=ngram, n_parts=n_parts)
 
     base_bands = rd.read_parquet(idx).map_batches(
         lambda t: t.append_column(

@@ -9,12 +9,13 @@ training-data pipeline needs over arbitrary media blobs:
   codecs.py supports; nearest-neighbour resample).
 - ``AudioFeatureStage`` — REAL for WAV/RIFF PCM (stdlib ``wave``; 8/16/32
   bit, multi-channel downmixed), plus the deterministic FAUD fixture
-  container; compressed formats raise with a clear message (soundfile /
-  ffmpeg absent here — swap ``_decode_audio`` on a real cluster).
+  container; compressed formats decode via soundfile when its wheel is
+  present (``HAVE_SOUNDFILE`` import gate), else raise clearly.
 - ``VideoFrameSampleStage`` — the Ray-side plumbing (schema, batch sizing,
-  actor signature, flat-map output layout) is real and tested; the codec
-  call is a clearly-marked stub (PyAV/ffmpeg absent; deterministic FVID
-  fixture container).
+  actor signature, flat-map output layout) is real and tested; real
+  containers decode via PyAV when present (``HAVE_PYAV`` import gate,
+  streaming frame iterator — never the whole clip in memory), else only
+  the deterministic FVID fixture container is supported.
 
 All stages take/return Arrow batches (``batch_format='pyarrow'``) and are
 meant for SMALL ``batch_size`` — rows carry media payloads (SURVEY.md §7.5
@@ -34,6 +35,23 @@ from crawler_ray.functions.codecs import decode_image, encode_image, sniff_fmt
 # deterministic fake containers for tests (no media libs in this sandbox)
 FAKE_AUDIO_MAGIC = b"FAUD"  # FAKE header: FAUD + u32 n_samples + u16 rate/100
 FAKE_VIDEO_MAGIC = b"FVID"  # FAKE header: FVID + u16 n_frames + u8 w + u8 h
+
+# optional real codecs, gated on import like HAVE_LANCE (sources/io.py): a
+# cluster that HAS the wheel gets the real decode with zero code changes;
+# this sandbox (no PyAV/soundfile) falls through to the fixture containers
+try:  # pragma: no cover - absent in this sandbox
+    import av as _av  # noqa: F401
+
+    HAVE_PYAV = True
+except ImportError:
+    HAVE_PYAV = False
+
+try:  # pragma: no cover - absent in this sandbox
+    import soundfile as _soundfile  # noqa: F401
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    HAVE_SOUNDFILE = False
 
 
 def make_fake_audio(n_samples: int, rate: int, seed: int = 0) -> bytes:
@@ -79,6 +97,14 @@ def _decode_audio(data: bytes) -> tuple[np.ndarray, int]:
             samples = samples[: len(samples) - len(samples) % n_ch]
             samples = samples.reshape(-1, n_ch).mean(axis=1).astype(np.int32)
         return samples.astype(np.int16 if width <= 2 else np.int32), sr
+    if HAVE_SOUNDFILE:  # pragma: no cover - wheel absent in this sandbox
+        import io
+
+        import soundfile as sf
+
+        data_f, sr = sf.read(io.BytesIO(data), dtype="float64", always_2d=True)
+        mono = data_f.mean(axis=1)
+        return np.clip(mono * 32767.0, -32768, 32767).astype(np.int16), int(sr)
     raise NotImplementedError(
         "compressed audio decoding requires soundfile/ffmpeg — not available "
         "in this environment; WAV (RIFF PCM) and the FAUD fixture container "
@@ -87,12 +113,56 @@ def _decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_video(data: bytes) -> np.ndarray:
-    """STUB: real video decode needs PyAV/ffmpeg (absent here)."""
+    """Video decode → (n_frames, h, w, 3) uint8 RGB. Real containers
+    (mp4/mkv/webm/…) decode via PyAV when its wheel is present
+    (``HAVE_PYAV`` import gate — a real cluster needs no code change);
+    the deterministic FVID fixture container decodes natively. With
+    neither, raises with a clear message (this sandbox ships no PyAV)."""
     if data[:4] == FAKE_VIDEO_MAGIC:
         n, w, h = struct.unpack(">HBB", data[4:8])
         return np.frombuffer(data[8 : 8 + n * h * w * 3], dtype=np.uint8).reshape(
             n, h, w, 3
         )
+    if HAVE_PYAV:  # pragma: no cover - wheel absent in this sandbox
+        import io
+
+        import av
+
+        frames = []
+        with av.open(io.BytesIO(data)) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+        if not frames:
+            raise ValueError("video stream decoded to zero frames")
+        return np.stack(frames)
+    raise NotImplementedError(
+        "real video decoding requires PyAV/ffmpeg — not available in this "
+        "environment; only the deterministic FVID fixture container is supported"
+    )
+
+
+def _iter_video_frames(data: bytes):
+    """Streaming frame iterator — yields (h, w, 3) uint8 frames one at a
+    time so a sampling stage never materializes the whole clip (a real
+    60 fps video is GBs decoded; holding every frame per row would blow
+    the worker heap at production batch sizes)."""
+    if data[:4] == FAKE_VIDEO_MAGIC:
+        n, w, h = struct.unpack(">HBB", data[4:8])
+        frame_sz = h * w * 3
+        for i in range(n):
+            yield np.frombuffer(
+                data[8 + i * frame_sz : 8 + (i + 1) * frame_sz], dtype=np.uint8
+            ).reshape(h, w, 3)
+        return
+    if HAVE_PYAV:  # pragma: no cover - wheel absent in this sandbox
+        import io
+
+        import av
+
+        with av.open(io.BytesIO(data)) as container:
+            for frame in container.decode(video=0):
+                yield frame.to_ndarray(format="rgb24")
+        return
     raise NotImplementedError(
         "real video decoding requires PyAV/ffmpeg — not available in this "
         "environment; only the deterministic FVID fixture container is supported"
@@ -164,11 +234,13 @@ class VideoFrameSampleStage:
             else [hashlib.md5(b).hexdigest() for b in batch["video"].to_pylist()]
         )
         for vid, data in zip(ids, batch["video"].to_pylist()):
-            frames = _decode_video(data)
-            for i in range(0, len(frames), self.k):
+            # streaming decode: only every k-th frame is ever held/encoded
+            for i, frame in enumerate(_iter_video_frames(data)):
+                if i % self.k:
+                    continue
                 vids.append(vid)
                 frames_idx.append(i)
-                frame_bytes.append(encode_image(np.ascontiguousarray(frames[i]), "png"))
+                frame_bytes.append(encode_image(np.ascontiguousarray(frame), "png"))
         return pa.table(
             {
                 "video_id": pa.array(vids, pa.string()),
@@ -254,6 +326,54 @@ def caption_tower(captions) -> np.ndarray:
     return _sig_to_unit(sig)
 
 
+def _load_real_towers():
+    """Optional REAL two-tower path, feature-gated like HAVE_LANCE: when
+    ``CRAWLER_RAY_CLIP_MODEL`` names an open_clip model spec
+    (``"ViT-B-32:laion2b_s34b_b79k"`` or ``"<arch>:<checkpoint path>"``)
+    AND torch + open_clip are importable, returns
+    ``(image_tower, text_tower)`` — both mapping a batch to L2-normalized
+    float64 embedding rows. Returns ``None`` otherwise, so the
+    deterministic fakes stay the sandbox path with zero config. Called
+    lazily inside the actor (model load is per-actor ``__init__``-time
+    work, never per batch, and never pickled with the stage)."""
+    import os
+
+    spec = os.environ.get("CRAWLER_RAY_CLIP_MODEL")
+    if not spec:
+        return None
+    try:  # pragma: no cover - wheels absent in this sandbox
+        import open_clip
+        import torch
+    except ImportError:
+        return None
+
+    name, _, pretrained = spec.partition(":")  # pragma: no cover
+    model, _, preprocess = open_clip.create_model_and_transforms(
+        name, pretrained=pretrained or None
+    )
+    tokenizer = open_clip.get_tokenizer(name)
+    model.eval()
+
+    def image_tower(px_list) -> np.ndarray:
+        from PIL import Image
+
+        with torch.no_grad():
+            batch = torch.stack(
+                [preprocess(Image.fromarray(p)) for p in px_list]
+            )
+            feats = model.encode_image(batch)
+            feats = feats / feats.norm(dim=-1, keepdim=True)
+        return feats.cpu().numpy().astype(np.float64)
+
+    def text_tower(captions) -> np.ndarray:
+        with torch.no_grad():
+            feats = model.encode_text(tokenizer(list(captions)))
+            feats = feats / feats.norm(dim=-1, keepdim=True)
+        return feats.cpu().numpy().astype(np.float64)
+
+    return image_tower, text_tower
+
+
 class ImageCaptionAlignStage:
     """Two-tower alignment scoring over (bytes, caption) rows — the
     LAION/DataComp CLIP-score gate. The image tower DECODES the pixels
@@ -262,25 +382,42 @@ class ImageCaptionAlignStage:
     for a vision encoder: aligned pairs score ~1, mismatched ~0, exactly
     the separation a real CLIP gives a planted-mismatch fixture). The
     plumbing — actor-pool decode, batched two-tower scoring, threshold
-    column — is the real pipeline; swap the two towers for ONNX/torch
-    encoders on a real cluster.
+    column — is the real pipeline; when ``CRAWLER_RAY_CLIP_MODEL`` is set
+    and torch/open_clip are installed (``_load_real_towers``), the real
+    encoders replace the fakes with zero code change.
 
     Input rows: (image_id:string, bytes:binary, fmt:string,
     caption:string); output adds clip_score:double, aligned:bool."""
 
     def __init__(self, tau: float = 0.9):
         self.tau = tau
+        # resolved once per actor on first batch (model load is init-time
+        # work; the loaded towers are never pickled with the stage)
+        self._towers: tuple | None = None
+        self._resolved = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._resolved:
+            self._towers = _load_real_towers()
+            self._resolved = True
         caps = batch["caption"].to_pylist()
-        t_emb = caption_tower(caps)
-        sigs = np.empty((batch.num_rows, 16), np.uint8)
-        for i, (data, fmt) in enumerate(
-            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
-        ):
-            px = decode_image(data, fmt or sniff_fmt(data))
-            sigs[i] = px[0, :16, 0] if px.shape[1] >= 16 else 0
-        i_emb = _sig_to_unit(sigs)
+        pixels = [
+            decode_image(data, fmt or sniff_fmt(data))
+            for data, fmt in zip(
+                batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+            )
+        ]
+        if self._towers is not None:
+            image_tower, text_tower = self._towers
+            i_emb = image_tower(pixels)
+            t_emb = text_tower(caps)
+        else:
+            # deterministic fakes: watermark signature row ↔ caption md5
+            t_emb = caption_tower(caps)
+            sigs = np.empty((batch.num_rows, 16), np.uint8)
+            for i, px in enumerate(pixels):
+                sigs[i] = px[0, :16, 0] if px.shape[1] >= 16 else 0
+            i_emb = _sig_to_unit(sigs)
         score = np.einsum("ij,ij->i", i_emb, t_emb)
         return batch.append_column(
             "clip_score", pa.array(score, pa.float64())

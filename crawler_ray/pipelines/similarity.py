@@ -828,6 +828,33 @@ def build_pq_index(
     return got
 
 
+def pq_index_dir(sf_dir: str) -> str:
+    """Canonical cache location of the persisted PQ index for a corpus."""
+    import os
+    import tempfile
+
+    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"crawler_ray_pq_{key}")
+
+
+def ensure_pq_index(sf_dir: str) -> str:
+    """Build-once/publish-atomically for the PQ index (codes + codebooks);
+    exposed so bench.py can time build and probe separately."""
+    import os
+
+    idx = pq_index_dir(sf_dir)
+    if not os.path.isdir(idx):
+        stage = f"{idx}.tmp-{os.getpid()}"
+        build_pq_index(sf_dir, stage)
+        try:
+            os.rename(stage, idx)  # atomic publish; losers keep serving
+        except OSError:  # pragma: no cover - concurrent builder won
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return idx
+
+
 def ann_pq_topk(
     sf_dir: str, query_vec_id: int = 0, k: int = 10, rerank: int = 16
 ) -> rd.Dataset:
@@ -841,19 +868,8 @@ def ann_pq_topk(
     LSH/IVF indexes."""
     import json
     import os
-    import tempfile
 
-    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
-    idx = os.path.join(tempfile.gettempdir(), f"crawler_ray_pq_{key}")
-    if not os.path.isdir(idx):
-        stage = f"{idx}.tmp-{os.getpid()}"
-        build_pq_index(sf_dir, stage)
-        try:
-            os.rename(stage, idx)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
+    idx = ensure_pq_index(sf_dir)
 
     books = np.load(os.path.join(idx, "codebooks.npy"))
     with open(os.path.join(idx, "meta.json")) as f:
