@@ -37,3 +37,18 @@ def normalize_fmt(url_or_ext: str) -> str:
     tail = url_or_ext.rsplit(".", 1)[-1]
     tail = tail.split("-", 1)[0].split("?", 1)[0].lower()
     return _FMT_ALIAS.get(tail, tail)
+
+
+def image_data_uri(data: bytes, url_or_ext: str) -> str:
+    """Image bytes → ``data:image/{ext};base64,...`` upload payload
+    (``UploadImgsByLink``/``UploadImgsByFile``, BaseSpider.cs:225-261:
+    ext from the URL tail stripped of a '-suffix', body base64). The
+    reference md5-keys this exact string for its upload dedup, so the
+    images pipeline's content-address must hash the URI, not the raw
+    bytes, when mirroring that join."""
+    import base64
+
+    return (
+        f"data:image/{normalize_fmt(url_or_ext)};base64,"
+        + base64.b64encode(data).decode("ascii")
+    )

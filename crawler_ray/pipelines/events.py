@@ -1107,6 +1107,19 @@ def user_activity_streaks(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
     def pack(t: pa.Table) -> pa.Table:
         day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         uid = t["user_id"].to_numpy()
+        # negative uid or pre-1970 day would borrow across the 32-bit
+        # boundary and silently corrupt the pack (same envelope-assert
+        # style as bm25_search's fixed-point scores)
+        if len(uid) and (
+            uid.min() < 0
+            or day.min() < 0
+            or uid.max() >= (1 << 31)
+            or day.max() >= (1 << 32)
+        ):
+            raise ValueError(
+                "user_activity_streaks pack requires 0 <= user_id < 2^31 "
+                "and 1970-01-01 <= ts < +2^32 days"
+            )
         comb = np.unique(uid * np.int64(1 << 32) + day)
         u = comb >> np.int64(32)
         return pa.table(

@@ -19,6 +19,7 @@ These mirror the reference's post-crawl behaviors (SURVEY.md §2):
 
 from __future__ import annotations
 
+import html as html_mod
 import json
 import os
 
@@ -68,9 +69,14 @@ def products_per_category(out_dir: str) -> pd.DataFrame:
 
 def render_detail_html(specifications: dict[str, str], detail_imgs: list[str]) -> str:
     """M9: specs dict + detail images → HTML fragment
-    (``GetProductDetails``, ``ShiweijiaProduct.cs:435-461``)."""
-    parts = [f"<p>{k}:{v}</p>" for k, v in sorted(specifications.items())]
-    parts += [f'<img src="{u}"/>' for u in detail_imgs]
+    (``GetProductDetails``, ``ShiweijiaProduct.cs:435-461``). Spec keys and
+    values are HTML-escaped and image URLs attribute-escaped — crawled
+    values are attacker-controlled."""
+    esc = html_mod.escape
+    parts = [
+        f"<p>{esc(str(k))}:{esc(str(v))}</p>" for k, v in sorted(specifications.items())
+    ]
+    parts += [f'<img src="{esc(u, quote=True)}"/>' for u in detail_imgs]
     return "".join(parts)
 
 

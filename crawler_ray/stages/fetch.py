@@ -267,9 +267,15 @@ class HttpFetchStage:
                         [TxtPart(k, v) for k, v in sorted(params.items())]
                     )
                 elif mode == "form":
-                    from urllib.parse import urlencode
+                    # the reference joins k={v.ToUrlEncode()} pairs itself
+                    # (EscapeDataString: space → %20, BaseSpider.cs:296)
+                    # rather than quote_plus form encoding
+                    from crawler_ray.functions.urls import to_url_encode
 
-                    body = urlencode(sorted(params.items())).encode()
+                    body = "&".join(
+                        f"{to_url_encode(k)}={to_url_encode(v)}"
+                        for k, v in sorted(params.items())
+                    ).encode()
                     ctype = "application/x-www-form-urlencoded"
                 else:
                     body = _json.dumps(

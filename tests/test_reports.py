@@ -56,6 +56,14 @@ def test_submit_view(crawl_out):
 def test_render_and_reshape_semantics():
     html = render_detail_html({"k": "v"}, ["http://h/i.png"])
     assert html == '<p>k:v</p><img src="http://h/i.png"/>'
+    # crawled values are untrusted: markup must come out inert
+    hostile = render_detail_html(
+        {"<b>k</b>": 'v"&'}, ['http://h/i.png" onerror="x']
+    )
+    assert hostile == (
+        "<p>&lt;b&gt;k&lt;/b&gt;:v&quot;&amp;</p>"
+        '<img src="http://h/i.png&quot; onerror=&quot;x"/>'
+    )
     assert reshape_attributes({"a": "1", "b": "", "": "x"}) == [
         {"AttributeName": "a", "AttributeValue": "1"}
     ]

@@ -737,3 +737,38 @@ def test_fuzzy_name_pairs_parallelism_invariant(ray_session):
     ka = sorted(zip(a["custkey_a"], a["custkey_b"]))
     kb = sorted(zip(b["custkey_a"], b["custkey_b"]))
     assert ka == kb and len(ka) == len(set(ka)) and len(ka) > 0
+
+
+def test_edit1_pairs_vs_lev_le1_property(ray_session):
+    """Property cross-check: _edit1_pairs (deletion-neighborhood proof, no
+    string verify) vs the brute-force _lev_le1 scalar over a deterministic
+    adversarial vocabulary — equal-char runs, repeats, short words, empty
+    neighbors, unicode."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.textops import _edit1_pairs, _lev_le1
+
+    rng = np.random.default_rng(7)
+    alpha = list("abc")
+    vocab = {"a", "b", "ab", "aa", "aaa", "aab", "aba", "abab", "中文", "中"}
+    while len(vocab) < 120:
+        vocab.add("".join(rng.choice(alpha, size=rng.integers(1, 6))))
+    words = sorted(vocab)
+    ds = rd.from_arrow(
+        pa.table({"word": pa.array(words),
+                  "n": pa.array(range(1, len(words) + 1), pa.int64())})
+    )
+    got = _edit1_pairs(ds, n_parts=7).to_pandas()
+    got_pairs = set(zip(got["word_a"], got["word_b"]))
+    exp_pairs = {
+        (a, b) for a, b in itertools.combinations(words, 2) if _lev_le1(a, b)
+    }
+    assert got_pairs == exp_pairs and len(exp_pairs) > 50
+    # payload columns ride through intact and pairs are globally unique
+    n_of = {w: i + 1 for i, w in enumerate(words)}
+    assert len(got) == len(got_pairs)
+    assert all(n_of[a] == na and n_of[b] == nb
+               for a, b, na, nb in zip(got["word_a"], got["word_b"],
+                                       got["n_a"], got["n_b"]))
