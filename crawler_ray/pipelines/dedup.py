@@ -29,6 +29,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -908,15 +909,36 @@ def _distinct_set_pairs(
         pair = int(g["pair"][0].as_py())
         p, q = divmod(pair, B)
         ids = g["set_id"].to_numpy()
-        tok_sets = [set(s.split("\x00")) if s else set()
-                    for s in g["toks"].to_pylist()]
-        vocab = sorted(set().union(*tok_sets)) if tok_sets else []
-        v_index = {w: i for i, w in enumerate(vocab)}
-        mat = np.zeros((len(ids), max(len(vocab), 1)), dtype=np.uint8)
-        for r, s in enumerate(tok_sets):
-            for w in s:
-                mat[r, v_index[w]] = 1
-        sizes = mat.sum(axis=1).astype(np.int64)
+        # vectorized set decode: ONE C-level split over the whole group's
+        # canonical strings (members are already distinct per set), then a
+        # hash factorize — no Python per-token loop
+        toks_col = g["toks"].combine_chunks()
+        lists = pc.split_pattern(toks_col, "\x00")
+        lengths = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.values.to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64), lengths)
+        nonempty = flat != ""  # an empty canon ("") splits to one "" token
+        flat, rows = flat[nonempty], rows[nonempty]
+        sizes = np.bincount(rows, minlength=len(ids)).astype(np.int64)
+        # DF>=2 vocabulary pruning: a token present in only ONE set of this
+        # group contributes 0 to every pairwise intersection — it enters the
+        # Jaccard only through the set SIZES (computed from the full sets
+        # above), so dropping its matrix column is exact. Web corpora are
+        # full of per-doc-unique tokens (ids, urls, hashes), which otherwise
+        # make the union vocab — and the dense matrix width — grow O(group):
+        # the 50k-doc scale smoke measured ~16k -> ~1k columns per group.
+        codes, uniques = pd.factorize(flat)
+        dfreq = np.bincount(codes, minlength=len(uniques))
+        keep_tok = dfreq >= 2
+        col_of = np.cumsum(keep_tok) - 1  # compact column ids for kept toks
+        tok_mask = keep_tok[codes]
+        n_vocab = int(keep_tok.sum())
+        # float32 so the intersection matmul runs on BLAS (int64 @ falls
+        # back to a naive loop); counts are integers <= max set size << 2^24
+        # and every partial sum is an exact float32 integer, so casting the
+        # product back to int64 reproduces the integer matmul bit-for-bit.
+        mat = np.zeros((len(ids), max(n_vocab, 1)), dtype=np.float32)
+        mat[rows[tok_mask], col_of[codes[tok_mask]]] = 1.0
         empty = pa.table(
             {"key_a": pa.array([], pa.int64()),
              "key_b": pa.array([], pa.int64()),
@@ -929,35 +951,68 @@ def _distinct_set_pairs(
         CH = 512
 
         def chunked_pairs(la, lm, ls, ra, rm, rs, same: bool):
-            rmT = rm.astype(np.int64).T
+            # both sides arrive sorted by (size, id). Length filter
+            # (AllPairs/PPJoin): jaccard >= t forces t*|A| <= |B| <= |A|/t,
+            # so each left chunk only multiplies against the right rows in
+            # its size window — the matmul is BANDED, not all-pairs.
+            hi_ratio = (1.0 / threshold) if threshold > 0 else np.inf
             out_a, out_b, out_j = [], [], []
             for s0 in range(0, len(la), CH):
-                inter = lm[s0:s0 + CH].astype(np.int64) @ rmT
+                lsc = ls[s0:s0 + CH]
+                # +-1 slack: sizes are integers, so widening the float
+                # bounds by one absorbs any rounding of t*s / s/t past an
+                # exactly-qualifying size (e.g. t=0.95, 95 vs 100 -> J=0.95);
+                # the window is a PREfilter — extra columns are harmless,
+                # a missed column loses a pair
+                w0 = int(np.searchsorted(rs, threshold * lsc[0] - 1.0))
+                if same:  # strict upper triangle: partners sit after s0
+                    w0 = max(w0, s0)
+                w1 = int(np.searchsorted(rs, lsc[-1] * hi_ratio + 1.0,
+                                         side="right"))
+                if w0 >= w1:
+                    continue
+                inter = (lm[s0:s0 + CH] @ rm[w0:w1].T).astype(np.int64)
                 union = np.maximum(
-                    ls[s0:s0 + CH, None] + rs[None, :] - inter, 1
+                    lsc[:, None] + rs[None, w0:w1] - inter, 1
                 )
                 jac = inter / union
                 ai, bi = np.nonzero(jac >= threshold)
-                if same:  # upper triangle incl. the self pair
-                    keep = (s0 + ai) <= bi
+                bi = bi + w0
+                if same:  # STRICT upper triangle: the pruned-vocab self-
+                    # intersection understates set size, so the diagonal is
+                    # emitted explicitly below (jaccard 1 by definition)
+                    keep = (s0 + ai) < bi
                     ai, bi = ai[keep], bi[keep]
                 out_a.append(la[s0 + ai])
                 out_b.append(ra[bi])
-                out_j.append(np.round(jac[ai, bi], 6))
+                out_j.append(np.round(jac[ai, bi - w0], 6))
+            if not out_a:
+                z = np.array([], np.int64)
+                return z, z, np.array([], np.float64)
             cat = np.concatenate
             return cat(out_a), cat(out_b), cat(out_j)
 
         if p == q:
-            order = np.argsort(ids)
+            order = np.lexsort((ids, sizes))  # size-major total order
             ids, mat, sizes = ids[order], mat[order], sizes[order]
             ka, kb, jv = chunked_pairs(ids, mat, sizes, ids, mat, sizes, True)
+            # self pairs: jaccard(S, S) = 1 for every NON-EMPTY set (an
+            # empty set's old-path self score was 0/max(0,1) = 0, never
+            # >= threshold — preserved by the sizes > 0 mask)
+            diag = ids[sizes > 0]
+            ka = np.concatenate([ka, diag])
+            kb = np.concatenate([kb, diag])
+            jv = np.concatenate([jv, np.ones(len(diag), np.float64)])
         else:
             blk = ids % B
             li, ri = blk == p, blk == q
             if not li.any() or not ri.any():
                 return empty
+            lo_, ro_ = (np.lexsort((ids[li], sizes[li])),
+                        np.lexsort((ids[ri], sizes[ri])))
             ka, kb, jv = chunked_pairs(
-                ids[li], mat[li], sizes[li], ids[ri], mat[ri], sizes[ri], False
+                ids[li][lo_], mat[li][lo_], sizes[li][lo_],
+                ids[ri][ro_], mat[ri][ro_], sizes[ri][ro_], False
             )
         return pa.table(
             {"key_a": pa.array(ka, pa.int64()),

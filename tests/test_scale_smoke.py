@@ -1,0 +1,264 @@
+"""Repeatable 10x scale smokes (``pytest -m slow``).
+
+Round-3's out-of-band 50k-doc / 500k-node smoke runs caught five real
+scale defects (zero-column empty blocks, per-task pair grids, n x n
+temporaries, per-edge Python union-find, phash band saturation) but lived
+only in BASELINE.md prose. This module makes them repeatable: each test
+regenerates its corpus deterministically under /tmp, runs the heavy
+pipeline, and asserts BOTH the exact output (closed-form planted truth,
+or a bit-identical numpy reference for the fixed-point PageRank) AND a
+generous wall-time envelope (~3x the measured 4-cpu wall, so a quadratic
+regression trips it but host noise does not).
+
+Corpus design (the part that makes the truth CLOSED-FORM): every doc
+carries two per-doc salt tokens, so any two docs from different plant
+groups share at most 62 of >= 66 union tokens -- word-Jaccard <= 0.94,
+strictly under the 0.95 threshold. Within a plant group, exact copies
+share the whole set (J = 1) and near copies drop exactly one token
+(J = (m-1)/m >= 35/36). The only pairs >= 0.95 are therefore exactly the
+planted ones, no brute-force verification pass needed at 50k docs.
+
+Deselected by default (``addopts = -m 'not slow'`` in pyproject.toml);
+run with ``pytest -m slow tests/test_scale_smoke.py``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.slow
+
+N_DOCS = 50_000
+BLOCK = 100  # plant layout repeats every BLOCK doc_ids
+TRIPLE_EVERY = 50  # every 50th block also plants a size-3 exact cluster
+
+# offsets within each 100-id block (all distinct):
+OFF_EXACT = 1  # b+1 = verbatim copy of b+0
+OFF_TRIPLE = 2  # b+2 = verbatim copy of b+0, only in triple blocks
+OFF_NEAR_DONOR = 5
+OFF_NEAR = 6  # b+6 = b+5 minus one token (J >= 35/36)
+OFF_LANG = 11  # Spanish marker doc -> reason 'lang'
+OFF_QUALITY = 21  # short + punct-heavy -> reason 'quality'
+OFF_REP = 31  # one token repeated 60x -> reason 'repetition'
+
+_EN_MARKERS = ["the", "and", "of", "to"]  # subset of text._LANG_MARKERS['en']
+_ES_MARKERS = ["el", "que", "y", "los", "del", "se", "las"]  # es-only markers
+
+
+def _gen_corpus(out_dir: str) -> None:
+    """Deterministic 50k-doc documents.parquet with the plant layout above.
+
+    Normal docs: 30..58 distinct vocab words + 4 en-marker words + 2 salts,
+    emitted as two independent permutations (length 2m: dup_frac = 0.5 < 0.6
+    and no dominant bigram, so the repetition gate passes; n_tokens >= 72 and
+    stopword ratio >= 0.0625 keep quality >= 0.77)."""
+    rng = np.random.default_rng(987654321)
+    vocab = np.array([f"tok{i:03d}" for i in range(970)], dtype=object)
+    texts: list[str] = [""] * N_DOCS
+
+    def normal_text(i: int) -> str:
+        k = int(rng.integers(30, 59))
+        words = list(vocab[rng.permutation(970)[:k]])
+        words += _EN_MARKERS + [f"zq{i}a", f"zq{i}b"]
+        w = np.array(words, dtype=object)
+        seq = list(w[rng.permutation(len(w))]) + list(w[rng.permutation(len(w))])
+        return " ".join(seq)
+
+    for i in range(N_DOCS):
+        off = i % BLOCK
+        if off == OFF_EXACT:
+            texts[i] = texts[i - 1]
+        elif off == OFF_TRIPLE and (i // BLOCK) % TRIPLE_EVERY == 0:
+            texts[i] = texts[i - 2]
+        elif off == OFF_NEAR:
+            donor = texts[i - 1].split()
+            victim = next(t for t in donor if t.startswith("tok"))
+            texts[i] = " ".join(t for t in donor if t != victim)
+        elif off == OFF_LANG:
+            w = np.array(_ES_MARKERS + [f"zq{i}a", f"zq{i}b"], dtype=object)
+            seq = list(w[rng.permutation(9)]) + list(w[rng.permutation(9)][:11])
+            texts[i] = " ".join(seq)
+        elif off == OFF_QUALITY:
+            texts[i] = f"the zq{i}a zq{i}b " + "!" * 22
+        elif off == OFF_REP:
+            texts[i] = " ".join(["rep"] * 60 + ["the", f"zq{i}a", f"zq{i}b"])
+        else:
+            texts[i] = normal_text(i)
+
+    t_arr = pa.array(texts, pa.string())
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64), pa.int64()),
+            "text": t_arr,
+            "lang": pa.array(["en"] * N_DOCS, pa.string()),
+            "source": pa.array(["smoke"] * N_DOCS, pa.string()),
+            "n_chars": pa.compute.utf8_length(t_arr).cast(pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/documents.parquet", row_group_size=25_000)
+
+
+def _expected_clusters() -> dict[int, tuple[int, int]]:
+    """doc_id -> (cluster_id, cluster_size) closed form of the plant."""
+    exp: dict[int, tuple[int, int]] = {}
+    for j in range(N_DOCS // BLOCK):
+        b = j * BLOCK
+        if j % TRIPLE_EVERY == 0:
+            for d in (b, b + OFF_EXACT, b + OFF_TRIPLE):
+                exp[d] = (b, 3)
+        else:
+            exp[b] = (b, 2)
+            exp[b + OFF_EXACT] = (b, 2)
+        exp[b + OFF_NEAR_DONOR] = (b + OFF_NEAR_DONOR, 2)
+        exp[b + OFF_NEAR] = (b + OFF_NEAR_DONOR, 2)
+    return exp
+
+
+@pytest.fixture(scope="module")
+def corpus50k(tmp_path_factory):
+    d = tmp_path_factory.mktemp("smoke50k")
+    t0 = time.monotonic()
+    _gen_corpus(str(d))
+    print(f"\n[smoke] 50k corpus generated in {time.monotonic() - t0:.1f}s")
+    return str(d)
+
+
+def _timed(fn, *args, **kwargs):
+    t0 = time.monotonic()
+    out = fn(*args, **kwargs).to_pandas()
+    return out, time.monotonic() - t0
+
+
+def test_near_dup_clusters_50k(ray_session, corpus50k):
+    from crawler_ray.pipelines.clusters import near_dup_clusters
+
+    got, wall = _timed(near_dup_clusters, corpus50k)
+    print(f"[smoke] near_dup_clusters 50k: {wall:.1f}s")
+    exp = _expected_clusters()
+    assert len(got) == len(exp)
+    got_map = {
+        int(d): (int(c), int(s))
+        for d, c, s in zip(got["doc_id"], got["cluster_id"], got["cluster_size"])
+    }
+    assert got_map == exp
+    # 4-cpu wall measured ~24s; 3x headroom (round-3 pre-fix regression:
+    # 178s; round-4 pre-DF-pruning/banded-matmul regression: 67s)
+    assert wall < 75, f"near_dup_clusters 50k took {wall:.1f}s (envelope 75s)"
+
+
+def test_corpus_curation_50k(ray_session, corpus50k):
+    from crawler_ray.pipelines.curation import corpus_curation
+
+    got, wall = _timed(corpus_curation, corpus50k)
+    print(f"[smoke] corpus_curation 50k: {wall:.1f}s")
+    assert len(got) == N_DOCS
+    reason = np.full(N_DOCS, "kept", dtype=object)
+    for j in range(N_DOCS // BLOCK):
+        b = j * BLOCK
+        reason[b + OFF_EXACT] = "duplicate"
+        reason[b + OFF_NEAR] = "duplicate"
+        if j % TRIPLE_EVERY == 0:
+            reason[b + OFF_TRIPLE] = "duplicate"
+        reason[b + OFF_LANG] = "lang"
+        reason[b + OFF_QUALITY] = "quality"
+        reason[b + OFF_REP] = "repetition"
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].to_numpy().tolist() == list(range(N_DOCS))
+    assert (got["reason"].to_numpy(dtype=object) == reason).all()
+    assert (got["kept"].to_numpy() == (reason == "kept")).all()
+    # 4-cpu wall measured ~37s; 3x headroom
+    assert wall < 110, f"corpus_curation 50k took {wall:.1f}s (envelope 110s)"
+
+
+def test_image_dup_clusters_50k(ray_session, corpus50k):
+    """50k synthesize->encode->decode->phash plumbing + banded Hamming walk.
+
+    planted_image_batch's %10 rules pin most of the truth closed-form: id
+    10k+1 reuses 10k's bytes (phash-identical, ALWAYS a cluster), id 10k+6
+    perturbs 10k+5's pixels (TYPICALLY Hamming <= 2; at 50k samples a few
+    land past radius 4 — 3/5000 at this seed), everything else sits ~24+
+    bits apart. So: exact pairs asserted fully; near pairs must be a
+    subset of the planted ones; every ABSENT planted near pair is verified
+    out-of-radius with the scalar phash kernel directly (recall proof —
+    a walk that drops an in-radius pair fails that check)."""
+    from crawler_ray.functions.codecs import decode_image, sniff_fmt
+    from crawler_ray.functions.hashing import hamming64, phash64
+    from crawler_ray.pipelines.clusters import image_dup_clusters
+    from crawler_ray.sources.synthetic import planted_image_batch
+
+    got, wall = _timed(image_dup_clusters, corpus50k)
+    print(f"[smoke] image_dup_clusters 50k: {wall:.1f}s")
+    got_map = {
+        int(d): (int(c), int(s))
+        for d, c, s in zip(got["image_id"], got["cluster_id"], got["cluster_size"])
+    }
+    absent_near = []
+    for a in range(0, N_DOCS, 10):
+        assert got_map.pop(a) == (a, 2)  # exact dup: always Hamming 0
+        assert got_map.pop(a + 1) == (a, 2)
+        if got_map.pop(a + 5, None) == (a + 5, 2):
+            assert got_map.pop(a + 6) == (a + 5, 2)
+        else:
+            assert a + 6 not in got_map
+            absent_near.append(a + 5)
+    assert got_map == {}  # nothing beyond the planted families
+    print(f"[smoke] planted near pairs past radius: {len(absent_near)}")
+    assert len(absent_near) <= 25  # ~0.1% of 5000 at seed 42 (measured 3)
+    for a in absent_near:  # recall proof: absentees really are > radius
+        ids = np.array([a, a + 1], dtype=np.int64)  # (10k+5, 10k+6)
+        payloads, _ = planted_image_batch(ids, 42, dup=True)
+        ph = [phash64(decode_image(b, sniff_fmt(b))) for b in payloads]
+        ham = hamming64(ph[0], ph[1])
+        assert ham > 4, f"walk dropped in-radius pair ({a},{a + 1}): {ham}"
+    # 4-cpu wall measured ~23s (decode-bound); 3x headroom. Round-3's
+    # radius-6 band-saturation regression ran 33x long and would trip this.
+    assert wall < 70, f"image_dup_clusters 50k took {wall:.1f}s (envelope 70s)"
+
+
+@pytest.fixture(scope="module")
+def nodes500k(tmp_path_factory):
+    d = tmp_path_factory.mktemp("smoke500k")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(500_000, dtype=np.int64))}),
+        f"{d}/documents.parquet",
+        row_group_size=100_000,
+    )
+    return str(d)
+
+
+def test_doc_link_pagerank_500k(ray_session, nodes500k):
+    """500k-node / ~1.5M-edge PageRank, bit-identical to the numpy
+    reference of the same int64 fixed-point iteration (the superstep
+    exchange cost must stay ~flat vs sf0.1 -- BASELINE.md measured +7%
+    wall for 10x the graph)."""
+    from crawler_ray.pipelines.clusters import doc_link_pagerank
+
+    N, SCALE, n_iters = 500_000, np.int64(1_000_000_000), 5
+    got, wall = _timed(doc_link_pagerank, nodes500k, n_iters=n_iters)
+    print(f"[smoke] doc_link_pagerank 500k: {wall:.1f}s")
+
+    ids = np.arange(N, dtype=np.int64)
+    s = np.stack([(ids * 7 + 1) % N, (ids * 13 + 5) % N, (ids * 31 + 11) % N], axis=1)
+    s = np.where(s == ids[:, None], -1, s)
+    deg = (s >= 0).sum(axis=1).astype(np.int64)
+    r = np.full(N, SCALE, np.int64)
+    for _ in range(n_iters):
+        share = r // np.maximum(deg, 1)
+        acc = np.zeros(N, np.int64)
+        for c in range(3):
+            dst = s[:, c]
+            m = dst >= 0
+            np.add.at(acc, dst[m], share[m])
+        r = 150_000_000 + (np.int64(85) * acc) // 100
+
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].to_numpy().tolist() == ids.tolist()
+    assert (got["rank_scaled"].to_numpy(np.int64) == r).all()
+    # 4-cpu wall measured ~3s (5 supersteps, fixed exchange cost); generous
+    # 10x headroom since Ray task-launch noise dominates at this wall
+    assert wall < 30, f"doc_link_pagerank 500k took {wall:.1f}s (envelope 30s)"
