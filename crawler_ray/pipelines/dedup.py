@@ -795,8 +795,10 @@ def token_jaccard_pairs(
       (each output doc pair materializes exactly once; no driver-side
       corpus read, no corpus-sized broadcast).
 
-    Applicability: bounded vocabulary (S ≤ 2^V). For open vocabularies use
-    the MinHash-LSH path above instead."""
+    Applicability: the quadratic runs over DISTINCT sets (S), banded by the
+    size filter; per-doc-unique tokens are pruned from the matrix (DF>=2
+    columns only), so vocabulary size is not a constraint. When S itself
+    grows with the corpus, use the MinHash-LSH path above instead."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     return _set_jaccard_pairs(_keyed_sets(docs, _canon_token_set),
                               threshold, n_blocks)
