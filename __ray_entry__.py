@@ -99,9 +99,11 @@ def entry() -> Any:
     crawled images Dataset (input_hint schema, ≥0 rows, stable schema).
     Also touches /root/testdata/sf0.001 via one representative query so the
     smoke check exercises the testdata path too."""
+    from crawler_ray.context import tune_data_context
     from crawler_ray.pipelines import relational
     from crawler_ray.pipelines.flagship import run_flagship
 
+    tune_data_context()
     # smoke a testdata pipeline (result intentionally small)
     relational.q1_pricing_summary("/root/testdata/sf0.001").to_pandas()
     images, _driver = run_flagship()
@@ -109,6 +111,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from crawler_ray.context import tune_data_context
+
+    tune_data_context()
     from crawler_ray.pipelines import (
         clusters,
         curation,

@@ -340,16 +340,41 @@ SCALE_QUERY_NAMES = [
     "training_data_build",
 ]
 
+# The scaling bar runs these over the deterministic 50k-doc planted corpus
+# (the scale-smoke corpus, ~8x sf0.1's documents table): at sf0.1 the
+# three queries finish in ~11s at 4 cpus and per-query fixed overheads
+# (stage setup, actor spawn) dominate — the measured "efficiency" was
+# 0.21 and reflected Ray bookkeeping, not the engine. Cached under /tmp so
+# every trial subprocess reads identical input.
+QUERYSCALE_DIR = os.environ.get(
+    "GRAFT_QUERYSCALE_DIR", "/tmp/crawler_ray_queryscale_50k"
+)
+
+
+def _queryscale_dir() -> str:
+    marker = os.path.join(QUERYSCALE_DIR, "documents.parquet")
+    if not os.path.exists(marker):
+        from crawler_ray.sources.synthetic import gen_scale_corpus
+
+        os.makedirs(QUERYSCALE_DIR, exist_ok=True)
+        gen_scale_corpus(QUERYSCALE_DIR)
+    return QUERYSCALE_DIR
+
 
 def bench_queryscale() -> dict:
+    import pyarrow.parquet as pq
+
     import __ray_entry__ as entry_mod
 
+    d = _queryscale_dir()
+    pq.read_table(f"{d}/documents.parquet")  # warm page cache, untimed
     qs = entry_mod.queries()
     t0 = time.monotonic()
     for name in SCALE_QUERY_NAMES:
-        _consume(qs[name](SF_DIR))
+        _consume(qs[name](d))
     sec = time.monotonic() - t0
-    return {"sec": round(sec, 2), "queries": SCALE_QUERY_NAMES}
+    return {"sec": round(sec, 2), "queries": SCALE_QUERY_NAMES,
+            "corpus": "50k-doc planted scale corpus"}
 
 
 def main() -> dict:
@@ -362,10 +387,9 @@ def main() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from crawler_ray.context import tune_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    tune_data_context()
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     import pyarrow.parquet as pq
@@ -479,6 +503,7 @@ def scaling() -> None:
                 },
                 "queryscale": {
                     "queries": SCALE_QUERY_NAMES,
+                    "corpus": "50k-doc planted scale corpus",
                     "sec": [qlo, qhi],
                     "scaling_efficiency": round(eff_q, 3),
                     "trials_sec": {str(lo_n): lo_q, str(hi_n): hi_q},

@@ -34,9 +34,9 @@ def _init_ray(cpus: int | None):
         if cpus and addr == "local":
             kwargs["num_cpus"] = cpus
         ray.init(**kwargs)
-    from ray.data import DataContext
+    from crawler_ray.context import tune_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_data_context()
     return ray
 
 

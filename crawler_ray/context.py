@@ -1,0 +1,36 @@
+"""Process-wide Ray Data executor tuning shared by every entry point.
+
+``tune_data_context()`` is called by bench.py, the CLI, the test fixture
+and ``__ray_entry__`` (the library itself never calls ``ray.init``; a
+DataContext can be tuned before or after init, it is plain process
+state).
+
+Why reservations are disabled: Ray Data's per-operator resource
+reservation (``op_resource_reservation_enabled``, default on since Ray
+2.10) splits the object-store budget between operators ahead of time.
+On DAGs where a map stage AMPLIFIES rows ahead of an all-to-all — the
+shape of every banding pipeline here (minhash/simhash/phash emit
+16-32 band rows per input row, then ONE coarse-partition groupby) —
+the allocator starves the map stage: measured on the 200k-doc scale
+corpus at 16 cpus, `minhash_near_dup_pairs` spent 22.4s walltime on a
+stage with 2.5s/task × 16 tasks of actual work (effective concurrency
+~1.8 of 16), and the whole query ran 34.0s. Disabling reservations:
+10.6s — identical output, 3.2× faster; at 4 cpus 52.8s → 20.3s. Raising
+the TOTAL budget (``resource_limits.object_store_memory``) does NOT
+help (31.2s) — it is the reservation split itself, not the budget size.
+With reservations off the streaming executor still applies global
+backpressure against the full object-store budget and spills when it
+fills, which is the designed at-scale behavior; the pipelines here
+bound their own peak usage (combiner-before-exchange, slim band rows,
+footer-sized blocks), so none relies on the reservation guard.
+"""
+
+from __future__ import annotations
+
+
+def tune_data_context(progress_bars: bool = False) -> None:
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = progress_bars
+    ctx.op_resource_reservation_enabled = False

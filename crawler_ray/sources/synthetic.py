@@ -493,3 +493,85 @@ def planted_image_batch(
             if mismatch and d % 10 == 7 else true_cap
         )
     return out_b, out_c
+
+
+# --- 50k-scale planted-truth document corpus -------------------------------
+#
+# Shared by tests/test_scale_smoke.py (closed-form truth assertions) and
+# bench.py's --scaling query bar (a corpus big enough that the heavy
+# pipelines' compute dominates per-query fixed overheads — at sf0.1's 6k
+# docs the suite finishes in seconds and measures Ray setup, not scaling).
+
+SCALE_N_DOCS = 50_000
+SCALE_BLOCK = 100  # plant layout repeats every SCALE_BLOCK doc_ids
+SCALE_TRIPLE_EVERY = 50  # every 50th block plants a size-3 exact cluster
+
+# offsets within each 100-id block (all distinct):
+SCALE_OFF_EXACT = 1  # b+1 = verbatim copy of b+0
+SCALE_OFF_TRIPLE = 2  # b+2 = verbatim copy of b+0, only in triple blocks
+SCALE_OFF_NEAR_DONOR = 5
+SCALE_OFF_NEAR = 6  # b+6 = b+5 minus one token (J >= 35/36)
+SCALE_OFF_LANG = 11  # Spanish marker doc -> reason 'lang'
+SCALE_OFF_QUALITY = 21  # short + punct-heavy -> reason 'quality'
+SCALE_OFF_REP = 31  # one token repeated 60x -> reason 'repetition'
+
+_SCALE_EN_MARKERS = ["the", "and", "of", "to"]  # subset of _LANG_MARKERS['en']
+_SCALE_ES_MARKERS = ["el", "que", "y", "los", "del", "se", "las"]  # es-only
+
+
+def gen_scale_corpus(out_dir: str, n_docs: int = SCALE_N_DOCS) -> None:
+    """Deterministic n_docs-doc documents.parquet with the plant layout above.
+
+    Normal docs: 30..58 distinct vocab words + 4 en-marker words + 2 salts,
+    emitted as two independent permutations (length 2m: dup_frac = 0.5 < 0.6
+    and no dominant bigram, so the repetition gate passes; n_tokens >= 72 and
+    stopword ratio >= 0.0625 keep quality >= 0.77). The per-doc salt tokens
+    make the near-dup truth CLOSED-FORM: cross-plant word-Jaccard <= 0.94,
+    within-plant exact copies J = 1 and near copies J >= 35/36, so the only
+    pairs >= 0.95 are exactly the planted ones."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(987654321)
+    vocab = np.array([f"tok{i:03d}" for i in range(970)], dtype=object)
+    texts: list[str] = [""] * n_docs
+
+    def normal_text(i: int) -> str:
+        k = int(rng.integers(30, 59))
+        words = list(vocab[rng.permutation(970)[:k]])
+        words += _SCALE_EN_MARKERS + [f"zq{i}a", f"zq{i}b"]
+        w = np.array(words, dtype=object)
+        seq = list(w[rng.permutation(len(w))]) + list(w[rng.permutation(len(w))])
+        return " ".join(seq)
+
+    for i in range(n_docs):
+        off = i % SCALE_BLOCK
+        if off == SCALE_OFF_EXACT:
+            texts[i] = texts[i - 1]
+        elif off == SCALE_OFF_TRIPLE and (i // SCALE_BLOCK) % SCALE_TRIPLE_EVERY == 0:
+            texts[i] = texts[i - 2]
+        elif off == SCALE_OFF_NEAR:
+            donor = texts[i - 1].split()
+            victim = next(t for t in donor if t.startswith("tok"))
+            texts[i] = " ".join(t for t in donor if t != victim)
+        elif off == SCALE_OFF_LANG:
+            w = np.array(_SCALE_ES_MARKERS + [f"zq{i}a", f"zq{i}b"], dtype=object)
+            seq = list(w[rng.permutation(9)]) + list(w[rng.permutation(9)][:11])
+            texts[i] = " ".join(seq)
+        elif off == SCALE_OFF_QUALITY:
+            texts[i] = f"the zq{i}a zq{i}b " + "!" * 22
+        elif off == SCALE_OFF_REP:
+            texts[i] = " ".join(["rep"] * 60 + ["the", f"zq{i}a", f"zq{i}b"])
+        else:
+            texts[i] = normal_text(i)
+
+    t_arr = pa.array(texts, pa.string())
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64), pa.int64()),
+            "text": t_arr,
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(["smoke"] * n_docs, pa.string()),
+            "n_chars": pa.compute.utf8_length(t_arr).cast(pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/documents.parquet", row_group_size=25_000)

@@ -20,10 +20,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from crawler_ray.context import tune_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    tune_data_context()
     yield
     ray.shutdown()
 

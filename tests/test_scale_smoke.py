@@ -33,74 +33,21 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-N_DOCS = 50_000
-BLOCK = 100  # plant layout repeats every BLOCK doc_ids
-TRIPLE_EVERY = 50  # every 50th block also plants a size-3 exact cluster
-
-# offsets within each 100-id block (all distinct):
-OFF_EXACT = 1  # b+1 = verbatim copy of b+0
-OFF_TRIPLE = 2  # b+2 = verbatim copy of b+0, only in triple blocks
-OFF_NEAR_DONOR = 5
-OFF_NEAR = 6  # b+6 = b+5 minus one token (J >= 35/36)
-OFF_LANG = 11  # Spanish marker doc -> reason 'lang'
-OFF_QUALITY = 21  # short + punct-heavy -> reason 'quality'
-OFF_REP = 31  # one token repeated 60x -> reason 'repetition'
-
-_EN_MARKERS = ["the", "and", "of", "to"]  # subset of text._LANG_MARKERS['en']
-_ES_MARKERS = ["el", "que", "y", "los", "del", "se", "las"]  # es-only markers
-
-
-def _gen_corpus(out_dir: str) -> None:
-    """Deterministic 50k-doc documents.parquet with the plant layout above.
-
-    Normal docs: 30..58 distinct vocab words + 4 en-marker words + 2 salts,
-    emitted as two independent permutations (length 2m: dup_frac = 0.5 < 0.6
-    and no dominant bigram, so the repetition gate passes; n_tokens >= 72 and
-    stopword ratio >= 0.0625 keep quality >= 0.77)."""
-    rng = np.random.default_rng(987654321)
-    vocab = np.array([f"tok{i:03d}" for i in range(970)], dtype=object)
-    texts: list[str] = [""] * N_DOCS
-
-    def normal_text(i: int) -> str:
-        k = int(rng.integers(30, 59))
-        words = list(vocab[rng.permutation(970)[:k]])
-        words += _EN_MARKERS + [f"zq{i}a", f"zq{i}b"]
-        w = np.array(words, dtype=object)
-        seq = list(w[rng.permutation(len(w))]) + list(w[rng.permutation(len(w))])
-        return " ".join(seq)
-
-    for i in range(N_DOCS):
-        off = i % BLOCK
-        if off == OFF_EXACT:
-            texts[i] = texts[i - 1]
-        elif off == OFF_TRIPLE and (i // BLOCK) % TRIPLE_EVERY == 0:
-            texts[i] = texts[i - 2]
-        elif off == OFF_NEAR:
-            donor = texts[i - 1].split()
-            victim = next(t for t in donor if t.startswith("tok"))
-            texts[i] = " ".join(t for t in donor if t != victim)
-        elif off == OFF_LANG:
-            w = np.array(_ES_MARKERS + [f"zq{i}a", f"zq{i}b"], dtype=object)
-            seq = list(w[rng.permutation(9)]) + list(w[rng.permutation(9)][:11])
-            texts[i] = " ".join(seq)
-        elif off == OFF_QUALITY:
-            texts[i] = f"the zq{i}a zq{i}b " + "!" * 22
-        elif off == OFF_REP:
-            texts[i] = " ".join(["rep"] * 60 + ["the", f"zq{i}a", f"zq{i}b"])
-        else:
-            texts[i] = normal_text(i)
-
-    t_arr = pa.array(texts, pa.string())
-    table = pa.table(
-        {
-            "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64), pa.int64()),
-            "text": t_arr,
-            "lang": pa.array(["en"] * N_DOCS, pa.string()),
-            "source": pa.array(["smoke"] * N_DOCS, pa.string()),
-            "n_chars": pa.compute.utf8_length(t_arr).cast(pa.int64()),
-        }
-    )
-    pq.write_table(table, f"{out_dir}/documents.parquet", row_group_size=25_000)
+# the generator + plant layout live in sources/synthetic.py so bench.py's
+# --scaling query bar runs over the same corpus
+from crawler_ray.sources.synthetic import (  # noqa: E402
+    SCALE_BLOCK as BLOCK,
+    SCALE_N_DOCS as N_DOCS,
+    SCALE_OFF_EXACT as OFF_EXACT,
+    SCALE_OFF_LANG as OFF_LANG,
+    SCALE_OFF_NEAR as OFF_NEAR,
+    SCALE_OFF_NEAR_DONOR as OFF_NEAR_DONOR,
+    SCALE_OFF_QUALITY as OFF_QUALITY,
+    SCALE_OFF_REP as OFF_REP,
+    SCALE_OFF_TRIPLE as OFF_TRIPLE,
+    SCALE_TRIPLE_EVERY as TRIPLE_EVERY,
+    gen_scale_corpus as _gen_corpus,
+)
 
 
 def _expected_clusters() -> dict[int, tuple[int, int]]:
