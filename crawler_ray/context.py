@@ -30,7 +30,15 @@ from __future__ import annotations
 
 def tune_data_context(progress_bars: bool = False) -> None:
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = progress_bars
     ctx.op_resource_reservation_enabled = False
+    # Push-based sort shuffle pipelines the map and reduce phases of every
+    # all-to-all (sort/groupby), cutting the per-exchange barrier stall the
+    # banding pipelines pay 3-5x per query. Measured on minhash @ 200k docs:
+    # 4 cpus 20.3 -> 12.3 s, 16 cpus 10.6 -> 9.5 s, identical output.
+    # (hash_shuffle was also tried: its aggregator actors deadlock against
+    # the crawl's state actors on small CPU counts — do not use.)
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
