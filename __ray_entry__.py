@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
-``queries()`` exposes 147 pipelines over the driver testdata (one entry per
+``queries()`` exposes 156 pipelines over the driver testdata (one entry per
 SURVEY.md §2 family + the training-data suite); 120 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
@@ -57,7 +57,7 @@ predicate as a zero-exchange broadcast filter-scan, Q21 sole-late-supplier
 per-order set logic, and Q22's scalar-threshold anti join per nation; and late-continuation exact twins: a GROUPING SETS
 report off one composite pass, and crawler-trap URL-family explosion
 counts over identically-derived URL corpora). The
-genuinely non-SQL-expressible twenty-seven get the weaker rows-only driver check
+genuinely non-SQL-expressible twenty-eight get the weaker rows-only driver check
 (minhash/simhash LSH — value-oracled pairwise in DuckDB inside tests
 instead — HLL, MRL-quantile and Count-Min sketches, rolling-hash
 fingerprints, ANN probing: LSH one-shot, persisted-LSH and IVF serving
@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd k-means (iterative ML; rows-only — bit-exact
         # vs a single-node numpy reference in tests)
         "embedding_kmeans": similarity.embedding_kmeans,
+        # SemDeDup (Abbas et al. 2023): kmeans-partitioned O(n²/k)
+        # embedding dedup, keep-lowest-centroid-sim per dup component
+        # (rows-only — row-identical to a numpy reference in tests)
+        "semantic_dedup": similarity.semantic_dedup,
         "ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approximate)
         "ann_indexed_topk": similarity.ann_indexed_topk,  # rows-only (persisted index)
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (IVF index)

@@ -90,6 +90,7 @@ QUERY_NAMES = [
     "curriculum_export",
     "lineitem_price_percentiles_cont",
     "embedding_kmeans",
+    "semantic_dedup",
     "orders_above_customer_avg",
     "order_price_ntile",
     "doc_link_pagerank",

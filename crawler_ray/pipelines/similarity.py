@@ -617,23 +617,12 @@ def _kmeans_seed_ids(sf_dir: str, k: int) -> list[int]:
     return [i for _, i in keys[:k]]
 
 
-def embedding_kmeans(
-    sf_dir: str, k: int = 8, iters: int = 5
-) -> rd.Dataset:
-    """Distributed Lloyd k-means over the full embeddings table — the
-    iterative-ML archetype, composed from the engine's existing kernels:
-    per round, the k x d centroid matrix is broadcast ONCE via ``ray.put``,
-    each batch does a vectorized cosine assignment (argmax against unit
-    centroids) and emits FIXED-POINT per-cluster partial sums
-    (floor(e * 2^20) int64 — the embedding_label_centroids kernel), and the
-    driver folds the O(k x d) aggregate into renormalized centroids. R
-    rounds = R corpus passes with ZERO shuffles; driver state is k x d.
-
-    Because the update is fixed-point (order-independent) and the
-    assignment/seeding are deterministic, the distributed result is
-    BIT-IDENTICAL to a single-node numpy Lloyd reference at any batch
-    split — asserted in tests (the non-SQL analogue of the hash oracle).
-    Rows-only driver check; returns (vec_id, cluster)."""
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """The distributed Lloyd loop shared by :func:`embedding_kmeans` and
+    :func:`semantic_dedup`: R rounds = R zero-shuffle corpus passes
+    (centroids broadcast once per round via ``ray.put``, fixed-point int64
+    partial sums folded on the driver — O(k x d) driver state). Returns the
+    final unit-normalized k x d centroid matrix."""
     SCALE = float(1 << 20)
     seed_ids = _kmeans_seed_ids(sf_dir, k)
     st = pq.read_table(
@@ -695,6 +684,28 @@ def embedding_kmeans(
         new[nz] = fx[nz] / (n[nz, None] * SCALE)
         cents = _normalize(new)
 
+    return cents
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, iters: int = 5
+) -> rd.Dataset:
+    """Distributed Lloyd k-means over the full embeddings table — the
+    iterative-ML archetype, composed from the engine's existing kernels:
+    per round, the k x d centroid matrix is broadcast ONCE via ``ray.put``,
+    each batch does a vectorized cosine assignment (argmax against unit
+    centroids) and emits FIXED-POINT per-cluster partial sums
+    (floor(e * 2^20) int64 — the embedding_label_centroids kernel), and the
+    driver folds the O(k x d) aggregate into renormalized centroids. R
+    rounds = R corpus passes with ZERO shuffles; driver state is k x d.
+
+    Because the update is fixed-point (order-independent) and the
+    assignment/seeding are deterministic, the distributed result is
+    BIT-IDENTICAL to a single-node numpy Lloyd reference at any batch
+    split — asserted in tests (the non-SQL analogue of the hash oracle).
+    Rows-only driver check; returns (vec_id, cluster)."""
+    ds = _read_emb(sf_dir)
+    cents = _kmeans_centroids(sf_dir, k, iters)
     ref = ray.put(cents)
 
     def final_assign(batch: pa.Table) -> pa.Table:
@@ -733,6 +744,153 @@ def kmeans_reference(
         new[nz] = sums[nz] / (counts[nz, None].astype(np.float64) * SCALE)
         cents = _normalize(new)
     return np.argmax(mat @ cents.T, axis=1)
+
+
+def _dup_components(
+    n: int, ai: np.ndarray, bi: np.ndarray
+) -> np.ndarray:
+    """Min-label connected components over an in-memory edge list
+    (hash-to-min with pointer doubling — the numpy-vectorized miniature of
+    clusters.py's BSP engine, for the per-cluster graphs that fit one
+    task). Returns, per row index, the component's minimum row index."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        if len(ai):
+            np.minimum.at(new, ai, lab[bi])
+            np.minimum.at(new, bi, lab[ai])
+        new = new[new]  # pointer doubling
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def _semantic_dedup_group(
+    ids: np.ndarray, mat: np.ndarray, centroid: np.ndarray, threshold: float
+) -> pa.Table:
+    """Shared per-cluster kernel for :func:`semantic_dedup` and its
+    single-node reference: rows sorted by vec_id, one cosine matmul, CC
+    over the ≥threshold graph, keep-one-per-component = LOWEST
+    centroid-cosine (ties → min vec_id)."""
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    n = len(ids)
+    sims = round_np((mat @ mat.T).ravel(), 3).reshape(n, n)
+    ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+    lab = _dup_components(n, ai, bi)
+    csim = round_np(mat @ centroid, 3)
+    # representative per component: lexicographic argmin of
+    # (centroid_sim, vec_id) — one packed sort, first row per component
+    srt = np.lexsort((ids, csim, lab))
+    first = np.r_[True, lab[srt][1:] != lab[srt][:-1]]
+    rep = np.zeros(n, dtype=bool)
+    rep[srt[first]] = True
+    return pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "dup_group": pa.array(ids[lab], pa.int64()),
+         "centroid_sim": pa.array(csim, pa.float64()),
+         "keep": pa.array(rep)}
+    )
+
+
+def semantic_dedup(
+    sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.3
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the sub-quadratic
+    scale path for embedding near-dedup: k-means partitions the corpus so
+    the cosine-duplicate graph is built WITHIN clusters only (O(n²/k) work
+    vs :func:`embedding_near_dup_pairs`' exact O(n²)); per duplicate
+    component, KEEP the example with the LOWEST cosine to its cluster
+    centroid (the paper's keep-hardest policy; ties → min vec_id) and drop
+    the rest.
+
+    Scale shape: ``iters`` zero-shuffle corpus passes train the centroids
+    (:func:`_kmeans_centroids` — k×d broadcast per round, fixed-point int64
+    partial sums), then ONE cluster-hash exchange ships each embedding
+    exactly once into its cluster's group, where a vectorized cosine matmul
+    + min-label components + a packed keep-policy sort emit the verdicts.
+    Per-task memory is O((n/k)·d + (n/k)²) — size k to the corpus as the
+    paper does (n/k ≈ thousands); a pathologically skewed giant cluster is
+    the documented partitioning assumption, and the fallback is routing
+    that one cluster through embedding_near_dup_pairs' block-nested-loop.
+
+    Deterministic end to end (fixed-point kmeans, cosines rounded to 3
+    decimals before thresholding, sorted-by-vec_id group order), so the
+    distributed result is row-identical to the single-node
+    :func:`semantic_dedup_reference` at any batch split — asserted in
+    tests. Approximate BY DESIGN vs the global pair graph (cross-cluster
+    duplicates are unseen — the paper's accepted trade); recall vs the
+    exact graph is measured in tests. Rows-only driver check; returns
+    (vec_id, cluster, dup_group, centroid_sim, keep)."""
+    ds = _read_emb(sf_dir)
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+
+    def assign_emit(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(
+            np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64)
+        )
+        return batch.append_column(
+            "cluster",
+            pa.array(np.argmax(mat @ c.T, axis=1).astype(np.int64), pa.int64()),
+        )
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        cluster = int(g["cluster"][0].as_py())
+        ids, mat = _stack(g)
+        out = _semantic_dedup_group(
+            ids, _normalize(mat), c[cluster], threshold
+        )
+        return out.add_column(
+            1, "cluster",
+            pa.array(np.full(len(out), cluster, dtype=np.int64), pa.int64()),
+        )
+
+    return (
+        ds.map_batches(assign_emit, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
+
+
+def semantic_dedup_reference(
+    emb: np.ndarray, ids: np.ndarray, seed_vec: np.ndarray,
+    iters: int, threshold: float,
+) -> pa.Table:
+    """Single-node numpy SemDeDup with the IDENTICAL fixed-point kmeans,
+    per-cluster kernel and keep policy — the row-exactness oracle for
+    :func:`semantic_dedup` in tests."""
+    SCALE = float(1 << 20)
+    k = len(seed_vec)
+    cents = _normalize(seed_vec.astype(np.float64))
+    mat = _normalize(emb.astype(np.float64))
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        fx = np.floor(mat * SCALE).astype(np.int64)
+        sums = np.zeros((k, mat.shape[1]), np.int64)
+        np.add.at(sums, assign, fx)
+        counts = np.bincount(assign, minlength=k)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / (counts[nz, None].astype(np.float64) * SCALE)
+        cents = _normalize(new)
+    assign = np.argmax(mat @ cents.T, axis=1)
+    parts = []
+    for cl in np.unique(assign):
+        sel = assign == cl
+        t = _semantic_dedup_group(
+            ids[sel], mat[sel], cents[cl], threshold
+        )
+        parts.append(
+            t.add_column(
+                1, "cluster",
+                pa.array(np.full(len(t), cl, dtype=np.int64), pa.int64()),
+            )
+        )
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------

@@ -602,3 +602,73 @@ def test_align_stage_uses_injected_towers():
     out = stage(batch).to_pandas()
     assert out["clip_score"].tolist() == [1.0, 0.0]
     assert out["aligned"].tolist() == [True, False]
+
+
+def test_semantic_dedup_matches_numpy_reference(ray_session):
+    """SemDeDup's distributed run (kmeans partition → per-cluster cosine
+    graph → keep-lowest-centroid-sim) is ROW-IDENTICAL to the single-node
+    numpy reference — fixed-point centroids + rounded cosines make every
+    verdict batch-split independent. Also asserts the keep-policy
+    invariants directly and measures recall vs the exact global pair
+    graph (the documented approximation)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.similarity import (
+        _kmeans_seed_ids,
+        semantic_dedup,
+        semantic_dedup_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    k, iters, thr = 16, 3, 0.3
+    out = (
+        semantic_dedup(sf, k=k, iters=iters, threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    seed_vec = emb[np.isin(ids, _kmeans_seed_ids(sf, k))]
+    ref = (
+        semantic_dedup_reference(emb, ids, seed_vec, iters, thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(ref)
+
+    # keep-policy invariants: every dup_group keeps EXACTLY one member,
+    # and the keeper is the (centroid_sim, vec_id)-lexicographic minimum
+    g = out.groupby("dup_group")
+    assert (g["keep"].sum() == 1).all()
+    keepers = out[out["keep"]].set_index("dup_group")["vec_id"].sort_index()
+    mins = g.apply(
+        lambda d: d.sort_values(["centroid_sim", "vec_id"]).iloc[0]["vec_id"],
+        include_groups=False,
+    ).sort_index()
+    assert (keepers == mins).all()
+    # dup_group is the component's min vec_id, and members co-cluster
+    assert (g["vec_id"].min() == g.apply(
+        lambda d: d.name, include_groups=False)).all()
+    assert (g["cluster"].nunique() == 1).all()
+
+    # recall vs the exact global >=thr pair graph: within-cluster pairs
+    # are all found (exactness), cross-cluster pairs are the documented
+    # SemDeDup approximation — assert the measured floor so regressions
+    # in the kmeans partition quality are visible
+    m = emb.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 3)
+    ai, bi = np.nonzero(np.triu(sims >= thr, k=1))
+    grp = out.set_index("vec_id")["dup_group"]
+    same = (grp.loc[ids[ai]].to_numpy() == grp.loc[ids[bi]].to_numpy())
+    cl = out.set_index("vec_id")["cluster"]
+    co = (cl.loc[ids[ai]].to_numpy() == cl.loc[ids[bi]].to_numpy())
+    assert same[co].all()  # co-clustered exact pairs always detected
+    recall = same.mean()
+    assert recall >= 0.25, recall
