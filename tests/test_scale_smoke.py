@@ -209,3 +209,53 @@ def test_doc_link_pagerank_500k(ray_session, nodes500k):
     # 4-cpu wall measured ~3s (5 supersteps, fixed exchange cost); generous
     # 10x headroom since Ray task-launch noise dominates at this wall
     assert wall < 30, f"doc_link_pagerank 500k took {wall:.1f}s (envelope 30s)"
+
+
+@pytest.fixture(scope="module")
+def emb50k(tmp_path_factory):
+    """50k x 64 float32 embeddings with planted EXACT duplicates: every
+    1000th vector is copied to id+500 (100 plants). Random 64-d gaussians
+    have pairwise cosine ~N(0, 1/64 per-dim -> sigma 0.125); at threshold
+    0.9 (7.2 sigma) the expected accidental pair count over all 1.25e9
+    pairs is ~4e-4, so the >=0.9 graph is EXACTLY the plant — and exact
+    copies always co-assign in kmeans (identical rows, identical argmax),
+    making the truth closed-form without a brute-force pass."""
+    d = tmp_path_factory.mktemp("emb50k")
+    n, dim, block, off = 50_000, 64, 1000, 500
+    rng = np.random.default_rng(4242)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    plants = np.arange(0, n, block)
+    mat[plants + off] = mat[plants]
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+             "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+             "label": pa.array(np.zeros(n, dtype=np.int32), pa.int32())}
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return str(d), plants, off
+
+
+def test_semantic_dedup_50k(ray_session, emb50k):
+    """SemDeDup at 10x bench scale: k sized so n/k ~ 500 (the paper's
+    regime); per-task memory is one ~500 x 64 slab + its ~500^2 cosine
+    grid, NOT the n^2 grid — a quadratic regression trips the envelope."""
+    from crawler_ray.pipelines.similarity import semantic_dedup
+
+    sf, plants, off = emb50k
+    got, wall = _timed(semantic_dedup, sf, k=100, iters=2, threshold=0.9)
+    print(f"[smoke] semantic_dedup 50k: {wall:.1f}s")
+    assert len(got) == 50_000
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    grp = got["dup_group"].to_numpy()
+    keep = got["keep"].to_numpy()
+    exp_grp = got["vec_id"].to_numpy().copy()
+    exp_grp[plants + off] = plants  # each copy joins its donor's group
+    assert (grp == exp_grp).all()
+    # keep policy on exact copies: identical centroid_sim -> min vec_id
+    exp_keep = np.ones(50_000, dtype=bool)
+    exp_keep[plants + off] = False
+    assert (keep == exp_keep).all()
+    # 4-cpu wall measured ~3.8s; 3x headroom
+    assert wall < 12, f"semantic_dedup 50k took {wall:.1f}s (envelope 12s)"
