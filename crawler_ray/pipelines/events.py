@@ -507,6 +507,23 @@ GROUP BY 1, 2
 """
 
 
+def _assert_day_uid_envelope(day: np.ndarray, uid: np.ndarray, who: str) -> None:
+    """Guard the (day << 32 | user_id) int64 pack: a negative user_id or
+    pre-1970 timestamp would borrow across the 32-bit boundary and silently
+    corrupt the packed key (same envelope-assert style as bm25_search's
+    fixed-point scores and user_activity_streaks' pack)."""
+    if len(uid) and (
+        uid.min() < 0
+        or day.min() < 0
+        or uid.max() >= (1 << 32)
+        or day.max() >= (1 << 31)
+    ):
+        raise ValueError(
+            f"{who} pack requires 0 <= user_id < 2^32 "
+            "and 1970-01-01 <= ts < +2^31 days"
+        )
+
+
 def daily_active_users(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
     """Per-day EXACT distinct user count — the COUNT(DISTINCT) verb as a
     distributed presence fold: each batch emits its unique (day, user)
@@ -520,6 +537,7 @@ def daily_active_users(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
     def pairs(t: pa.Table) -> pa.Table:
         day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         uid = t["user_id"].to_numpy()
+        _assert_day_uid_envelope(day, uid, "daily_active_users")
         comb = np.unique(day * np.int64(1 << 32) + uid)
         d = comb >> np.int64(32)
         u = comb & np.int64((1 << 32) - 1)
@@ -639,6 +657,7 @@ def user_retention(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
     def pairs(t: pa.Table) -> pa.Table:
         day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         uid = t["user_id"].to_numpy()
+        _assert_day_uid_envelope(day, uid, "user_retention")
         comb = np.unique(day * np.int64(1 << 32) + uid)
         d = comb >> np.int64(32)
         u = comb & np.int64((1 << 32) - 1)

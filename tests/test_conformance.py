@@ -158,3 +158,23 @@ def test_user_activity_streaks_planted(ray_session, tmp_path):
          "streak_start": [0, 5, 7]}
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_day_uid_pack_envelope_guard(ray_session, tmp_path):
+    """A negative user_id (or pre-1970 ts) would borrow across the 32-bit
+    boundary of the (day << 32 | uid) pack; the presence-fold verbs must
+    refuse loudly instead of silently corrupting keys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.events import daily_active_users
+
+    t = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array(np.array([86_400_000_000, 86_400_000_000], "datetime64[us]")),
+        "user_id": pa.array([1, -5], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="daily_active_users pack requires"):
+        daily_active_users(str(tmp_path)).to_pandas()
