@@ -81,6 +81,21 @@ def _timed(fn, *args, **kwargs):
     return out, time.monotonic() - t0
 
 
+def _assert_envelope(wall, envelope, name, rerun):
+    """Wall-time envelope with ONE retry on breach: transient co-located
+    load (another suite's Ray session draining on the same host) can
+    inflate a single wall 3-4x, while a real complexity regression fails
+    both runs — the retry keeps the envelope tight without flaking."""
+    if wall < envelope:
+        return
+    _, wall2 = rerun()
+    print(f"[smoke] {name} envelope retry: {wall:.1f}s -> {wall2:.1f}s")
+    assert min(wall, wall2) < envelope, (
+        f"{name} took {wall:.1f}s and {wall2:.1f}s on retry "
+        f"(envelope {envelope}s)"
+    )
+
+
 def test_near_dup_clusters_50k(ray_session, corpus50k):
     from crawler_ray.pipelines.clusters import near_dup_clusters
 
@@ -95,7 +110,10 @@ def test_near_dup_clusters_50k(ray_session, corpus50k):
     assert got_map == exp
     # 4-cpu wall measured ~24s; 3x headroom (round-3 pre-fix regression:
     # 178s; round-4 pre-DF-pruning/banded-matmul regression: 67s)
-    assert wall < 75, f"near_dup_clusters 50k took {wall:.1f}s (envelope 75s)"
+    _assert_envelope(
+        wall, 75, "near_dup_clusters 50k",
+        lambda: _timed(near_dup_clusters, corpus50k),
+    )
 
 
 def test_corpus_curation_50k(ray_session, corpus50k):
@@ -119,7 +137,10 @@ def test_corpus_curation_50k(ray_session, corpus50k):
     assert (got["reason"].to_numpy(dtype=object) == reason).all()
     assert (got["kept"].to_numpy() == (reason == "kept")).all()
     # 4-cpu wall measured ~37s; 3x headroom
-    assert wall < 110, f"corpus_curation 50k took {wall:.1f}s (envelope 110s)"
+    _assert_envelope(
+        wall, 110, "corpus_curation 50k",
+        lambda: _timed(corpus_curation, corpus50k),
+    )
 
 
 def test_image_dup_clusters_50k(ray_session, corpus50k):
@@ -164,7 +185,10 @@ def test_image_dup_clusters_50k(ray_session, corpus50k):
         assert ham > 4, f"walk dropped in-radius pair ({a},{a + 1}): {ham}"
     # 4-cpu wall measured ~23s (decode-bound); 3x headroom. Round-3's
     # radius-6 band-saturation regression ran 33x long and would trip this.
-    assert wall < 70, f"image_dup_clusters 50k took {wall:.1f}s (envelope 70s)"
+    _assert_envelope(
+        wall, 70, "image_dup_clusters 50k",
+        lambda: _timed(image_dup_clusters, corpus50k),
+    )
 
 
 @pytest.fixture(scope="module")
@@ -208,7 +232,10 @@ def test_doc_link_pagerank_500k(ray_session, nodes500k):
     assert (got["rank_scaled"].to_numpy(np.int64) == r).all()
     # 4-cpu wall measured ~3s (5 supersteps, fixed exchange cost); generous
     # 10x headroom since Ray task-launch noise dominates at this wall
-    assert wall < 30, f"doc_link_pagerank 500k took {wall:.1f}s (envelope 30s)"
+    _assert_envelope(
+        wall, 30, "doc_link_pagerank 500k",
+        lambda: _timed(doc_link_pagerank, nodes500k, n_iters=n_iters),
+    )
 
 
 @pytest.fixture(scope="module")
@@ -258,4 +285,7 @@ def test_semantic_dedup_50k(ray_session, emb50k):
     exp_keep[plants + off] = False
     assert (keep == exp_keep).all()
     # 4-cpu wall measured ~3.8s; 3x headroom
-    assert wall < 12, f"semantic_dedup 50k took {wall:.1f}s (envelope 12s)"
+    _assert_envelope(
+        wall, 12, "semantic_dedup 50k",
+        lambda: _timed(semantic_dedup, sf, k=100, iters=2, threshold=0.9),
+    )
