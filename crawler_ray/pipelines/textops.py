@@ -1964,7 +1964,7 @@ def curriculum_export(
 
     Shape: (1) the slim (doc_id, key) table is computed once and
     materialized — key packs (-margin, doc_id) into one int64 so ascending
-    key order IS the output order (asserted bounds: \|margin\| < 2^30,
+    key order IS the output order (asserted bounds: abs(margin) < 2^30,
     doc_id < 2^32); (2) each block contributes ``per_block_sample`` evenly
     spaced sorted keys — an O(blocks) driver sample that yields the
     n_ranges-quantile cut points; (3) per-range counts fold to exclusive
