@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship crawl pipeline (deterministic synthetic site →
 frontier rounds → images table per the BASELINE.json input_hint schema).
 ``queries()`` exposes 156 pipelines over the driver testdata (one entry per
-SURVEY.md §2 family + the training-data suite); 120 have a DuckDB twin in
+SURVEY.md §2 family + the training-data suite); 128 have a DuckDB twin in
 ``oracle_sql()`` — all value-EXACT at sf0.01 and sf0.1 (money aggregates use
 integer-cents partial sums, so results are independent of block split and
 accumulation order; round 3 added exact twins for the lang-id heuristic,

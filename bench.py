@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -191,8 +192,6 @@ def bench_crawl() -> dict:
         with open(os.path.join(fix_dir, "_DONE"), "w") as f:
             f.write("ok")
     out_dir = f"/tmp/crawler_ray_bench_out_{NUM_CPUS}"
-    import shutil
-
     shutil.rmtree(out_dir, ignore_errors=True)
     # size the fetch pool to the session CPUs, leave headroom for the
     # seen-set/politeness actors and the write stage
@@ -358,13 +357,18 @@ QUERYSCALE_DIR = os.environ.get(
 
 
 def _queryscale_dir() -> str:
-    marker = os.path.join(QUERYSCALE_DIR, "documents.parquet")
-    if not os.path.exists(marker):
+    # atomic stage-then-rename (shared artifact_cache protocol) so an
+    # interrupted generation never leaves a truncated parquet at the
+    # published path — that would poison the cache for every later run
+    from crawler_ray.state.artifact_cache import ensure_dir
+
+    def build(stage: str) -> None:
         from crawler_ray.sources.synthetic import gen_scale_corpus
 
-        os.makedirs(QUERYSCALE_DIR, exist_ok=True)
-        gen_scale_corpus(QUERYSCALE_DIR)
-    return QUERYSCALE_DIR
+        os.makedirs(stage)
+        gen_scale_corpus(stage)
+
+    return ensure_dir(QUERYSCALE_DIR, build)
 
 
 def bench_queryscale() -> dict:

@@ -43,9 +43,12 @@ def image_data_uri(data: bytes, url_or_ext: str) -> str:
     """Image bytes → ``data:image/{ext};base64,...`` upload payload
     (``UploadImgsByLink``/``UploadImgsByFile``, BaseSpider.cs:225-261:
     ext from the URL tail stripped of a '-suffix', body base64). The
-    reference md5-keys this exact string for its upload dedup, so the
-    images pipeline's content-address must hash the URI, not the raw
-    bytes, when mirroring that join."""
+    reference md5-keys this exact URI string for its upload dedup; our
+    images pipeline instead content-addresses the RAW bytes (deliberate
+    divergence: byte-identical payloads under two claimed extensions are
+    the same image and should dedup together — the URI hash would keep
+    both). This helper exists for emitting the reference's upload payload
+    format when a sink needs wire parity."""
     import base64
 
     return (

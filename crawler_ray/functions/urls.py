@@ -16,7 +16,7 @@ Covers the reference's string/URL helpers re-expressed on stdlib ``urllib``:
 from __future__ import annotations
 
 import re
-from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlsplit, urlunsplit
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 
 _LINK_RE = re.compile(r"^https?://[^\s]+$", re.I)
 _EMAIL_RE = re.compile(r"^[\w.+-]+@[\w-]+(\.[\w-]+)+$")
@@ -68,12 +68,6 @@ def is_email(s: str) -> bool:
 
 def is_phone_num(s: str) -> bool:
     return bool(_PHONE_RE.match(s or ""))
-
-
-def to_url_encode(s: str) -> str:
-    """Percent-encode with uppercase hex (the reference upper-cases hex digits,
-    StringExtension.cs:55-61); ``quote`` already emits uppercase hex."""
-    return quote(s, safe="")
 
 
 _TRACKING_PARAMS = frozenset(

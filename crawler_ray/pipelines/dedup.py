@@ -1623,32 +1623,28 @@ def minhash_band_index_dir(sf_dir: str, ngram: int = 3) -> str:
     """Canonical cache location of the persisted band index for a corpus
     (content-addressed by absolute path + shingle width)."""
     import os
-    import tempfile
 
-    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"crawler_ray_bands_{key}_{ngram}")
+    from crawler_ray.state.artifact_cache import cache_dir
+
+    return cache_dir("bands", os.path.abspath(sf_dir), ngram)
 
 
 def ensure_minhash_band_index(
     sf_dir: str, ngram: int = 3, n_parts: int = 16
 ) -> str:
-    """Build-once/publish-atomically protocol for the band index: the
-    rename IS the done marker; concurrent builders lose the rename and
-    keep serving from the winner. Exposed separately so bench.py can time
-    build and probe independently (VERDICT r3 #7)."""
-    import os
+    """Build-once/publish-atomically protocol for the band index (shared
+    ``artifact_cache.ensure_dir``: the rename IS the done marker; concurrent
+    builders lose the rename and keep serving from the winner). Exposed
+    separately so bench.py can time build and probe independently
+    (VERDICT r3 #7)."""
+    from crawler_ray.state.artifact_cache import ensure_dir
 
-    idx = minhash_band_index_dir(sf_dir, ngram)
-    if not os.path.isdir(idx):
-        stage = f"{idx}.tmp-{os.getpid()}"
-        build_minhash_band_index(sf_dir, stage, ngram=ngram, n_parts=n_parts)
-        try:
-            os.rename(stage, idx)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
-    return idx
+    return ensure_dir(
+        minhash_band_index_dir(sf_dir, ngram),
+        lambda stage: build_minhash_band_index(
+            sf_dir, stage, ngram=ngram, n_parts=n_parts
+        ),
+    )
 
 
 def cross_snapshot_near_dups(

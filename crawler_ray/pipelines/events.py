@@ -507,21 +507,29 @@ GROUP BY 1, 2
 """
 
 
-def _assert_day_uid_envelope(day: np.ndarray, uid: np.ndarray, who: str) -> None:
-    """Guard the (day << 32 | user_id) int64 pack: a negative user_id or
-    pre-1970 timestamp would borrow across the 32-bit boundary and silently
-    corrupt the packed key (same envelope-assert style as bm25_search's
-    fixed-point scores and user_activity_streaks' pack)."""
-    if len(uid) and (
-        uid.min() < 0
-        or day.min() < 0
-        or uid.max() >= (1 << 32)
-        or day.max() >= (1 << 31)
+def _assert_pack_envelope(
+    hi: np.ndarray, lo: np.ndarray, hi_name: str, lo_name: str, who: str
+) -> None:
+    """Guard a (hi << 32 | lo) int64 pack: a negative value in either word
+    (e.g. a negative user_id or a pre-1970 timestamp's day) borrows across
+    the 32-bit boundary and silently corrupts the packed key, and a hi
+    word >= 2^31 overflows int64 (same envelope-assert style as
+    bm25_search's fixed-point scores)."""
+    if len(lo) and (
+        lo.min() < 0
+        or hi.min() < 0
+        or lo.max() >= (1 << 32)
+        or hi.max() >= (1 << 31)
     ):
         raise ValueError(
-            f"{who} pack requires 0 <= user_id < 2^32 "
-            "and 1970-01-01 <= ts < +2^31 days"
+            f"{who} pack requires 0 <= {lo_name} < 2^32 "
+            f"and 0 <= {hi_name} < 2^31"
         )
+
+
+def _assert_day_uid_envelope(day: np.ndarray, uid: np.ndarray, who: str) -> None:
+    """(day << 32 | user_id) variant — day is the high word."""
+    _assert_pack_envelope(day, uid, "day(ts)", "user_id", who)
 
 
 def daily_active_users(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
@@ -1126,19 +1134,10 @@ def user_activity_streaks(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
     def pack(t: pa.Table) -> pa.Table:
         day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         uid = t["user_id"].to_numpy()
-        # negative uid or pre-1970 day would borrow across the 32-bit
-        # boundary and silently corrupt the pack (same envelope-assert
-        # style as bm25_search's fixed-point scores)
-        if len(uid) and (
-            uid.min() < 0
-            or day.min() < 0
-            or uid.max() >= (1 << 31)
-            or day.max() >= (1 << 32)
-        ):
-            raise ValueError(
-                "user_activity_streaks pack requires 0 <= user_id < 2^31 "
-                "and 1970-01-01 <= ts < +2^32 days"
-            )
+        # uid is the HIGH word here (streaks sort user-major, day-minor)
+        _assert_pack_envelope(
+            uid, day, "user_id", "day(ts)", "user_activity_streaks"
+        )
         comb = np.unique(uid * np.int64(1 << 32) + day)
         u = comb >> np.int64(32)
         return pa.table(

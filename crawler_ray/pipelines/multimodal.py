@@ -401,21 +401,24 @@ class ImageCaptionAlignStage:
             self._towers = _load_real_towers()
             self._resolved = True
         caps = batch["caption"].to_pylist()
-        pixels = [
-            decode_image(data, fmt or sniff_fmt(data))
-            for data, fmt in zip(
-                batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
-            )
-        ]
+        raw = zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
         if self._towers is not None:
+            # real towers batch their inference, so the decoded batch must
+            # be materialized — batch_size (256) bounds the resident pixels
+            pixels = [
+                decode_image(data, fmt or sniff_fmt(data)) for data, fmt in raw
+            ]
             image_tower, text_tower = self._towers
             i_emb = image_tower(pixels)
             t_emb = text_tower(caps)
         else:
-            # deterministic fakes: watermark signature row ↔ caption md5
+            # deterministic fakes: watermark signature row ↔ caption md5.
+            # Decode one image at a time — only the 16-byte signature is
+            # kept, never the whole batch's pixel arrays.
             t_emb = caption_tower(caps)
             sigs = np.empty((batch.num_rows, 16), np.uint8)
-            for i, px in enumerate(pixels):
+            for i, (data, fmt) in enumerate(raw):
+                px = decode_image(data, fmt or sniff_fmt(data))
                 sigs[i] = px[0, :16, 0] if px.shape[1] >= 16 else 0
             i_emb = _sig_to_unit(sigs)
         score = np.einsum("ij,ij->i", i_emb, t_emb)
@@ -461,7 +464,12 @@ def image_caption_alignment(
     return (
         docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
         .map_batches(
-            ImageCaptionAlignStage(tau),
+            # the CLASS, not an instance: Ray Data runs instance callables
+            # in task mode (fresh unpickle per block, so a real CLIP model
+            # would reload per block); the class + constructor args form is
+            # the actor-pool path where _load_real_towers runs once per actor
+            ImageCaptionAlignStage,
+            fn_constructor_args=(tau,),
             batch_format="pyarrow",
             batch_size=256,
             concurrency=2,

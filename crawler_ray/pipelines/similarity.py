@@ -989,28 +989,19 @@ def build_pq_index(
 def pq_index_dir(sf_dir: str) -> str:
     """Canonical cache location of the persisted PQ index for a corpus."""
     import os
-    import tempfile
 
-    key = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"crawler_ray_pq_{key}")
+    from crawler_ray.state.artifact_cache import cache_dir
+
+    return cache_dir("pq", os.path.abspath(sf_dir))
 
 
 def ensure_pq_index(sf_dir: str) -> str:
-    """Build-once/publish-atomically for the PQ index (codes + codebooks);
-    exposed so bench.py can time build and probe separately."""
-    import os
+    """Build-once/publish-atomically for the PQ index (codes + codebooks)
+    via the shared ``artifact_cache.ensure_dir`` protocol; exposed so
+    bench.py can time build and probe separately."""
+    from crawler_ray.state.artifact_cache import ensure_dir
 
-    idx = pq_index_dir(sf_dir)
-    if not os.path.isdir(idx):
-        stage = f"{idx}.tmp-{os.getpid()}"
-        build_pq_index(sf_dir, stage)
-        try:
-            os.rename(stage, idx)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
-    return idx
+    return ensure_dir(pq_index_dir(sf_dir), lambda s: build_pq_index(sf_dir, s))
 
 
 def ann_pq_topk(

@@ -268,12 +268,14 @@ class HttpFetchStage:
                     )
                 elif mode == "form":
                     # the reference joins k={v.ToUrlEncode()} pairs itself
-                    # (EscapeDataString: space → %20, BaseSpider.cs:296)
-                    # rather than quote_plus form encoding
+                    # (BaseSpider.cs:296): the KEY goes on the wire
+                    # verbatim, only the VALUE is percent-encoded
+                    # (EscapeDataString: space → %20) — not quote_plus
+                    # form encoding of both halves
                     from crawler_ray.functions.urls import to_url_encode
 
                     body = "&".join(
-                        f"{to_url_encode(k)}={to_url_encode(v)}"
+                        f"{k}={to_url_encode(v)}"
                         for k, v in sorted(params.items())
                     ).encode()
                     ctype = "application/x-www-form-urlencoded"

@@ -399,6 +399,51 @@ def test_http_signed_post_crawl_end_to_end(ray_session, http_post_site, tmp_path
     assert res.errors == 0
 
 
+def test_post_body_wire_shape_form_and_multipart():
+    """Raw body bytes for the form and multipart POST modes, captured off
+    the wire. Form mode reproduces BaseSpider.cs:296 exactly: pairs joined
+    with '&', the KEY verbatim, only the VALUE through ToUrlEncode
+    (EscapeDataString: space → %20, uppercase hex) — NOT quote_plus form
+    encoding of both halves."""
+    from crawler_ray.stages.fetch import HttpFetchStage
+
+    captured = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            captured["body"] = body
+            captured["ctype"] = self.headers.get("Content-Type", "")
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"{base}/api/Q?a b=x y&plain=ok"
+        cfg = {"path_prefixes": ["/api/"], "mode": "form", "secret": "s",
+               "nonce": "n", "epoch_seconds": 1700000000.0}
+        stage = HttpFetchStage(post=dict(cfg))
+        stage._issue(url)
+        # key 'a b' verbatim, value 'x y' -> 'x%20y'; params sorted
+        assert captured["body"] == b"a b=x%20y&plain=ok"
+        assert captured["ctype"] == "application/x-www-form-urlencoded"
+
+        stage = HttpFetchStage(post=dict(cfg, mode="multipart"))
+        stage._issue(url)
+        assert captured["ctype"].startswith("multipart/form-data; boundary=")
+        assert b'name="a b"' in captured["body"]
+        assert b"x y" in captured["body"]  # multipart values go raw
+    finally:
+        server.shutdown()
+
+
 def test_retry_after_honored_and_host_throttled(ray_session):
     """A 429 with ``Retry-After: 0`` is retried in-place inside the attempt
     budget (second hit succeeds), the host's politeness bucket goes into
