@@ -289,3 +289,110 @@ def test_semantic_dedup_50k(ray_session, emb50k):
         wall, 12, "semantic_dedup 50k",
         lambda: _timed(semantic_dedup, sf, k=100, iters=2, threshold=0.9),
     )
+
+
+def test_cross_snapshot_near_dups_50k(ray_session, corpus50k):
+    """Persisted-band-index refresh at 10x bench scale, COLD (index build +
+    probe) and WARM (probe only). The plant layout makes the truth
+    closed-form even at char-trigram granularity (measured: cross-plant
+    trigram Jaccard stays far below the 0.8 threshold; planted minimum
+    0.96): for every 100-id block b (even base, odd probe)
+    (b, b+1) J=1, (b+2, b+1) J=1 in triple blocks, and (b+6, b+5) near.
+    A probe that accidentally pairs base x base, misses the persisted
+    index, or goes quadratic in the corpus trips the set-equality or the
+    envelope."""
+    import shutil
+
+    from crawler_ray.pipelines.dedup import (
+        cross_snapshot_near_dups,
+        minhash_band_index_dir,
+    )
+
+    def cold():
+        shutil.rmtree(minhash_band_index_dir(corpus50k), ignore_errors=True)
+        return _timed(cross_snapshot_near_dups, corpus50k)
+
+    got, wall_cold = cold()
+    _, wall_warm = _timed(cross_snapshot_near_dups, corpus50k)
+    print(f"[smoke] cross_snapshot 50k: cold {wall_cold:.1f}s "
+          f"warm {wall_warm:.1f}s")
+
+    exp_pairs = set()
+    for j in range(N_DOCS // BLOCK):
+        b = j * BLOCK
+        exp_pairs.add((b, b + OFF_EXACT))
+        if j % TRIPLE_EVERY == 0:
+            exp_pairs.add((b + OFF_TRIPLE, b + OFF_EXACT))
+        exp_pairs.add((b + OFF_NEAR, b + OFF_NEAR_DONOR))
+    got_pairs = set(zip(got["base_doc"].tolist(), got["new_doc"].tolist()))
+    assert got_pairs == exp_pairs
+    jac = dict(zip(zip(got["base_doc"], got["new_doc"]), got["jaccard"]))
+    for j in range(N_DOCS // BLOCK):
+        b = j * BLOCK
+        assert jac[(b, b + OFF_EXACT)] == 1.0
+        assert jac[(b + OFF_NEAR, b + OFF_NEAR_DONOR)] >= 0.8
+    # 4-cpu walls measured ~22s cold / ~14s warm; 3x headroom
+    _assert_envelope(wall_cold, 70, "cross_snapshot 50k cold", cold)
+    _assert_envelope(
+        wall_warm, 45, "cross_snapshot 50k warm",
+        lambda: _timed(cross_snapshot_near_dups, corpus50k),
+    )
+
+
+def test_training_data_build_50k(ray_session, corpus50k):
+    """Flagship curation -> split -> packing at 10x bench scale, checked
+    against a LOCAL numpy/hashlib reference built from the closed-form
+    curation truth: survivors in doc_id order, whitespace token counts,
+    exclusive prefix-sum tok_start, ctx-window bins, md5 split assignment.
+    Any drift in the distributed prefix sum (the one doc-hash exchange) or
+    a survivor-set mismatch is value-visible."""
+    import hashlib
+
+    from crawler_ray.pipelines.curation import training_data_build
+
+    got, wall = _timed(training_data_build, corpus50k)
+    print(f"[smoke] training_data_build 50k: {wall:.1f}s")
+
+    reason = np.full(N_DOCS, "kept", dtype=object)
+    for j in range(N_DOCS // BLOCK):
+        b = j * BLOCK
+        reason[b + OFF_EXACT] = "duplicate"
+        reason[b + OFF_NEAR] = "duplicate"
+        if j % TRIPLE_EVERY == 0:
+            reason[b + OFF_TRIPLE] = "duplicate"
+        reason[b + OFF_LANG] = "lang"
+        reason[b + OFF_QUALITY] = "quality"
+        reason[b + OFF_REP] = "repetition"
+    kept_ids = np.flatnonzero(reason == "kept")
+
+    tab = pq.read_table(
+        f"{corpus50k}/documents.parquet", columns=["doc_id", "text"]
+    )
+    order = np.argsort(tab["doc_id"].to_numpy())
+    texts = tab["text"].to_pylist()
+    ntok_all = np.array(
+        [len(texts[i].split()) for i in order], dtype=np.int64
+    )
+    ntok = ntok_all[kept_ids]
+    tok_start = np.cumsum(ntok) - ntok
+    end_tok = tok_start + np.maximum(ntok, 1) - 1
+    ctx = 256
+    h = np.array(
+        [int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:8], 16) % 100
+         for i in kept_ids],
+        dtype=np.int64,
+    )
+    split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].to_numpy().tolist() == kept_ids.tolist()
+    assert (got["n_tokens"].to_numpy() == ntok).all()
+    assert (got["tok_start"].to_numpy() == tok_start).all()
+    assert (got["bin_start"].to_numpy() == tok_start // ctx).all()
+    assert (got["bin_end"].to_numpy() == end_tok // ctx).all()
+    assert (got["split"].to_numpy(dtype=object) == split).all()
+    # 4-cpu wall measured ~32s (curation chain dominates); 3x headroom
+    _assert_envelope(
+        wall, 100, "training_data_build 50k",
+        lambda: _timed(training_data_build, corpus50k),
+    )
