@@ -97,6 +97,15 @@ class CrawlConfig:
     # seed lists at least this large stream straight into the fused stage
     # (no selection shuffle; requires an unconstrained quota)
     big_seed_threshold: int = 50_000
+    # the recovery unit is the ROUND: stage tasks mutate the seen-set as a
+    # side effect, so a Ray-level task retry would see its own first
+    # attempt's inserts and silently drop those URLs — task retries are
+    # DISABLED (max_retries=0) and a failed round is instead rolled back to
+    # the last complete checkpoint and re-run whole, this many times
+    round_retries: int = 1
+    # fault injection (tests): path of a marker file — the first round task
+    # to claim it raises mid-round, exercising the rollback-and-retry path
+    fail_once_marker: str | None = None
 
 
 @dataclass
@@ -116,7 +125,18 @@ def _seed_batch_to_frontier(t: pa.Table) -> pa.Table:
     whole seed frontier is admitted in one unconstrained round)."""
     df = t.to_pandas()
     parts = df["url"].str.split("/", n=4, expand=True)
-    host = parts[2].str.lower()
+    # hostname with the SAME semantics as functions.urls.url_host (strip
+    # userinfo, port and IPv6 brackets, lowercase) — successors parsed from
+    # pages go through url_host, and a seed host like 'shop.example:8080'
+    # must land in the same quota/politeness group as its successors'
+    # 'shop.example', not fork a second group
+    netloc = parts[2].str.split("@").str[-1].str.lower()
+    bracketed = netloc.str.startswith("[", na=False)
+    host = netloc.str.split(":").str[0]
+    if bracketed.any():
+        host = host.mask(
+            bracketed, netloc.str.extract(r"^\[([^\]]*)\]", expand=False)
+        )
     is_img = parts[3].isin(["img", "private"]) if 3 in parts else False
     out = pd.DataFrame(
         {
@@ -226,7 +246,17 @@ class CrawlDriver:
             n = _pq.read_metadata(seeds_path).num_rows
             return n >= cfg.big_seed_threshold and cfg.quota_per_host >= n
 
-        if resume:
+        def _rollback_to_latest() -> int:
+            """Roll driver + actor state back to the last COMPLETE checkpoint
+            (or the pristine pre-crawl state when none exists) and return the
+            next round to run. Shared by resume=True and the round-retry
+            path: a failed/killed round leaves partial sink parts and partial
+            seen-set mutations, and because part names are content-derived
+            (batch-composition digests differ across widths) a re-run would
+            otherwise leave the old parts alongside new ones — so later
+            output is pruned and the seen shards are restored/reset before
+            the round re-runs whole."""
+            nonlocal frontier_source, frontier_rows, pending_big_seed
             latest = self.ckpt.latest_complete_round()
             if latest is not None:
                 frontier_source, snaps, self.metrics, self.lineage = (
@@ -234,19 +264,34 @@ class CrawlDriver:
                 )
                 self.seen.restore(snaps)
                 self.ckpt.prune_rounds_after(latest)
-                start_round = latest + 1
                 lin = self.lineage.get(f"round_{latest:04d}", {})
                 frontier_rows = int(lin.get("successors", 0)) + int(
                     lin.get("backlog", 0)
                 )
-            elif _seed_round0():
-                pending_big_seed = True
+                pending_big_seed = False
+                return latest + 1
+            # no complete checkpoint: prune any partial round-0 output and
+            # reset to the pristine pre-crawl state
+            self.ckpt.prune_rounds_after(-1)
+            self.seen.reset()
+            self.metrics, self.lineage = {}, {}
+            frontier_source, frontier_rows = None, None
+            pending_big_seed = _seed_round0()
+            return 0
+
+        if resume:
+            start_round = _rollback_to_latest()
         elif _seed_round0():
             pending_big_seed = True
 
-        totals = {"pages": 0, "images": 0, "errors": 0}
-        for key in ("pages", "images", "errors"):
-            totals[key] = int(self.metrics.get("_totals", {}).get(key, 0))
+        def _totals_from_metrics() -> dict:
+            return {
+                key: int(self.metrics.get("_totals", {}).get(key, 0))
+                for key in ("pages", "images", "errors")
+            }
+
+        totals = _totals_from_metrics()
+        round_retries_left = max(0, int(cfg.round_retries))
 
         # broadcast the synthetic pages index once (ray.put → read per actor
         # from the shared object store; never re-shipped per batch). With
@@ -336,8 +381,12 @@ class CrawlDriver:
                 # robots + seen dedup of the input happen IN-STAGE; no
                 # selection shuffle (quota is unconstrained by definition)
                 pending_big_seed = False
-                ds = rd.read_parquet(seeds_path, override_num_blocks=target).map_batches(
-                    _seed_batch_to_frontier, batch_format="pyarrow"
+                ds = rd.read_parquet(
+                    seeds_path, override_num_blocks=target,
+                    ray_remote_args={"max_retries": 0},
+                ).map_batches(
+                    _seed_batch_to_frontier, batch_format="pyarrow",
+                    max_retries=0,
                 )
                 if cfg.fetch_mode != "tasks":
                     # a FIXED actor pool inside the same execution as its
@@ -351,6 +400,11 @@ class CrawlDriver:
                                         filter_input=True),
                         batch_format="pyarrow",
                         batch_size=cfg.batch_size,
+                        # side-effecting stage: the round, not the task, is
+                        # the retry unit (see CrawlConfig.round_retries);
+                        # max_retries matches the producer map so the two
+                        # stages still fuse
+                        max_retries=0,
                     )
                 else:
                     processed = ds.map_batches(
@@ -393,8 +447,10 @@ class CrawlDriver:
                 filter_input = False
                 if frontier_source is None:
                     src = rd.read_parquet(
-                        seeds_path, override_num_blocks=n_parts
-                    ).map_batches(_seed_batch_to_frontier, batch_format="pyarrow")
+                        seeds_path, override_num_blocks=n_parts,
+                        ray_remote_args={"max_retries": 0},
+                    ).map_batches(_seed_batch_to_frontier,
+                                  batch_format="pyarrow", max_retries=0)
                     filter_input = True  # seed admission inside the round fn
                 else:
                     # Lance-aware: the frontier parts are whatever
@@ -402,7 +458,8 @@ class CrawlDriver:
                     from crawler_ray.sources.io import read_parts
 
                     src = read_parts(
-                        frontier_source, override_num_blocks=n_parts
+                        frontier_source, override_num_blocks=n_parts,
+                        ray_remote_args={"max_retries": 0},
                     )
 
                 round_fn = make_round_fn(
@@ -412,6 +469,7 @@ class CrawlDriver:
                     filter_input,
                     images_dir,
                     sink_dirs,
+                    fail_once_marker=cfg.fail_once_marker,
                 )
                 if est_rows <= max(512, cfg.batch_size * 2):
                     # small-round fast path: the whole frontier fits one
@@ -422,14 +480,20 @@ class CrawlDriver:
                     # case and the sort floor was most of their wall time)
                     if frontier_source is None:
                         src = rd.read_parquet(
-                            seeds_path, override_num_blocks=1
-                        ).map_batches(_seed_batch_to_frontier, batch_format="pyarrow")
+                            seeds_path, override_num_blocks=1,
+                            ray_remote_args={"max_retries": 0},
+                        ).map_batches(_seed_batch_to_frontier,
+                                      batch_format="pyarrow", max_retries=0)
                     else:
                         from crawler_ray.sources.io import read_parts
 
-                        src = read_parts(frontier_source, override_num_blocks=1)
+                        src = read_parts(
+                            frontier_source, override_num_blocks=1,
+                            ray_remote_args={"max_retries": 0},
+                        )
                     processed = src.map_batches(
-                        round_fn, batch_format="pyarrow", batch_size=None
+                        round_fn, batch_format="pyarrow", batch_size=None,
+                        max_retries=0,
                     )
                 else:
                     def _add_part(t: pa.Table) -> pa.Table:
@@ -440,17 +504,31 @@ class CrawlDriver:
                         return t.append_column("part", pa.array(part, pa.int64()))
 
                     processed = (
-                        src.map_batches(_add_part, batch_format="pyarrow")
+                        src.map_batches(_add_part, batch_format="pyarrow",
+                                        max_retries=0)
                         .groupby("part")
-                        .map_groups(round_fn, batch_format="pyarrow")
+                        .map_groups(round_fn, batch_format="pyarrow",
+                                    max_retries=0)
                     )
             t0 = _tick("process", t0)
 
             # the round output is ONLY summary-stat rows (every data class
-            # sank in-stage) — a single small collect drives the execution
-            stats = processed.select_columns(
-                ["row_type", "host", "kind", "status"]
-            ).to_pandas()
+            # sank in-stage) — a single small collect drives the execution.
+            # Stage tasks run with max_retries=0 (a retried task would see
+            # its own first attempt's seen-set inserts and silently drop
+            # those URLs), so any task failure surfaces HERE and the whole
+            # round rolls back to the last complete checkpoint and re-runs.
+            try:
+                stats = processed.select_columns(
+                    ["row_type", "host", "kind", "status"]
+                ).to_pandas()
+            except Exception:
+                if round_retries_left <= 0:
+                    raise
+                round_retries_left -= 1
+                rnd = _rollback_to_latest()
+                totals = _totals_from_metrics()
+                continue
             s = stats.groupby("row_type")["status"].sum()
             n_imgs = int(s.get("image_stat", 0))
             n_dead = int(s.get("error_stat", 0))
@@ -475,7 +553,16 @@ class CrawlDriver:
                     .reset_index()
                     .rename(columns={"status": "pages"})
                 )
-                mdf["errors"] = 0
+                edf = (
+                    stats[stats["row_type"] == "error_stat"]
+                    .groupby(["host", "kind"], sort=True)["status"]
+                    .sum()
+                    .reset_index()
+                    .rename(columns={"status": "errors"})
+                )
+                mdf = mdf.merge(edf, on=["host", "kind"], how="outer", sort=True)
+                mdf["pages"] = mdf["pages"].fillna(0).astype("int64")
+                mdf["errors"] = mdf["errors"].fillna(0).astype("int64")
                 self.ckpt.write_host_metrics(
                     rnd, pa.Table.from_pandas(mdf, preserve_index=False)
                 )

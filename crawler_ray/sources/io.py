@@ -91,6 +91,7 @@ def read_parts(
     root: str,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    ray_remote_args: dict | None = None,
 ) -> rd.Dataset:
     """Distributed read of a ``write_part`` sink tree, dispatching on what the
     WRITER produced (round-1 advice: with lance installed the sinks are Lance
@@ -105,6 +106,11 @@ def read_parts(
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
+    if ray_remote_args is not None:
+        # callers passing max_retries=0 to their downstream map must pass
+        # the same here, or the read→map operator fusion breaks (Ray Data
+        # only fuses stages whose remote args are compatible)
+        kwargs["ray_remote_args"] = ray_remote_args
     return rd.read_parquet(root, columns=columns, **kwargs)
 
 

@@ -133,11 +133,22 @@ class SyntheticFetchStage:
         )
 
 
+# hard ceiling on an advertised Retry-After wait: a hostile/misconfigured
+# server sending "inf" or 1e18 would otherwise debit the host's token
+# bucket to -inf (politeness.py TokenBucket.debit), permanently zeroing
+# every future grant for that host — one response must never disable a
+# host's pacing bookkeeping forever
+_MAX_RETRY_AFTER = 3600.0
+
+
 def _parse_retry_after(value: str) -> float | None:
     """RFC 9110 §10.2.3 ``Retry-After``: delta-seconds form parsed to a
-    float; the HTTP-date form (and garbage) returns None — honoring an
-    absolute wall-clock date would break replay determinism, so date-form
-    waits degrade to the plain retry budget."""
+    float, clamped to [0, ``_MAX_RETRY_AFTER``]; the HTTP-date form, NaN,
+    and garbage return None — honoring an absolute wall-clock date would
+    break replay determinism, so date-form waits degrade to the plain
+    retry budget."""
+    import math
+
     v = value.strip()
     if not v:
         return None
@@ -145,7 +156,9 @@ def _parse_retry_after(value: str) -> float | None:
         secs = float(v)
     except ValueError:
         return None
-    return max(0.0, secs)
+    if not math.isfinite(secs):
+        return None
+    return min(max(0.0, secs), _MAX_RETRY_AFTER)
 
 
 class HttpFetchStage:
@@ -156,8 +169,10 @@ class HttpFetchStage:
     with cookie container + default headers; ``Net/HttpResponse.cs:39-66``:
     redirect resolution against the request URL).
 
-    - ``__init__`` builds ONE ``requests.Session`` (cookie jar, keep-alive
-      pool, default headers) per actor/worker — never per batch.
+    - ONE ``requests.Session`` (cookie jar, keep-alive pool, default
+      headers) per fetch THREAD, on a persistent per-actor thread pool —
+      never per batch. Session is per thread, not per actor, because
+      ``requests.Session`` is not thread-safe under concurrent Set-Cookie.
     - Redirects are NOT followed in-line: a 3xx response records the
       resolved absolute ``redirect_url`` (RFC 3986 join against the request
       URL, as ``HttpResponse.cs`` does) and the crawl driver turns it into
@@ -193,12 +208,18 @@ class HttpFetchStage:
                  timeout: float = 10.0, headers: dict | None = None,
                  max_parallel: int = 8, post: dict | None = None,
                  retry_after_cap: float = 2.0):
-        import requests
+        import threading
 
-        self.session = requests.Session()
-        self.session.headers.update(
-            {"User-Agent": "crawler-ray/0.2 (+ray-data)", **(headers or {})}
-        )
+        self._headers = {
+            "User-Agent": "crawler-ray/0.2 (+ray-data)", **(headers or {})
+        }
+        # one Session PER POOL THREAD (requests.Session is not thread-safe:
+        # concurrent Set-Cookie processing mutates the shared CookieJar
+        # without locking); the executor is PERSISTENT per actor so worker
+        # threads — and their thread-local sessions with keep-alive pools
+        # and cookie jars — survive across batches
+        self._local = threading.local()
+        self._pool = None  # created lazily (not pickled with the stage)
         self.politeness = politeness or []
         self.max_attempts = max_attempts
         self.timeout = timeout
@@ -212,6 +233,18 @@ class HttpFetchStage:
         # post config: {"path_prefixes": ["/api/"], "mode": "json"|"form"|
         # "multipart", "secret": str, "nonce": str, "epoch_seconds": float}
         self.post_cfg = post
+
+    @property
+    def session(self):
+        """This thread's ``requests.Session`` (created on first use)."""
+        s = getattr(self._local, "session", None)
+        if s is None:
+            import requests
+
+            s = requests.Session()
+            s.headers.update(self._headers)
+            self._local.session = s
+        return s
 
     _grant_tokens = SyntheticFetchStage._grant_tokens
 
@@ -372,10 +405,9 @@ class HttpFetchStage:
         )
         args = list(zip(urls, etags, lms))
         if len(urls) > 1:
-            with ThreadPoolExecutor(
-                max_workers=min(self.max_parallel, len(urls))
-            ) as pool:
-                results = list(pool.map(lambda a: self._fetch_one(*a), args))
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.max_parallel)
+            results = list(self._pool.map(lambda a: self._fetch_one(*a), args))
         else:
             results = [self._fetch_one(*a) for a in args]
         out = batch

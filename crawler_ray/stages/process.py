@@ -177,7 +177,7 @@ def _passthrough_rows(df, row_type: str, status=None) -> pa.Table:
 
 def make_round_fn(init_args_ref, quota: int, batch_size: int,
                   filter_input: bool = False, images_dir=None,
-                  sink_dirs=None):
+                  sink_dirs=None, fail_once_marker: str | None = None):
     """Fused SELECT + PROCESS for one host-hash partition of the frontier
     (``groupby('part').map_groups``): per-host top-``quota`` selection
     (priority desc, url asc — deterministic, arrival-order-free) runs
@@ -190,6 +190,21 @@ def make_round_fn(init_args_ref, quota: int, batch_size: int,
     replace the driver-side metrics pass."""
 
     def round_fn(group: pa.Table) -> pa.Table:
+        if fail_once_marker is not None:
+            # fault-injection hook (tests only): the FIRST task to claim the
+            # marker file dies mid-round — possibly after partial sink
+            # writes and seen-set mutations — exercising the driver's
+            # round-level rollback-and-retry path under a real distributed
+            # failure. O_EXCL makes exactly one task across the cluster fail.
+            import os as _os
+
+            try:
+                _os.close(_os.open(
+                    fail_once_marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                ))
+                raise RuntimeError("injected round failure (fail_once_marker)")
+            except FileExistsError:
+                pass
         stage = _cached_stage(init_args_ref, images_dir, sink_dirs)
         outs: list[pa.Table] = []
         acct: list[dict] = []
@@ -276,19 +291,29 @@ class CrawlProcessStage:
         # EVERY output class): {"categories":…, "products":…, "errors":…,
         # "frontier":…} per-round dirs. When set, entity/error/successor
         # rows are written to parquet HERE (deterministically named parts —
-        # content-derived digests, so task retries are idempotent) and the
-        # stage emits one ``<type>_stat`` summary row per batch instead.
-        # The whole round then needs exactly ONE streaming execution whose
-        # output is a handful of stat rows.
+        # content-derived digests, so re-running the same batch overwrites
+        # its own part; NOTE the seen-set mutation is NOT idempotent, which
+        # is why crawl.py disables Ray task retries and retries whole ROUNDS
+        # from the checkpoint instead) and the stage emits one
+        # ``<type>_stat`` summary row per batch. The whole round then needs
+        # exactly ONE streaming execution whose output is a handful of stat
+        # rows.
         self.sink_dirs = sink_dirs or {}
 
-    def _filter_input_batch(self, batch: pa.Table, out: list[dict]) -> pa.Table:
+    def _robots_filter(self, batch: pa.Table) -> tuple[pa.Table, list[str]]:
+        """Drop robots-disallowed rows; returns (batch, surviving urls) —
+        the local (no-RPC) half of admission, shared by the blocking and
+        the async-overlap paths."""
         urls = batch["url"].to_pylist()
         if self.has_robots_rules:
             allowed = self.robots.allowed(urls)
             if not allowed.all():
                 batch = batch.filter(pa.array(allowed))
                 urls = [u for u, a in zip(urls, allowed) if a]
+        return batch, urls
+
+    def _filter_input_batch(self, batch: pa.Table, out: list[dict]) -> pa.Table:
+        batch, urls = self._robots_filter(batch)
         if not urls:
             return batch
         seen_mask = self.seen.check_and_insert(urls)
@@ -328,11 +353,17 @@ class CrawlProcessStage:
             else None
         )
         ids, ws, hs, fmts, hashes, keep = [], [], [], [], [], []
+        bad: list[int] = []
         for i, data in enumerate(payloads):
             fmt = sniff_fmt(data)
             try:
                 px = decode_image(data, fmt)
             except Exception:
+                # corrupt/truncated 200-status payload: dead-letter it like
+                # every other failure class (status 422, unprocessable) —
+                # silently skipping would leave selected != images + errors
+                # in the lineage accounting and hide the failure entirely
+                bad.append(i)
                 continue
             keep.append(i)
             ids.append(all_ids[i])
@@ -340,6 +371,12 @@ class CrawlProcessStage:
             hs.append(px.shape[0])
             fmts.append(fmt)
             hashes.append(phash64(px))
+        if bad:
+            rows = imgs.select(
+                ["url", "host", "kind", "depth", "priority", "seed_id"]
+            ).take(pa.array(bad, pa.int64())).to_pylist()
+            for r in rows:
+                out.append(_row(r, row_type="error", status=422, attempt=0))
         if not ids:
             if pending is not None:
                 type(self.seen).gather(pending)
@@ -420,12 +457,7 @@ class CrawlProcessStage:
             # inputs are dropped after the gather (duplicate seeds are rare
             # by construction, so the wasted fetch work is ~zero).
             if hasattr(self.seen, "check_and_insert_async"):
-                urls = batch["url"].to_pylist()
-                if self.has_robots_rules:
-                    allowed = self.robots.allowed(urls)
-                    if not allowed.all():
-                        batch = batch.filter(pa.array(allowed))
-                        urls = [u for u, a in zip(urls, allowed) if a]
+                batch, urls = self._robots_filter(batch)
                 if not urls:
                     return pa.Table.from_pylist(out, schema=ROUND_SCHEMA)
                 pending_admission = self.seen.check_and_insert_async(urls)
@@ -595,11 +627,30 @@ class CrawlProcessStage:
             rows = result.filter(pa.compute.equal(result["row_type"], row_type))
             if rows.num_rows:
                 self._sink_write(rows.select(columns), root, row_type)
-                stats.append(
-                    _row({"url": "", "host": "", "kind": row_type,
-                          "depth": 0, "priority": 0.0, "seed_id": ""},
-                         row_type=f"{row_type}_stat", status=rows.num_rows)
-                )
+                if row_type == "error":
+                    # per-(host, kind) stat rows, like sel_stat, so the
+                    # round's host_metrics can report real per-host error
+                    # counts (a single aggregate row would force errors=0
+                    # in the per-host table)
+                    grouped = (
+                        rows.select(["host", "kind"])
+                        .group_by(["host", "kind"])
+                        .aggregate([([], "count_all")])
+                    )
+                    for g in grouped.to_pylist():
+                        stats.append(
+                            _row({"url": "", "host": g["host"],
+                                  "kind": g["kind"], "depth": 0,
+                                  "priority": 0.0, "seed_id": ""},
+                                 row_type="error_stat",
+                                 status=g["count_all"])
+                        )
+                else:
+                    stats.append(
+                        _row({"url": "", "host": "", "kind": row_type,
+                              "depth": 0, "priority": 0.0, "seed_id": ""},
+                             row_type=f"{row_type}_stat", status=rows.num_rows)
+                    )
             drained.append(row_type)
         if drained:
             keep = pa.compute.invert(

@@ -72,6 +72,32 @@ class CheckpointManager:
         p = os.path.join(self._round_dir(rnd), "host_metrics.parquet")
         return pq.read_table(p) if os.path.exists(p) else None
 
+    @staticmethod
+    def _fsync_tree(root: str) -> None:
+        """fsync every file and directory under ``root`` (and ``root``
+        itself) so a power loss cannot leave journaled metadata pointing at
+        unflushed data blocks — the durability barrier _COMPLETE relies on."""
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for name in filenames:
+                fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            fd = os.open(dirpath, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+
+    @staticmethod
+    def _fsync_path(path: str) -> None:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def save_round(
         self,
         rnd: int,
@@ -79,23 +105,44 @@ class CheckpointManager:
         metrics: dict,
         lineage: dict,
     ) -> None:
-        """Atomic: completes the staging dir from ``begin_round`` (creating
-        it if the round had no begin call), then fsync-renames and marks
-        complete."""
+        """Atomic AND durable: completes the staging dir from
+        ``begin_round`` (creating it if the round had no begin call), fsyncs
+        every file in it (including the frontier parts the stage tasks
+        wrote), renames it into place, fsyncs the parent, and only then
+        writes + fsyncs the ``_COMPLETE`` marker — so a complete marker can
+        never survive a power loss that the round's data did not.
+
+        Durability boundary: the barrier covers everything resume TRUSTS
+        (frontier parts, seen shards, metrics/lineage). Output-table parts
+        (images/, tables/) are not fsynced here — the hot sink path stays
+        fsync-free for throughput; on real deployments they land on shared
+        storage with its own durability, and rounds after the last complete
+        marker are pruned + re-run on resume anyway."""
         final = self._round_dir(rnd)
         tmp = final + ".tmp"
         os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
         with open(os.path.join(tmp, "seen_shards.pkl"), "wb") as f:
             pickle.dump(seen_snapshot, f, protocol=pickle.HIGHEST_PROTOCOL)
+            f.flush()
+            os.fsync(f.fileno())
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump(metrics, f)
+            f.flush()
+            os.fsync(f.fileno())
         with open(os.path.join(tmp, "lineage.json"), "w") as f:
             json.dump(lineage, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self._fsync_tree(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        self._fsync_path(self.root)  # persist the rename itself
         with open(os.path.join(final, "_COMPLETE"), "w") as f:
             f.write("ok")
+            f.flush()
+            os.fsync(f.fileno())
+        self._fsync_path(final)
 
     def latest_complete_round(self) -> int | None:
         best = None

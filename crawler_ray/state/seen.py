@@ -9,10 +9,15 @@ Replaces the reference's two dedup mechanisms with one structure:
 Keys are md5-folded uint64; routing is ``hash % num_shards`` so a batch fans
 out to every shard at most once (one RPC per shard per batch, not per key).
 Each shard: cuckoo filter (fast approximate membership) + exact uint64 set
-(removes cuckoo false positives — guarantees the bit-identical seen-set
-contract) + bloom overflow for keys the cuckoo rejects at high load. Set
-``exact=False`` to drop the exact set at extreme scale and accept the
-~2^-13 cuckoo FP rate.
+(removes cuckoo false positives) + bloom overflow for keys the cuckoo
+rejects at high load. "Exact" is exact ON THE 64-BIT FOLD: membership is
+deterministic and run/parallelism-invariant (the bit-identical contract the
+tests verify), but two DISTINCT URLs whose md5s collide in the first 8
+bytes alias — the second is treated as seen and never crawled. Expected
+collisions ≈ n²/2⁶⁵: ~0 at test scale, ~2.7 at the 10^10-URL design point —
+a bounded, quantified completeness loss, not a correctness loss (widen the
+fold to 128 bits if even that is unacceptable). Set ``exact=False`` to drop
+the exact set at extreme scale and accept the ~2^-13 cuckoo FP rate.
 
 Shards snapshot/restore for per-round checkpointing.
 """
@@ -118,6 +123,14 @@ class _SeenShardImpl:
         )
         return obj
 
+    def reset(self) -> "_SeenShardImpl":
+        """Fresh shard with the same parameters — the round-0 rollback
+        target when a round fails before any checkpoint exists (cheaper and
+        exact vs snapshotting the empty initial state)."""
+        return _SeenShardImpl(
+            self.capacity, self.exact is not None, self.seed
+        )
+
 
 @ray.remote(num_cpus=0.25)
 class SeenShard:
@@ -144,6 +157,9 @@ class SeenShard:
 
     def restore(self, st: dict) -> None:
         self.impl = _SeenShardImpl.restore(st)
+
+    def reset(self) -> None:
+        self.impl = self.impl.reset()
 
 
 class SeenSet:
@@ -224,3 +240,8 @@ class SeenSet:
         ray.get(
             [s.restore.remote(st) for s, st in zip(self.shards, snaps)]
         )
+
+    def reset(self) -> None:
+        """Discard all shard contents (same parameters) — used to roll a
+        failed round 0 back to the pristine pre-crawl state."""
+        ray.get([s.reset.remote() for s in self.shards])

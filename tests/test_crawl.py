@@ -129,6 +129,117 @@ def test_kill_resume(ray_session, small_site, tmp_path_factory):
     assert read_images_table(str(out)).equals(site.expected_images)
 
 
+def test_round_retry_after_task_failure(ray_session, small_site,
+                                        tmp_path_factory):
+    """Recovery unit is the ROUND: a stage task that dies mid-round (after
+    sibling tasks have already mutated the seen-set and written sink parts)
+    must NOT be retried at the Ray task level — the whole round rolls back
+    to the last complete checkpoint (pristine state for round 0) and
+    re-runs, producing bit-identical golden output. With retries exhausted
+    the failure surfaces instead of silently dropping rows."""
+    import os
+
+    site, site_dir = small_site
+    out = tmp_path_factory.mktemp("roundretry")
+    marker = str(out / "poison_once")
+    cfg = CrawlConfig(
+        fixture_dir=site_dir, out_dir=str(out), quota_per_host=50,
+        fetch_concurrency=2, num_seen_shards=2, fail_once_marker=marker,
+    )
+    drv = CrawlDriver(cfg)
+    res = drv.run()
+    drv.shutdown()
+    assert os.path.exists(marker)  # the injected failure actually fired
+    assert res.pages_fetched == len(site.expected_seen)
+    assert read_images_table(str(out)).equals(site.expected_images)
+
+    # retries exhausted -> loud failure, not silent row loss
+    out2 = tmp_path_factory.mktemp("roundretry0")
+    cfg2 = CrawlConfig(
+        fixture_dir=site_dir, out_dir=str(out2), quota_per_host=50,
+        fetch_concurrency=2, num_seen_shards=2,
+        fail_once_marker=str(out2 / "poison"), round_retries=0,
+    )
+    drv2 = CrawlDriver(cfg2)
+    with pytest.raises(Exception):
+        drv2.run()
+    drv2.shutdown()
+
+
+def test_resume_without_complete_checkpoint_prunes_partials(
+    ray_session, small_site, tmp_path_factory
+):
+    """A crash during round 0 leaves partial sink parts but no complete
+    checkpoint; resume must prune them before re-running — part names are
+    content-derived from batch composition, so a re-run at a different
+    width would otherwise leave duplicate rows beside the new parts."""
+    import shutil
+
+    site, site_dir = small_site
+    out = tmp_path_factory.mktemp("r0crash")
+    cfg = CrawlConfig(fixture_dir=site_dir, out_dir=str(out),
+                      quota_per_host=50, fetch_concurrency=2,
+                      num_seen_shards=2)
+    drv1 = CrawlDriver(cfg)
+    drv1.run(stop_after_round=1)
+    drv1.shutdown()
+    # demote BOTH rounds to "crashed before any complete checkpoint":
+    # markers gone, but image/table parts already on disk
+    import glob
+    import os
+
+    for m in glob.glob(os.path.join(str(out), "round_*", "_COMPLETE")):
+        os.remove(m)
+    assert read_images_table(str(out)).num_rows > 0  # partials present
+
+    drv2 = CrawlDriver(CrawlConfig(
+        fixture_dir=site_dir, out_dir=str(out), quota_per_host=50,
+        fetch_concurrency=4, num_seen_shards=2, batch_size=256,  # new width
+    ))
+    res = drv2.run(resume=True)
+    drv2.shutdown()
+    assert res.pages_fetched == len(site.expected_seen)
+    # no duplicated rows from the crashed attempt's differently-named parts
+    assert read_images_table(str(out)).equals(site.expected_images)
+    shutil.rmtree(str(out), ignore_errors=True)
+
+
+def test_corrupt_image_payload_dead_lettered():
+    """A 200-status image whose decode raises must land in dead letters
+    (status 422) — not silently vanish from both the images table and the
+    error accounting."""
+    import pyarrow as pa
+
+    from crawler_ray.functions.codecs import encode_png
+    from crawler_ray.stages.process import CrawlProcessStage
+
+    class FakeSeen:
+        def check_and_insert(self, keys):
+            return np.zeros(len(keys), dtype=bool)
+
+    stage = CrawlProcessStage(None, [], FakeSeen(), {})
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    fetched = pa.table({
+        "url": ["http://h/img/ok.png", "http://h/img/bad.png"],
+        "host": ["h", "h"],
+        "kind": ["image", "image"],
+        "depth": [0, 0],
+        "priority": [0.0, 0.0],
+        "seed_id": ["s", "s"],
+        "caption": ["a", "b"],
+        "status": pa.array([200, 200], pa.int32()),
+        "payload": pa.array([good, b"\x89PNG truncated-garbage"], pa.binary()),
+    })
+    out: list[dict] = []
+    stage._process_images(fetched, out)
+    kinds = [(r["row_type"], r.get("status")) for r in out]
+    assert ("image", None) in [(t, None) for t, _ in kinds]  # good row kept
+    errs = [r for r in out if r["row_type"] == "error"]
+    assert len(errs) == 1
+    assert errs[0]["status"] == 422
+    assert errs[0]["url"] == "http://h/img/bad.png"
+
+
 def test_error_pages_dead_lettered(crawl_once):
     import os
 
