@@ -765,30 +765,47 @@ def cross_snapshot_image_dups(
             cum = np.r_[0, np.cumsum(side)]
             pc = cum[ends] - cum[starts]
             bc = (ends - starts) - pc
+            pair_chunk = 1 << 16  # stream probe×base pairs (a saturated
+            # band bucket would otherwise materialize npr*nb index/XOR
+            # temporaries in one shot — the dedup.py cross-pair walks
+            # learned this at 50k scale)
             for s, nb, npr in zip(starts.tolist(), bc.tolist(), pc.tolist()):
                 if nb == 0 or npr == 0:
                     continue
-                pi = np.repeat(np.arange(npr), nb) + s + nb
-                bi = np.tile(np.arange(nb), npr) + s
-                x = ph[pi] ^ ph[bi]
-                d = np.zeros(len(x), np.int64)
-                for shift in range(0, 64, 8):
-                    d += _POP[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)]
-                ok = d <= max_hamming
-                if not ok.any():
-                    continue
-                sel = np.flatnonzero(ok)
-                # canonical-band dedup: emit only from the first band the
-                # two phashes agree on (recomputable in every bucket)
-                bv_a = (ph[pi[sel], None] >> off_arr[None, :]) & mask_arr[None, :]
-                bv_b = (ph[bi[sel], None] >> off_arr[None, :]) & mask_arr[None, :]
-                eq = bv_a == bv_b
-                cur = (bkt[pi[sel]].astype(np.uint64) >> np.uint64(48)).astype(np.int64)
-                keep = (~eq.any(axis=1)) | (eq.argmax(axis=1) == cur)
-                if keep.any():
-                    out_b.append(ids[bi[sel[keep]]])
-                    out_n.append(ids[pi[sel[keep]]])
-                    out_d.append(d[sel[keep]])
+                rows_per = max(1, pair_chunk // nb)
+                for p0 in range(0, npr, rows_per):
+                    p1 = min(p0 + rows_per, npr)
+                    pi = np.repeat(np.arange(p0, p1), nb) + s + nb
+                    bi = np.tile(np.arange(nb), p1 - p0) + s
+                    x = ph[pi] ^ ph[bi]
+                    d = np.zeros(len(x), np.int64)
+                    for shift in range(0, 64, 8):
+                        d += _POP[
+                            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(
+                                np.uint8
+                            )
+                        ]
+                    ok = d <= max_hamming
+                    if not ok.any():
+                        continue
+                    sel = np.flatnonzero(ok)
+                    # canonical-band dedup: emit only from the first band the
+                    # two phashes agree on (recomputable in every bucket)
+                    bv_a = (
+                        ph[pi[sel], None] >> off_arr[None, :]
+                    ) & mask_arr[None, :]
+                    bv_b = (
+                        ph[bi[sel], None] >> off_arr[None, :]
+                    ) & mask_arr[None, :]
+                    eq = bv_a == bv_b
+                    cur = (
+                        bkt[pi[sel]].astype(np.uint64) >> np.uint64(48)
+                    ).astype(np.int64)
+                    keep = (~eq.any(axis=1)) | (eq.argmax(axis=1) == cur)
+                    if keep.any():
+                        out_b.append(ids[bi[sel[keep]]])
+                        out_n.append(ids[pi[sel[keep]]])
+                        out_d.append(d[sel[keep]])
         bb = np.concatenate(out_b) if out_b else np.array([], np.int64)
         nn = np.concatenate(out_n) if out_n else np.array([], np.int64)
         dd = np.concatenate(out_d) if out_d else np.array([], np.int64)
@@ -1417,7 +1434,10 @@ def doc_link_kcore(
             ),
             batch_format="pyarrow",
         ).sum("n")
-        if n_low == 0:
+        # Dataset.sum on an EMPTY dataset returns None (fully peeled graph):
+        # treat it as 0 low-degree nodes or the loop burns every remaining
+        # round scheduling empty exchanges
+        if not n_low:
             break
         # live is materialized: it feeds BOTH semi passes, and the per-round
         # repartition keeps union+groupby block counts flat across rounds

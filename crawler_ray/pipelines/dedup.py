@@ -659,15 +659,41 @@ def simhash_batch(df: pd.DataFrame) -> pa.Table:
     )
 
 
+def _simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of each banding block over the 64-bit signature:
+    ``max_hamming + 1`` bands (pigeonhole: ≤ max_hamming differing bits
+    leave at least one band untouched — the guaranteed-recall rule the
+    phash walk also uses). Widths differ by at most one bit. Floor of 2
+    bands (still sound for max_hamming = 0) keeps every band ≤ 32 bits so
+    the (band_idx << 48 | value) int64 bucket pack never overflows."""
+    nb = max(2, int(max_hamming) + 1)
+    if nb > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, extra = divmod(64, nb)
+    layout, off = [], 0
+    for i in range(nb):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def _hamming_pairs_multi(max_hamming: int):
     """Per-partition candidate generation + Hamming verification, fused:
     walks bucket segments at numpy speed (see _estimate_pairs_multi for why
     per-group map_groups is avoided), computes the pairwise XOR-popcount
     inside each segment, and emits a (doc_a, doc_b, hamming) row only from
-    the pair's FIRST matching quarter — globally unique output with no
+    the pair's FIRST matching band — globally unique output with no
     pair-dedup exchange and no text/signature joins at all (Hamming
     verification needs nothing beyond the signatures already present)."""
     chunk = 2048
+    layout = _simhash_band_layout(max_hamming)
+    offs = np.array([o for o, _ in layout], dtype=np.uint64)
+    masks = np.array(
+        [np.uint64(2**w - 1) if w < 64 else np.uint64(2**64 - 1)
+         for _, w in layout],
+        dtype=np.uint64,
+    )
     _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
         axis=1
     ).astype(np.uint8)
@@ -689,7 +715,7 @@ def _hamming_pairs_multi(max_hamming: int):
                     continue
                 seg = sh[s:e]
                 sids = ids[s:e]
-                cur_q = int(bkt[s]) >> 16
+                cur_q = int(bkt[s]) >> 48
                 for c0 in range(0, m, chunk):
                     c1 = min(c0 + chunk, m)
                     x = seg[c0:c1, None] ^ seg[None, :]
@@ -702,13 +728,10 @@ def _hamming_pairs_multi(max_hamming: int):
                     if not len(ai):
                         continue
                     ai = ai + c0
-                    # canonical-quarter dedup: both quarters are derivable
-                    # from the two signatures, so emit only from the first
-                    # equal quarter
-                    xr = (seg[ai] ^ seg[bi])[:, None] >> (
-                        np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]
-                    )
-                    q_eq = (xr & np.uint64(0xFFFF)) == 0
+                    # canonical-band dedup: every band is derivable from the
+                    # two signatures, so emit only from the first equal band
+                    xr = (seg[ai] ^ seg[bi])[:, None] >> offs[None, :]
+                    q_eq = (xr & masks[None, :]) == 0
                     keep = q_eq.argmax(axis=1) == cur_q
                     if keep.any():
                         out_a.append(sids[ai[keep]])
@@ -725,23 +748,36 @@ def _hamming_pairs_multi(max_hamming: int):
 
 
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
-    """SimHash banding: 4×16-bit quarters — two signatures within Hamming
-    distance ≤ 4-1 share at least one exact quarter (pigeonhole) → coarse
-    hash-partition groupby on the quarter buckets → fused in-segment
-    Hamming verify + canonical-quarter dedup. Two map stages and ONE
-    exchange total. Rows-only driver check."""
+    """SimHash banding with GUARANTEED recall at any radius:
+    ``max_hamming + 1`` near-equal-width bands over the 64-bit signature —
+    two signatures within Hamming distance ≤ max_hamming share at least
+    one exact band (pigeonhole; the default 3 gives the classic 4×16-bit
+    quarters) → coarse hash-partition groupby on the band buckets → fused
+    in-segment Hamming verify + canonical-band dedup. Two map stages and
+    ONE exchange total. Rows-only driver check."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_parts = 64
     sigs = docs.map_batches(simhash_batch, batch_format="pandas")
+    layout = _simhash_band_layout(max_hamming)
+    if max_hamming >= 16:
+        # bands narrower than 4 bits bucket ~everything together — the
+        # verify stays exact but the candidate walk degrades toward O(n²);
+        # radii that large want a different signature width, not banding
+        raise ValueError("simhash banding supports max_hamming < 16")
+    offs = np.array([o for o, _ in layout], dtype=np.uint64)
+    masks = np.array([np.uint64(2**w - 1) for _, w in layout], dtype=np.uint64)
+    nb = len(layout)
 
     def explode(t: pa.Table) -> pa.Table:
         s = t["simhash"].to_numpy().astype(np.uint64)
         n = len(s)
-        q = np.arange(4, dtype=np.uint64)[None, :]
-        quarter = (s[:, None] >> (np.uint64(16) * q)) & np.uint64(0xFFFF)
-        # single int64 bucket key: quarter index in the high bits, value low
-        bucket = ((q << np.uint64(16)) | quarter).astype(np.int64)
-        idx = np.repeat(np.arange(n), 4)
+        value = (s[:, None] >> offs[None, :]) & masks[None, :]
+        # single int64 bucket key: band index in bits 48+, band value low
+        # (band width ≤ 32 bits for nb ≥ 2, so the pack never collides)
+        bucket = (
+            (np.arange(nb, dtype=np.uint64)[None, :] << np.uint64(48)) | value
+        ).astype(np.int64)
+        idx = np.repeat(np.arange(n), nb)
         bucket = bucket.ravel()
         return pa.table({
             "bucket": pa.array(bucket, pa.int64()),
@@ -1091,10 +1127,14 @@ def _set_jaccard_pairs(
 
 
 def token_jaccard_sql(threshold: float = 0.95) -> str:
+    # empty/whitespace-only docs are EXCLUDED on both sides (the Ray path
+    # drops empty token sets; without the trim() <> '' filter DuckDB's
+    # string_split_regex('') yields [''] — a phantom 1-element set that
+    # would score two empty docs jaccard 1.0)
     return rf"""
 WITH dtok AS (
     SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-    FROM documents
+    FROM documents WHERE trim(text) <> ''
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
 inter AS (
@@ -1619,14 +1659,19 @@ def _cross_pairs_multi(threshold: float):
     return est_pairs
 
 
-def minhash_band_index_dir(sf_dir: str, ngram: int = 3) -> str:
-    """Canonical cache location of the persisted band index for a corpus
-    (content-addressed by absolute path + shingle width)."""
+def minhash_band_index_dir(
+    sf_dir: str, ngram: int = 3, n_parts: int = 16
+) -> str:
+    """Canonical cache location of the persisted band index for a corpus —
+    content-addressed by absolute path + shingle width + PARTITION COUNT:
+    the persisted ``part`` column is ``bucket % n_parts``, so an index
+    built with one modulus probed with another would co-locate only ~half
+    the buckets and silently drop pairs."""
     import os
 
     from crawler_ray.state.artifact_cache import cache_dir
 
-    return cache_dir("bands", os.path.abspath(sf_dir), ngram)
+    return cache_dir("bands", os.path.abspath(sf_dir), ngram, n_parts)
 
 
 def ensure_minhash_band_index(
@@ -1640,7 +1685,7 @@ def ensure_minhash_band_index(
     from crawler_ray.state.artifact_cache import ensure_dir
 
     return ensure_dir(
-        minhash_band_index_dir(sf_dir, ngram),
+        minhash_band_index_dir(sf_dir, ngram, n_parts),
         lambda stage: build_minhash_band_index(
             sf_dir, stage, ngram=ngram, n_parts=n_parts
         ),

@@ -56,10 +56,15 @@ class CosineTopK:
         ids, mat = _stack(batch)
         sims = _normalize(mat) @ self.q
         order = np.lexsort((ids, -sims))[: self.k]
+        # carry the RAW similarity: the global top-k sort must order on it
+        # (the SQL oracle orders by the raw value — two candidates whose
+        # sims round to the same 4 dp could otherwise swap across the k
+        # boundary); the reported cos_sim is rounded at the end
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),
                 "cos_sim": pa.array(round_np(sims[order], 4), pa.float64()),
+                "raw_sim": pa.array(sims[order], pa.float64()),
             }
         )
 
@@ -79,7 +84,11 @@ def knn_brute_force(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> rd.Datas
         batch_format="pyarrow",
     )
     partials = ds.map_batches(CosineTopK(q, k), batch_format="pyarrow")
-    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return (
+        partials.sort(["raw_sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "cos_sim"])
+    )
 
 
 def knn_sql(query_vec_id: int = 0, k: int = 20) -> str:
@@ -296,7 +305,11 @@ def ann_query_indexed(
         )
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     partials = ds.map_batches(CosineTopK(q, k), batch_format="pyarrow")
-    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return (
+        partials.sort(["raw_sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "cos_sim"])
+    )
 
 
 def ann_indexed_topk(
@@ -307,21 +320,14 @@ def ann_indexed_topk(
     processes) + partition-pruned probe reads per query. Rows-only driver
     check (approximate); index layout, coverage and recall asserted in
     tests/test_similarity.py::test_persisted_ann_index."""
-    import hashlib
     import os
-    import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = os.path.join(tempfile.gettempdir(), f"crawler_ray_ann_{key}")
-    if not os.path.exists(os.path.join(idx, "meta.json")):
-        stage = f"{idx}.tmp-{os.getpid()}"
-        build_ann_index(sf_dir, stage)
-        try:
-            os.rename(stage, idx)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
+    from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
 
-            shutil.rmtree(stage, ignore_errors=True)
+    idx = ensure_dir(
+        cache_dir("ann", os.path.abspath(sf_dir)),
+        lambda stage: build_ann_index(sf_dir, stage),
+    )
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "=", query_vec_id)],
@@ -440,7 +446,11 @@ def ivf_query(
         )
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     partials = ds.map_batches(CosineTopK(q, k), batch_format="pyarrow")
-    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return (
+        partials.sort(["raw_sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "cos_sim"])
+    )
 
 
 def ann_ivf_topk(
@@ -449,21 +459,14 @@ def ann_ivf_topk(
     """IVF serving path (build-once cached index + partition-pruned probes),
     mirroring ann_indexed_topk's caching/publish protocol. Rows-only driver
     check (approximate); recall and layout asserted in tests."""
-    import hashlib
     import os
-    import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = os.path.join(tempfile.gettempdir(), f"crawler_ray_ivf_{key}")
-    if not os.path.exists(os.path.join(idx, "meta.json")):
-        stage = f"{idx}.tmp-{os.getpid()}"
-        build_ivf_index(sf_dir, stage)
-        try:
-            os.rename(stage, idx)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
+    from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
 
-            shutil.rmtree(stage, ignore_errors=True)
+    idx = ensure_dir(
+        cache_dir("ivf", os.path.abspath(sf_dir)),
+        lambda stage: build_ivf_index(sf_dir, stage),
+    )
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "=", query_vec_id)],
@@ -522,7 +525,11 @@ def ann_lsh_topk(
         batch_format="pyarrow",
     )
     partials = bucketed.map_batches(CosineTopK(q, k), batch_format="pyarrow")
-    return partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return (
+        partials.sort(["raw_sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "cos_sim"])
+    )
 
 
 def embedding_label_centroids(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
@@ -983,7 +990,9 @@ def build_pq_index(
     np.save(os.path.join(index_dir, "codebooks.npy"), books)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"m": m, "ks": ks, "seed": seed}, f)
-    return got
+    # rows INDEXED (parquet footer of the corpus), not the training-sample
+    # size ``got`` — the other build_*_index fns return the corpus count
+    return int(pf.metadata.num_rows)
 
 
 def pq_index_dir(sf_dir: str) -> str:

@@ -178,6 +178,40 @@ def test_simhash_pairs_sql_hamming_oracle(ray_session, planted_corpus):
     assert (checked["exact_h"] <= 3).all()
 
 
+def test_simhash_adaptive_banding_exact_recall(ray_session, planted_corpus):
+    """max_hamming > 3 needs more than the classic 4 quarters (pigeonhole:
+    r+1 bands for radius r) — the emitted pair set must equal a brute-force
+    all-pairs Hamming scan exactly, and each pair must appear ONCE
+    (canonical-band dedup) even though it now co-buckets in several of the
+    wider band set."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.dedup import simhash_batch, simhash_near_dup_pairs
+
+    sf_dir, docs, truth = planted_corpus
+    for radius in (0, 4, 6):
+        got = simhash_near_dup_pairs(sf_dir, max_hamming=radius).to_pandas()
+        pairs = (
+            list(zip(got["doc_a"], got["doc_b"])) if len(got) else []
+        )
+        assert len(pairs) == len(set(map(frozenset, pairs))), "dup pair"
+        sigs = (
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(simhash_batch, batch_format="pandas")
+            .to_pandas()
+        )
+        sig = dict(zip(sigs["doc_id"], sigs["simhash"].astype(np.uint64)))
+        exp = {
+            frozenset((a, b))
+            for a, b in itertools.combinations(sorted(sig), 2)
+            if bin(int(sig[a]) ^ int(sig[b])).count("1") <= radius
+        }
+        assert set(map(frozenset, pairs)) == exp, f"radius {radius}"
+
+
 def test_jaccard_pairs_block_grid_invariant(ray_session, planted_corpus):
     """The block-nested-loop set-pair matmul must emit the SAME doc pairs
     for any block count B (exercises the explode replication pattern, the

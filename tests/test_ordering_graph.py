@@ -230,6 +230,22 @@ def test_kcore_matches_brute_force_peeling(ray_session):
     assert 0 < len(live) < n  # some peeled, some kept: non-vacuous
 
 
+def test_kcore_fully_peeled_graph_terminates_early(ray_session):
+    """k above the max degree peels every node in round 1; the BSP loop
+    must then BREAK (Dataset.sum on the empty degree table returns None,
+    which a naive '== 0' check misses) instead of scheduling all 30
+    max_rounds of empty exchanges."""
+    import time
+
+    t0 = time.monotonic()
+    got = clusters.doc_link_kcore(SF_DIR, k=100, small_edges=0).to_pandas()
+    wall = time.monotonic() - t0
+    assert len(got) == 0
+    # with the early break this is one peel round (~2-5s); 30 dead rounds
+    # of materialize/exchange would take several times longer
+    assert wall < 40, f"fully-peeled k-core took {wall:.1f}s"
+
+
 def test_graph_verbs_fast_and_bsp_paths_agree(ray_session):
     """The single-task fast path and the partitioned BSP/staged path must
     produce identical tables for triangles and k-core (small_edges=0
