@@ -127,6 +127,12 @@ def connected_components(
     # consumers (join + labels exchange) don't re-run the whole-graph fold
     raw = edges.map_batches(plain, batch_format="pyarrow").materialize()
 
+    if raw.count() == 0:  # empty graph: typed empty labels (a zero-block
+        # dataset is schema-less and would crash downstream joins)
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "lab": pa.array([], pa.int64())})
+        )
     if raw.count() <= small_edges:
         return raw.repartition(1).map_batches(
             _unionfind_batch, batch_format="pyarrow", batch_size=None

@@ -794,12 +794,17 @@ def late_event_audit(
         .groupby("bucket")
         .aggregate(Max("mx", alias_name="mx"))
         .to_pandas()
-        .sort_values("bucket")
     )
     # exclusive cross-bucket prefix max (bucket order IS arrival order)
     NEG = np.int64(-(1 << 62))
-    pref = np.r_[NEG, np.maximum.accumulate(bm["mx"].to_numpy(np.int64))[:-1]]
-    seeds = dict(zip(bm["bucket"].to_numpy(np.int64), pref))
+    if bm.empty:  # empty stream: no buckets, audit() never fires
+        seeds: dict = {}
+    else:
+        bm = bm.sort_values("bucket")
+        pref = np.r_[
+            NEG, np.maximum.accumulate(bm["mx"].to_numpy(np.int64))[:-1]
+        ]
+        seeds = dict(zip(bm["bucket"].to_numpy(np.int64), pref))
 
     def audit(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["arr", "event_id"], kind="mergesort")

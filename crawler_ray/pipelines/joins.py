@@ -51,11 +51,13 @@ def partitioned_hash_join(
 
     Pass ``left_schema`` / ``right_schema`` when a side's block schema is
     pandas-typed with object columns (bytes vs str is not inferrable)."""
-    def _fields(ds: rd.Dataset, given) -> list[tuple[str, pa.DataType]]:
+    def _fields(ds: rd.Dataset, given) -> list[tuple[str, pa.DataType]] | None:
         if given is not None:
             return [(f.name, f.type) for f in given]
         # works for Arrow AND (numeric) pandas block schemas
         sch = ds.schema()
+        if sch is None:  # zero-block side (empty corpus): no type info
+            return None
         out = []
         for name, typ in zip(sch.names, sch.types):
             if not isinstance(typ, pa.DataType):
@@ -64,6 +66,20 @@ def partitioned_hash_join(
         return out
 
     lf, rf = _fields(left, left_schema), _fields(right, right_schema)
+    if lf is None or rf is None:
+        # A schema-less side has zero rows, so the join degenerates: empty
+        # for inner (either side) and for left-with-empty-LEFT. The typed
+        # result uses every KNOWN field; a left join against an untyped
+        # empty right cannot be typed — demand the explicit schema.
+        if how == "left" and lf is not None and rf is None:
+            raise ValueError(
+                "left join against an empty (schema-less) right side needs "
+                "right_schema to type the output"
+            )
+        fields = (lf or []) + [(n, t) for n, t in (rf or []) if n != on]
+        return rd.from_arrow(
+            pa.schema(fields).empty_table() if fields else pa.table({})
+        )
     lcols = [n for n, _ in lf]
     rcols = [n for n, _ in rf]
     l_extra = [(n, t) for n, t in rf if n not in lcols]
@@ -770,7 +786,9 @@ def orders_from_event_users(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
 
     parts = users.map_batches(block_bloom, batch_format="pyarrow").to_pandas()
     bloom = BloomFilter(cap)
-    for b in parts["bits"]:
+    # .empty guard: a zero-user corpus drops the fold's schema; the all-zero
+    # filter then correctly rejects every orders probe
+    for b in (parts["bits"] if not parts.empty else ()):
         bloom.bits |= np.frombuffer(b, dtype=np.uint8)
     state_ref = ray.put(bloom.state())
 
@@ -1417,6 +1435,14 @@ def nation_trade_flows(
     ).to_pandas()
     key_of = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
     name_of = {v: k for k, v in key_of.items()}
+    if nat_a not in key_of or nat_b not in key_of:
+        # empty corpus / unknown nation: typed empty flows, not a KeyError
+        return rd.from_arrow(
+            pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+        )
     ka, kb = key_of[nat_a], key_of[nat_b]
     pair = {ka, kb}
 
@@ -1693,7 +1719,13 @@ def nation_market_share(
             right_on="r_regionkey",
         )["n_nationkey"].astype(int)
     )
-    target_key = int(nat.loc[nat["n_name"] == target, "n_nationkey"].iloc[0])
+    tgt_rows = nat.loc[nat["n_name"] == target, "n_nationkey"]
+    if tgt_rows.empty:  # empty corpus / unknown nation: typed empty share
+        return rd.from_arrow(
+            pa.table({"o_year": pa.array([], pa.int64()),
+                      "mkt_share": pa.array([], pa.float64())})
+        )
+    target_key = int(tgt_rows.iloc[0])
 
     sup = (
         pq_.read_table(
@@ -2221,7 +2253,10 @@ def dormant_customer_balance(
         )
 
     stats = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
-    sum_cents, n_pos = float(stats["s"].sum()), int(stats["n"].sum())
+    if stats.empty:  # empty corpus: Ray drops the fold's schema entirely
+        sum_cents, n_pos = 0.0, 0
+    else:
+        sum_cents, n_pos = float(stats["s"].sum()), int(stats["n"].sum())
 
     def c_rows(t: pa.Table) -> pa.Table:
         cents = np.round(t["c_acctbal"].to_numpy() * 100.0)

@@ -90,6 +90,16 @@ def write_zorder_events(sf_dir: str, out_root: str, grid_bits: int = 3) -> dict:
         )
     )
     n_cells = 1 << grid_bits
+    if b is None or b.get("u_lo") is None:  # empty events table: write a
+        # degenerate layout (no partitions) so readers prune to nothing
+        meta = {
+            "grid_bits": grid_bits, "u_lo": 0, "u_hi": 0, "t_lo": 0,
+            "t_hi": 0, "n_buckets": n_cells * n_cells,
+        }
+        os.makedirs(out_root, exist_ok=True)
+        with open(os.path.join(out_root, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return meta
     meta = {
         "grid_bits": grid_bits,
         "u_lo": int(b["u_lo"]), "u_hi": int(b["u_hi"]),
@@ -146,7 +156,13 @@ def candidate_buckets(
 def _ensure_layout(sf_dir: str, grid_bits: int = 3) -> str:
     import hashlib
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # grid_bits is part of the cache key (the minhash band-index n_parts
+    # lesson): a 3-bit layout served to a 4-bit caller stays CORRECT (the
+    # exact predicate always applies and meta.json governs pruning) but
+    # silently prunes at the wrong granularity
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{grid_bits}".encode()
+    ).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"crawler_ray_zorder_{key}")
     if not os.path.exists(os.path.join(root, "meta.json")):
         stage = f"{root}.tmp-{os.getpid()}"

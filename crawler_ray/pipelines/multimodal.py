@@ -1163,6 +1163,20 @@ def image_build_card(sf_dir: str, **build_kwargs) -> "rd.Dataset":
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
+    if sh_pairs.empty:  # empty build (empty corpus / all-filtered): an
+        # empty TYPED card, not a KeyError (to_pandas drops the schema)
+        import pandas as pd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"split": pd.Series([], dtype=object),
+                 "n_images": pd.Series([], dtype=np.int64),
+                 "total_bytes": pd.Series([], dtype=np.int64),
+                 "n_shards": pd.Series([], dtype=np.int64),
+                 "first_shard": pd.Series([], dtype=np.int64),
+                 "last_shard": pd.Series([], dtype=np.int64)}
+            )
+        )
     sh_df = (
         sh_pairs.groupby("split", as_index=False)["shard_id"]
         .nunique()

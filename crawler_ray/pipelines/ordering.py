@@ -46,10 +46,12 @@ def global_sort_rank(
         idx = np.linspace(0, len(k) - 1, num=per_block_sample).astype(int)
         return pd.DataFrame({key_col: k[idx]})
 
-    sample = np.sort(
-        keys.map_batches(block_sample, batch_format="pandas")
-        .to_pandas()[key_col]
-        .to_numpy(np.int64)
+    sdf = keys.map_batches(block_sample, batch_format="pandas").to_pandas()
+    # empty corpus: Ray drops the fold's columns entirely, not just its rows
+    sample = (
+        np.sort(sdf[key_col].to_numpy(np.int64))
+        if not sdf.empty
+        else np.array([], np.int64)
     )
     qs = np.linspace(0, len(sample) - 1, num=n_ranges + 1).astype(int)[1:-1]
     cuts = np.unique(sample[qs]) if len(sample) else np.array([], np.int64)
@@ -73,13 +75,17 @@ def global_sort_rank(
         .groupby("rng")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values("rng")
     )
-    cnt_arr = counts["cnt"].to_numpy(np.int64)
-    offsets = dict(
-        zip(counts["rng"].to_numpy(np.int64), np.cumsum(cnt_arr) - cnt_arr)
-    )
-    total = int(cnt_arr.sum())
+    if counts.empty:  # empty corpus: no ranges, rank() never fires
+        offsets: dict = {}
+        total = 0
+    else:
+        counts = counts.sort_values("rng")
+        cnt_arr = counts["cnt"].to_numpy(np.int64)
+        offsets = dict(
+            zip(counts["rng"].to_numpy(np.int64), np.cumsum(cnt_arr) - cnt_arr)
+        )
+        total = int(cnt_arr.sum())
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(key_col, kind="mergesort")

@@ -38,6 +38,26 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     )
 
 
+def _read_pandas(
+    sf_dir: str, table: str, columns: list[str] | None = None
+) -> pd.DataFrame:
+    """Driver-side dim-table read with a SCHEMA-STABLE empty: Ray Data's
+    ``to_pandas`` on a zero-block dataset drops every column (empty blocks
+    skip all UDFs and the schema nulls out), which turns a merely-empty
+    corpus into ``KeyError``s at the first merge. Empty dims fall back to
+    the parquet footer schema so joins/folds stay total."""
+    df = _read(sf_dir, table, columns).to_pandas()
+    if df.empty and len(df.columns) == 0:
+        import pyarrow.parquet as pq_
+
+        schema = pq_.read_schema(f"{sf_dir}/{table}.parquet")
+        empty = schema.empty_table()
+        if columns:
+            empty = empty.select(columns)
+        df = empty.to_pandas()
+    return df
+
+
 class BroadcastJoiner:
     """Map-side hash join against a broadcast small table (J1/J2 pattern:
     the reference probes in-memory brand/category bags,
@@ -214,7 +234,7 @@ def market_segment_revenue(sf_dir: str, broadcast: bool | None = None) -> rd.Dat
     )
     if _want_broadcast(broadcast, f"{sf_dir}/customer.parquet"):
         cust = (
-            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+            _read_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         )  # below the crossover — materializing the dim is the point
         joined = _bjoin(
             orders, cust.rename(columns={"c_custkey": "o_custkey"}), "o_custkey"
@@ -276,8 +296,8 @@ GROUP BY c_mktsegment
 def customers_per_region(sf_dir: str) -> rd.Dataset:
     """customer ⋈ nation ⋈ region (two chained broadcast joins, J2's
     child→parent two-hop lookup) → counts per region name."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
     dim = nation.merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
@@ -308,7 +328,7 @@ GROUP BY r_name
 
 
 def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
     supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
         # integer-cents: order-independent exact sums (see market segment)
         lambda t: pa.table(
@@ -797,8 +817,8 @@ def revenue_rollup(sf_dir: str, broadcast: bool | None = None) -> pd.DataFrame:
     STREAMS (customer broadcast-joined to the fixed-size 25-row
     nation×region map, never materialized) into
     ``joins.partitioned_hash_join`` with the same downstream combiner."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
     nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "r_name", "n_name"]
     ].rename(columns={"n_nationkey": "c_nationkey", "r_name": "region",
@@ -815,7 +835,7 @@ def revenue_rollup(sf_dir: str, broadcast: bool | None = None) -> pd.DataFrame:
     )
 
     if _want_broadcast(broadcast, f"{sf_dir}/customer.parquet"):
-        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust = _read_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         dim = cust.merge(nr, on="c_nationkey").rename(
             columns={"c_custkey": "o_custkey"}
         )[["o_custkey", "region", "nation"]]
@@ -854,6 +874,13 @@ def revenue_rollup(sf_dir: str, broadcast: bool | None = None) -> pd.DataFrame:
         .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
         .to_pandas()  # <= |nations| rows by construction
     )
+    if finest.empty:  # empty corpus: typed empty rollup, not a KeyError
+        return pd.DataFrame(
+            {"region": pd.Series([], dtype=object),
+             "nation": pd.Series([], dtype=object),
+             "revenue": pd.Series([], dtype=np.float64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
     by_region = (
         finest.groupby("region", as_index=False)[["rev_c", "n"]]
         .sum()
@@ -1055,6 +1082,13 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
         .to_pandas()  # |priorities| x |statuses| rows by construction
     )
+    if finest.empty:  # empty corpus: typed empty cube, not a KeyError
+        return pd.DataFrame(
+            {"priority": pd.Series([], dtype=object),
+             "status": pd.Series([], dtype=object),
+             "revenue": pd.Series([], dtype=np.float64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
     finest = finest.rename(
         columns={"o_orderpriority": "priority", "o_orderstatus": "status"}
     )
@@ -1108,8 +1142,8 @@ def revenue_grouping_sets(sf_dir: str, broadcast: bool | None = None) -> pd.Data
     The custkey join is auto-guarded (``_want_broadcast``, see
     ``revenue_rollup``): above the crossover the customer-sized dim
     streams into ``joins.partitioned_hash_join``."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read_pandas(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
     nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "r_name"]
     ].rename(columns={"n_nationkey": "c_nationkey", "r_name": "region"})
@@ -1125,9 +1159,9 @@ def revenue_grouping_sets(sf_dir: str, broadcast: bool | None = None) -> pd.Data
     )
 
     if _want_broadcast(broadcast, f"{sf_dir}/customer.parquet"):
-        cust = _read(
+        cust = _read_pandas(
             sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]
-        ).to_pandas()
+        )
         dim = cust.merge(nr, on="c_nationkey").rename(
             columns={"c_custkey": "o_custkey", "c_mktsegment": "segment"}
         )[["o_custkey", "region", "segment"]]
@@ -1167,6 +1201,13 @@ def revenue_grouping_sets(sf_dir: str, broadcast: bool | None = None) -> pd.Data
         .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_p", alias_name="n"))
         .to_pandas()  # <= |regions| x |segments| rows by construction
     )
+    if composite.empty:  # empty corpus: typed empty sets, not a KeyError
+        return pd.DataFrame(
+            {"region": pd.Series([], dtype=object),
+             "segment": pd.Series([], dtype=object),
+             "revenue": pd.Series([], dtype=np.float64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
     by_region = (
         composite.groupby("region", as_index=False)[["rev_c", "n"]]
         .sum()
@@ -1410,6 +1451,12 @@ def part_common_size(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # |types| x |sizes| rows by construction
     )
+    if agg.empty:  # empty corpus: typed empty result, not a KeyError
+        return rd.from_arrow(
+            pa.table({"p_type": pa.array([], pa.string()),
+                      "mode_size": pa.array([], pa.int64()),
+                      "n_at_mode": pa.array([], pa.int64())})
+        )
     agg = agg.sort_values(["p_type", "n", "p_size"],
                           ascending=[True, False, True])
     top = agg.groupby("p_type", as_index=False).head(1)
@@ -1626,6 +1673,15 @@ def priority_year_pivot(sf_dir: str) -> rd.Dataset:
     # output schema must not depend on which years happen to have rows,
     # or empty years would silently drop columns vs the SQL twin
     years = list(range(1995, 2002))
+    if agg.empty:  # empty corpus: typed empty pivot, not a KeyError
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {"o_orderpriority": pa.array([], pa.string()),
+                 **{f"rev_{y}": pa.array([], pa.float64()) for y in years}}
+            )
+        )
     wide = agg.pivot_table(
         index="o_orderpriority", columns="year", values="cents",
         aggfunc="sum", fill_value=0,

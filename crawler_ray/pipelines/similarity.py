@@ -34,6 +34,30 @@ def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+def _empty_topk() -> rd.Dataset:
+    """Typed empty (vec_id, cos_sim) — the total answer for an empty corpus
+    or an absent query id (building/probing an index of nothing would crash
+    on the first np.stack; see tests/test_empty_corpus.py)."""
+    return rd.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "cos_sim": pa.array([], pa.float64())})
+    )
+
+
+def _query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray | None:
+    """The query embedding by FILTERED footer-pruned read, or None when the
+    corpus is empty / the id is absent."""
+    if pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0:
+        return None
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", query_vec_id)],
+    )
+    if qt.num_rows == 0:
+        return None
+    return np.asarray(qt["embedding"].to_pylist()[0], dtype=np.float64)
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -76,6 +100,11 @@ def knn_brute_force(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> rd.Datas
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "=", query_vec_id)],
     )
+    if t.num_rows == 0:  # empty corpus / unknown query id: typed empty top-k
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
+        )
     q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
     q = q / np.linalg.norm(q)
 
@@ -324,15 +353,13 @@ def ann_indexed_topk(
 
     from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
 
+    q = _query_vec(sf_dir, query_vec_id)
+    if q is None:
+        return _empty_topk()
     idx = ensure_dir(
         cache_dir("ann", os.path.abspath(sf_dir)),
         lambda stage: build_ann_index(sf_dir, stage),
     )
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "=", query_vec_id)],
-    )
-    q = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
     res = ann_query_indexed(idx, q, k=k + 1)
     return res.map_batches(
         lambda tb: tb.filter(pa.compute.not_equal(tb["vec_id"], query_vec_id)),
@@ -463,15 +490,13 @@ def ann_ivf_topk(
 
     from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
 
+    q = _query_vec(sf_dir, query_vec_id)
+    if q is None:
+        return _empty_topk()
     idx = ensure_dir(
         cache_dir("ivf", os.path.abspath(sf_dir)),
         lambda stage: build_ivf_index(sf_dir, stage),
     )
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "=", query_vec_id)],
-    )
-    q = np.asarray(qt["embedding"].to_pylist()[0], dtype=np.float64)
     res = ivf_query(idx, q, k=k + 1, nprobe=nprobe)
     return res.map_batches(
         lambda tb: tb.filter(pa.compute.not_equal(tb["vec_id"], query_vec_id)),
@@ -487,18 +512,12 @@ def ann_lsh_topk(
     scale; recall vs brute force asserted in tests."""
     # dim from one row-group footer + a FILTERED read of the query row only —
     # never a whole-corpus driver read (round-2 VERDICT #3)
-    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
-        0, columns=["embedding"]
-    )
-    d = len(first["embedding"][0])
+    q = _query_vec(sf_dir, query_vec_id)
+    if q is None:
+        return _empty_topk()
+    d = len(q)
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_bits, d))
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "=", query_vec_id)],
-    )
-    q = np.asarray(qt["embedding"].to_pylist()[0], dtype=np.float64)
     q = q / np.linalg.norm(q)
     qsig = 0
     for j in range(n_bits):
@@ -632,6 +651,8 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
     final unit-normalized k x d centroid matrix."""
     SCALE = float(1 << 20)
     seed_ids = _kmeans_seed_ids(sf_dir, k)
+    if not seed_ids:  # empty corpus: no seeds, no centroids
+        return None
     st = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "in", seed_ids)],
@@ -713,6 +734,11 @@ def embedding_kmeans(
     Rows-only driver check; returns (vec_id, cluster)."""
     ds = _read_emb(sf_dir)
     cents = _kmeans_centroids(sf_dir, k, iters)
+    if cents is None:  # empty corpus: typed empty assignment
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+        )
     ref = ray.put(cents)
 
     def final_assign(batch: pa.Table) -> pa.Table:
@@ -831,6 +857,14 @@ def semantic_dedup(
     (vec_id, cluster, dup_group, centroid_sim, keep)."""
     ds = _read_emb(sf_dir)
     cents = _kmeans_centroids(sf_dir, k, iters)
+    if cents is None:  # empty corpus: typed empty dedup manifest
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "dup_group": pa.array([], pa.int64()),
+                      "centroid_sim": pa.array([], pa.float64()),
+                      "keep": pa.array([], pa.bool_())})
+        )
     ref = ray.put(cents)
 
     def assign_emit(batch: pa.Table) -> pa.Table:
@@ -1027,16 +1061,14 @@ def ann_pq_topk(
     import json
     import os
 
+    q = _query_vec(sf_dir, query_vec_id)
+    if q is None:
+        return _empty_topk()
     idx = ensure_pq_index(sf_dir)
 
     books = np.load(os.path.join(idx, "codebooks.npy"))
     with open(os.path.join(idx, "meta.json")) as f:
         m = json.load(f)["m"]
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filters=[("vec_id", "=", query_vec_id)],
-    )
-    q = np.asarray(qt["embedding"].to_pylist()[0], np.float64)
     q = q / np.linalg.norm(q)
     dsub = books.shape[2]
     # (m, ks) dot-product lookup tables: ADC score = sum_j lut[j, code_j]
@@ -1373,6 +1405,14 @@ def embedding_pca_project(sf_dir: str, k: int = 4, n_parts: int = 16) -> rd.Data
     agreement with single-node numpy PCA, and that projected components
     are centered and mutually uncorrelated with variances = eigenvalues.
     """
+    if pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0:
+        # empty corpus: no moments, no basis — typed empty projection
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      **{f"pc{c}": pa.array([], pa.float64())
+                         for c in range(k)}})
+        )
     n, s1, s2, SCALE_I = _pca_moments(sf_dir, n_parts)
     d = len(s1)
     # exact integers -> one float64 rounding per entry, identical everywhere

@@ -635,9 +635,13 @@ def _docid_bounds(path: str) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
+    if md.num_rows == 0:  # empty corpus: the (0, -1) bounds make the id
+        return 0, -1  # range empty and every range-partition width 1
     idx = md.schema.to_arrow_schema().get_field_index("doc_id")
     lo, hi = None, None
     for rg in range(md.num_row_groups):
+        if md.row_group(rg).num_rows == 0:
+            continue  # zero-row groups carry no statistics
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:  # pragma: no cover - stats absent
             raise ValueError(f"{path}: doc_id column statistics missing")
@@ -1065,6 +1069,11 @@ def heavy_hitter_tokens(
         .take_all()
     )
     out = pd.DataFrame(agg)
+    if out.empty:  # empty corpus: typed empty result, not a KeyError
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object),
+             "cnt": pd.Series([], dtype=np.int64)}
+        )
     total = int(out.loc[out["token"] == "", "cnt"].iloc[0])
     out = out[(out["token"] != "") & (out["cnt"] * phi_den > phi_num * total)]
     return pd.DataFrame(
@@ -1239,6 +1248,12 @@ def source_token_affinity(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n_p", alias_name="c_s"))
         .to_pandas()  # |sources| x |vocab| rows by construction
     )
+    if agg.empty:  # empty corpus: re-type the schema Ray dropped
+        agg = pd.DataFrame(
+            {"source": pd.Series([], dtype=object),
+             "token": pd.Series([], dtype=object),
+             "c_s": pd.Series([], dtype=np.int64)}
+        )
     agg["c_s"] = agg["c_s"].astype("int64")
     corpus = (
         agg.groupby("token", as_index=False)["c_s"].sum().rename(columns={"c_s": "c_c"})
@@ -1631,14 +1646,17 @@ def shuffled_export(sf_dir: str, seed: int = 42) -> rd.Dataset:
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
-    counts = counts.sort_values("bucket")
-    offsets = dict(
-        zip(
-            counts["bucket"].to_numpy(np.int64),
-            np.cumsum(counts["cnt"].to_numpy(np.int64))
-            - counts["cnt"].to_numpy(np.int64),
+    if counts.empty:  # empty corpus: no buckets, rank() never fires
+        offsets: dict = {}
+    else:
+        counts = counts.sort_values("bucket")
+        offsets = dict(
+            zip(
+                counts["bucket"].to_numpy(np.int64),
+                np.cumsum(counts["cnt"].to_numpy(np.int64))
+                - counts["cnt"].to_numpy(np.int64),
+            )
         )
-    )
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["skey", "doc_id"], kind="mergesort")
@@ -1768,6 +1786,15 @@ def corpus_source_report(sf_dir: str, n_parts: int = 16) -> rd.Dataset:
         )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # empty corpus: typed empty report, not a KeyError
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype=np.int64),
+                 "n_tokens": pd.Series([], dtype=np.int64),
+                 "n_chars": pd.Series([], dtype=np.int64),
+                 "distinct_texts": pd.Series([], dtype=np.int64),
+                 "langs": pd.Series([], dtype=object)}
+            )
         g = df.groupby("source", sort=True).agg(
             n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
             n_chars=("n_chars", "sum"),
@@ -1996,10 +2023,12 @@ def curriculum_export(
         idx = np.linspace(0, len(k) - 1, num=per_block_sample).astype(int)
         return pd.DataFrame({"key": k[idx]})
 
-    sample = np.sort(
-        keys.map_batches(block_sample, batch_format="pandas")
-        .to_pandas()["key"]
-        .to_numpy(np.int64)
+    sdf = keys.map_batches(block_sample, batch_format="pandas").to_pandas()
+    # empty corpus: Ray drops the fold's columns entirely, not just its rows
+    sample = (
+        np.sort(sdf["key"].to_numpy(np.int64))
+        if not sdf.empty
+        else np.array([], np.int64)
     )
     qs = np.linspace(0, len(sample) - 1, num=n_ranges + 1).astype(int)[1:-1]
     cuts = np.unique(sample[qs]) if len(sample) else np.array([], np.int64)
@@ -2024,15 +2053,18 @@ def curriculum_export(
         .groupby("rng")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values("rng")
     )
-    offsets = dict(
-        zip(
-            counts["rng"].to_numpy(np.int64),
-            np.cumsum(counts["cnt"].to_numpy(np.int64))
-            - counts["cnt"].to_numpy(np.int64),
+    if counts.empty:  # empty corpus: no ranges, rank() never fires
+        offsets: dict = {}
+    else:
+        counts = counts.sort_values("rng")
+        offsets = dict(
+            zip(
+                counts["rng"].to_numpy(np.int64),
+                np.cumsum(counts["cnt"].to_numpy(np.int64))
+                - counts["cnt"].to_numpy(np.int64),
+            )
         )
-    )
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("key", kind="mergesort")
@@ -2105,6 +2137,11 @@ def uniform_sample_docs(sf_dir: str, k: int = 50, seed: int = 7) -> pd.DataFrame
         .map_batches(partial_topk, batch_format="pandas")
         .to_pandas()  # O(k * blocks) rows by construction
     )
+    if parts.empty:  # empty corpus: re-type the schema Ray dropped
+        parts = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "skey": pd.Series([], dtype=object)}
+        )
     win = parts.sort_values(["skey", "doc_id"], kind="mergesort").head(k)
     win = win.assign(
         sample_rank=np.arange(1, len(win) + 1, dtype=np.int64)
@@ -2617,15 +2654,16 @@ def train_doc_classifier(
 
     for _ in range(n_iters):
         ref = _ray.put(w)
-        agg = (
-            feats.map_batches(make_partial(ref), batch_format="pandas")
-            .to_pandas()  # dim rows per block — O(dim × blocks) driver fold
-            .groupby("feature", sort=True)["g"]
-            .sum()
-        )
+        aggdf = feats.map_batches(
+            make_partial(ref), batch_format="pandas"
+        ).to_pandas()  # dim rows per block — O(dim × blocks) driver fold
         grad = np.zeros(dim + 1, np.int64)
-        grad[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
-        w = w - (grad * np.int64(lr_num)) // (np.int64(n_docs) * np.int64(lr_den))
+        if not aggdf.empty:  # empty corpus: zero gradient, weights stay 0
+            agg = aggdf.groupby("feature", sort=True)["g"].sum()
+            grad[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+        w = w - (grad * np.int64(lr_num)) // (
+            np.int64(max(1, n_docs)) * np.int64(lr_den)
+        )
 
     return pd.DataFrame(
         {
@@ -2962,6 +3000,13 @@ def bm25_search(
 
     partials = docs.map_batches(stats_partial, batch_format="pandas").to_pandas()
     n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if partials.empty:  # empty corpus: re-type the schema Ray dropped
+        partials = pd.DataFrame(
+            {"term": pd.Series([], dtype=object),
+             "df_p": pd.Series([], dtype=np.int64),
+             "t_p": pd.Series([], dtype=np.int64),
+             "dlmax_p": pd.Series([], dtype=np.int64)}
+        )
     total_tokens = int(partials["t_p"].sum())
     dl_max = int(partials["dlmax_p"].max()) if len(partials) else 0
     df_by_term = partials.groupby("term")["df_p"].sum()
