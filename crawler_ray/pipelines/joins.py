@@ -1305,8 +1305,13 @@ def local_supplier_volume(
                 self._keys, self._vals = keys[order], vals[order]
             sk = t["l_suppkey"].to_numpy()
             pos = np.searchsorted(self._keys, sk)
-            pos = np.clip(pos, 0, len(self._keys) - 1)
-            hit = self._keys[pos] == sk  # in-region suppliers only
+            pos = np.clip(pos, 0, max(len(self._keys) - 1, 0))
+            # empty key list (no in-region suppliers): every probe misses
+            hit = (
+                self._keys[pos] == sk  # in-region suppliers only
+                if len(self._keys)
+                else np.zeros(len(sk), bool)
+            )
             t = t.filter(pa.array(hit))
             s_nat = self._vals[pos[hit]]
             rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
@@ -1846,8 +1851,13 @@ def nation_market_share(
                 )
             sk = t["l_suppkey"].to_numpy()
             pos = np.searchsorted(self._keys, sk)
-            pos = np.clip(pos, 0, len(self._keys) - 1)
-            is_tgt = self._is_tgt[pos] & (self._keys[pos] == sk)
+            pos = np.clip(pos, 0, max(len(self._keys) - 1, 0))
+            # empty key list (no target-nation suppliers): every probe misses
+            is_tgt = (
+                self._is_tgt[pos] & (self._keys[pos] == sk)
+                if len(self._keys)
+                else np.zeros(len(sk), bool)
+            )
             rev = np.round(t["l_extendedprice"].to_numpy() * 100.0) * np.round(
                 (1.0 - t["l_discount"].to_numpy()) * 100.0
             )

@@ -2115,8 +2115,10 @@ def brand_size_quantity_revenue(sf_dir: str) -> rd.Dataset:
                     else self.ref
                 )
             pk = t["l_partkey"].to_numpy()
+            if not len(self._keys):  # no qualifying parts: zero revenue
+                return pa.table({"rev_p": pa.array([0.0], pa.float64())})
             pos = np.searchsorted(self._keys, pk)
-            pos = np.clip(pos, 0, max(len(self._keys) - 1, 0))
+            pos = np.clip(pos, 0, len(self._keys) - 1)
             hit = self._keys[pos] == pk
             qty = t["l_quantity"].to_numpy()
             keep = np.zeros(len(pk), bool)

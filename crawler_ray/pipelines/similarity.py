@@ -662,6 +662,10 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
         np.stack(st["embedding"].to_numpy(zero_copy_only=False))
         .astype(np.float64)[order]
     )
+    # a corpus smaller than k yields fewer seeds: every shape below (the
+    # per-batch partial grids AND the driver fold) must use the EFFECTIVE k
+    # or the fold's boolean masks misalign with the (len(cents), d) matrix
+    k = len(cents)
 
     def make_partial(cents_ref):
         def partial(batch: pa.Table) -> pa.Table:
@@ -1106,6 +1110,8 @@ def ann_pq_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "in", sorted(cand))],
     )
+    if rt.num_rows == 0:  # empty shortlist (e.g. single-vector corpus)
+        return _empty_topk()
     ids = rt["vec_id"].to_numpy()
     mat = _normalize(np.array(rt["embedding"].to_pylist(), np.float64))
     sims = mat @ q

@@ -56,3 +56,25 @@ def test_query_total_on_empty_corpus(ray_session, empty_dir, name):
     assert df is not None
     if name not in MAY_EMIT_ROWS:
         assert len(df) == 0, f"{name} fabricated {len(df)} rows from nothing"
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory):
+    """One row per table (head of sf0.001 — FKs may dangle, which is the
+    point: broadcast key lists go empty, kmeans has fewer seeds than k,
+    ANN shortlists collapse)."""
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(tab.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_total_on_single_row_corpus(ray_session, one_row_dir, name):
+    """The other degenerate boundary: n=1 with dangling FKs. Caught five
+    real probe-side crashes on first run (searchsorted+clip against empty
+    broadcast key lists indexing [-1], kmeans folds assuming k seeds,
+    np.array of an empty embedding shortlist collapsing to 1-D)."""
+    df = _to_pandas(entry_mod.queries()[name](one_row_dir))
+    assert df is not None
