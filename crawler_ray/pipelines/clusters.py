@@ -1779,9 +1779,11 @@ def anchor_text_profiles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
     link graph as ``doc_link_pagerank`` (doc d → (d·7+1)%N, (d·13+5)%N,
     (d·31+11)%N, self-loops dropped); the anchor of slot i is the i-th
     whitespace token of the SOURCE doc (repo tokenizer convention:
-    ``strip().lower().split()`` ≡ ``string_split_regex(trim(lower(text)),
-    '\\s+')``), edges whose source is too short carry no anchor and are
-    skipped.
+    Python ``strip().lower().split()`` — UNICODE whitespace; the SQL twin
+    uses the char-exact RE2 class
+    ``[\\s\\x0b\\x1c-\\x1f\\x85\\p{Z}\\x{2028}\\x{2029}]`` with empty
+    tokens filtered), edges whose source is too short carry no anchor and
+    are skipped.
 
     Scale shape: edges never materialize as a table — each documents block
     emits per-(block, dst, anchor) COUNT partials (combiner), ONE dst-hash
@@ -1863,7 +1865,7 @@ def anchor_text_profiles(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
 ANCHOR_TEXT_PROFILES_SQL = r"""
 WITH tk AS (
     SELECT doc_id,
-           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+           list_filter(list_filter(string_split_regex(lower(text), '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != ''),
                        x -> x <> '') AS t,
            (SELECT COUNT(*) FROM documents) AS n
     FROM documents

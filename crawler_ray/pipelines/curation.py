@@ -245,6 +245,17 @@ def training_data_build(
     totals = counts.groupby("part").aggregate(
         Sum("n_tokens", alias_name="t")
     ).take_all()
+    if not totals:  # zero survivors (all docs gated out): a TYPED empty.
+        # pandas, not rd.from_arrow — Ray's to_pandas drops the columns of
+        # a zero-row dataset, which would fail the driver's schema compare
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "split": pd.Series([], dtype=object),
+             "n_tokens": pd.Series([], dtype=np.int64),
+             "tok_start": pd.Series([], dtype=np.int64),
+             "bin_start": pd.Series([], dtype=np.int64),
+             "bin_end": pd.Series([], dtype=np.int64)}
+        )
     base, offsets = 0, {}
     for row in sorted(totals, key=lambda r: r["part"]):
         offsets[int(row["part"])] = base
@@ -283,7 +294,7 @@ WITH kept AS MATERIALIZED (
 toks AS (
     SELECT d.doc_id,
            CASE WHEN trim(d.text) = '' THEN 0
-                ELSE length(string_split_regex(trim(d.text), '\s+')) END::BIGINT
+                ELSE length(list_filter(string_split_regex(d.text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) END::BIGINT
                AS n_tokens
     FROM documents d JOIN kept USING (doc_id)
 ),

@@ -108,14 +108,19 @@ def token_set_dup_pairs(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def key_batch(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df["text"].map(
-            lambda t: hashlib.md5(
-                "\x00".join(sorted(set(t.split()))).encode("utf-8")
-            ).hexdigest()
+        # empty token sets are EXCLUDED (the token_jaccard family rule):
+        # every tokenless doc would otherwise share one md5("") key and
+        # pairwise-match every other tokenless doc
+        sets = df["text"].map(lambda t: sorted(set(t.split())))
+        nonempty = sets.map(len) > 0
+        keys = sets[nonempty].map(
+            lambda s: hashlib.md5("\x00".join(s).encode("utf-8")).hexdigest()
         )
         return pa.table(
             {"set_key": pa.array(list(keys), pa.string()),
-             "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())}
+             "doc_id": pa.array(
+                 df["doc_id"].to_numpy()[nonempty.to_numpy()], pa.int64()
+             )}
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -131,7 +136,7 @@ def token_set_dup_pairs(sf_dir: str) -> rd.Dataset:
 
 TOKEN_SET_DUP_SQL = r"""
 WITH dtok AS (
-    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '')) AS w
     FROM documents
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
@@ -1133,7 +1138,7 @@ def token_jaccard_sql(threshold: float = 0.95) -> str:
     # would score two empty docs jaccard 1.0)
     return rf"""
 WITH dtok AS (
-    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS w
     FROM documents WHERE trim(text) <> ''
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
@@ -1156,8 +1161,8 @@ def bigram_jaccard_sql(threshold: float = 0.9) -> str:
 WITH toks AS (
     SELECT doc_id, w, pos FROM (
         SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\s+')) AS w,
-               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+               unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS w,
+               generate_subscripts(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != ''), 1) AS pos
         FROM documents)
 ),
 dtok AS (
@@ -1338,7 +1343,7 @@ def substring_span_dedup_sql(k: int = 10) -> str:
 WITH lists AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS tk
+                ELSE list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') END AS tk
     FROM documents
 ),
 toks AS (

@@ -510,24 +510,54 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
 
 
 def part_type_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped stats with an EXACT integer-cents mean: a float ``Mean``
+    over p_retailprice is accumulation-order dependent, and rounding the
+    two 1-ulp-apart quotients can land on different 4dp doubles — a latent
+    per-run hash flake (caught by the adversarial-corpus sweep, then
+    reproduced on the pristine table). Both engines now compute
+    ``(Σ round(price·100) / 100.0) / n`` in the identical order."""
     ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
-    agg = ds.groupby("p_type").aggregate(
-        Count(alias_name="n_parts"),
-        Mean("p_retailprice", alias_name="avg_price"),
-        Max("p_size", alias_name="max_size"),
-        Min("p_size", alias_name="min_size"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["p_retailprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {"p_type": t["p_type"].to_pandas(), "cents": cents,
+             "p_size": t["p_size"].to_numpy()}
+        )
+        g = df.groupby("p_type", sort=False).agg(
+            cents_p=("cents", "sum"), n_p=("cents", "size"),
+            mx_p=("p_size", "max"), mn_p=("p_size", "min"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("p_type").aggregate(
+        Sum("cents_p", alias_name="cents"),
+        Sum("n_p", alias_name="n_parts"),
+        Max("mx_p", alias_name="max_size"),
+        Min("mn_p", alias_name="min_size"),
     )
-    return agg.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("avg_price"), "avg_price", round_pa(t["avg_price"], 4)
-        ),
-        batch_format="pyarrow",
-    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.functions.rounding import round_np
+
+        n = df["n_parts"].astype("int64")
+        return pd.DataFrame(
+            {"p_type": df["p_type"],
+             "n_parts": n,
+             "avg_price": round_np(
+                 (df["cents"].astype("int64") / 100.0) / n, 4
+             ),
+             "max_size": df["max_size"].astype("int64"),
+             "min_size": df["min_size"].astype("int64")}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 PART_TYPE_SQL = """
 SELECT p_type, COUNT(*) AS n_parts,
-       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       ROUND((SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))::BIGINT / 100.0)
+             / COUNT(*), 4) AS avg_price,
        MAX(p_size)::BIGINT AS max_size, MIN(p_size)::BIGINT AS min_size
 FROM part
 GROUP BY p_type

@@ -51,7 +51,7 @@ def doc_token_stats(sf_dir: str) -> rd.Dataset:
 DOC_TOKEN_STATS_SQL = r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE length(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+            ELSE length(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '')) END::BIGINT AS n_tokens,
        length(text)::BIGINT AS text_chars
 FROM documents
 """
@@ -82,8 +82,9 @@ def doc_bpe_token_count(sf_dir: str) -> rd.Dataset:
 
 DOC_BPE_TOKENS_SQL = r"""
 SELECT doc_id,
-       length(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))::BIGINT
-           AS n_bpe_tokens
+       length(regexp_extract_all(text,
+           '[A-Za-z]+|\p{Nd}+|[^A-Za-z\p{Nd}\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]'
+       ))::BIGINT AS n_bpe_tokens
 FROM documents
 """
 
@@ -177,7 +178,7 @@ def token_vocabulary(sf_dir: str) -> rd.Dataset:
 
 TOKEN_VOCABULARY_SQL = r"""
 SELECT w AS token, COUNT(*) AS n
-FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+FROM (SELECT unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '')) AS w
       FROM documents WHERE trim(text) != '')
 GROUP BY w
 """
@@ -232,7 +233,7 @@ def doc_lang_id_sql() -> str:
 WITH toks AS (
     SELECT doc_id,
            unnest(list_slice(
-               string_split_regex(trim(lower(text)), '\s+'), 1, 200)) AS w
+               list_filter(string_split_regex(lower(text), '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != ''), 1, 200)) AS w
     FROM documents
     WHERE trim(text) != ''
 ),
@@ -293,13 +294,15 @@ def doc_quality_sql() -> str:
 WITH feats AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE length(string_split_regex(trim(text), '\s+')) END::BIGINT
+                ELSE length(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) END::BIGINT
                AS n_tokens,
-           length(regexp_replace(text, '[\w\s]', '', 'g'))::BIGINT AS n_punct,
+           length(regexp_extract_all(text,
+               '[^\p{{L}}\p{{N}}_\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]'
+           ))::BIGINT AS n_punct,
            length(text)::BIGINT AS n_chars,
            CASE WHEN trim(text) = '' THEN 0 ELSE (
                SELECT COUNT(*) FROM unnest(
-                   string_split_regex(trim(lower(text)), '\s+')) AS t(w)
+                   list_filter(string_split_regex(lower(text), '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS t(w)
                WHERE t.w IN ({_stopwords_en_list()})
            ) END::BIGINT AS n_stop
     FROM documents
@@ -445,7 +448,7 @@ def doc_repetition_sql(
     # so the doubles are bit-identical — no rounding slack needed
     return rf"""
 WITH lists AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    SELECT doc_id, list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') AS tk
     FROM documents WHERE trim(text) <> ''
 ),
 toks AS (
@@ -587,7 +590,7 @@ def doc_benchmark_overlap_sql(ngram: int = 5, mod: int = 97) -> str:
     )
     return rf"""
 WITH lists AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    SELECT doc_id, list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') AS tk
     FROM documents WHERE trim(text) <> ''
 ),
 toks AS (
@@ -716,7 +719,7 @@ def doc_pack_spans_sql(ctx: int = 256) -> str:
 WITH toks AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE length(string_split_regex(trim(text), '\s+')) END::BIGINT
+                ELSE length(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) END::BIGINT
                AS n_tokens
     FROM documents
 ),
@@ -836,7 +839,7 @@ def doc_top_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
 def doc_top_tfidf_sql(k: int = 3) -> str:
     return rf"""
 WITH toks AS (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS term
     FROM documents WHERE trim(text) <> ''
 ),
 tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -933,7 +936,7 @@ def boilerplate_ngrams_sql(n: int = 5, min_docs: int = 3) -> str:
     )
     return rf"""
 WITH lists AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    SELECT doc_id, list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') AS tk
     FROM documents WHERE trim(text) <> ''
 ),
 toks AS (
@@ -989,8 +992,10 @@ def doc_normalized(sf_dir: str) -> rd.Dataset:
 
 DOC_NORMALIZED_SQL = r"""
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5
+       trim(regexp_replace(lower(text),
+            '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(lower(text),
+            '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+', ' ', 'g'))) AS norm_md5
 FROM documents
 """
 
@@ -1085,7 +1090,7 @@ def heavy_hitter_tokens(
 def heavy_hitter_tokens_sql(phi_num: int = 33, phi_den: int = 1000) -> str:
     return rf"""
 WITH t AS (
-    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    SELECT unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS token
     FROM documents WHERE trim(text) <> ''
 ),
 c AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM t GROUP BY token)
@@ -1149,7 +1154,7 @@ def doc_chunks(sf_dir: str, size: int = 16, stride: int = 8) -> rd.Dataset:
 def doc_chunks_sql(size: int = 16, stride: int = 8) -> str:
     return rf"""
 WITH toks AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+    SELECT doc_id, list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') AS ts
     FROM documents WHERE trim(text) <> ''
 ),
 starts AS (
@@ -1204,7 +1209,7 @@ def token_postings(sf_dir: str) -> rd.Dataset:
 
 TOKEN_POSTINGS_SQL = r"""
 SELECT w AS token, doc_id, COUNT(*)::BIGINT AS tf
-FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '')) AS w
       FROM documents WHERE trim(text) <> '')
 GROUP BY w, doc_id
 """
@@ -1276,7 +1281,7 @@ def source_token_affinity(sf_dir: str) -> pd.DataFrame:
 
 SOURCE_TOKEN_AFFINITY_SQL = r"""
 WITH tok AS (
-    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+    SELECT source, unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '')) AS w
     FROM documents WHERE trim(text) <> ''
 ),
 s AS (SELECT source, w, COUNT(*)::BIGINT AS c_s FROM tok GROUP BY source, w),
@@ -1495,8 +1500,8 @@ def token_cooccurrence_sql(window: int = 2, min_count: int = 2) -> str:
     return rf"""
 WITH pos AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(text), '\s+')) AS w,
-           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1)) AS p
+           unnest(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS w,
+           unnest(range(1, len(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) + 1)) AS p
     FROM documents WHERE trim(text) <> ''
 )
 SELECT least(a.w, b.w) AS tok_a,
@@ -1573,7 +1578,7 @@ def doc_classifier_sql(bias: int = 3, mod: int = 21, off: int = 10) -> str:
 WITH lists AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS tk
+                ELSE list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') END AS tk
     FROM documents
 ),
 toks AS (
@@ -1821,7 +1826,7 @@ CORPUS_SOURCE_REPORT_SQL = r"""
 SELECT source,
        COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN trim(text) = '' THEN 0
-                ELSE length(string_split_regex(trim(text), '\s+'))
+                ELSE length(list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != ''))
            END)::BIGINT AS n_tokens,
        SUM(length(text))::BIGINT AS n_chars,
        COUNT(DISTINCT md5(text))::BIGINT AS distinct_texts,
@@ -1951,7 +1956,7 @@ DOC_LM_SCORES_SQL = r"""
 WITH lists AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS tk
+                ELSE list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '') END AS tk
     FROM documents
 ),
 toks AS (
@@ -2083,7 +2088,7 @@ def curriculum_export_sql(bias: int = 3, mod: int = 21, off: int = 10) -> str:
 WITH lists AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS tk
+                ELSE list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '') END AS tk
     FROM documents
 ),
 toks AS (
@@ -2489,7 +2494,7 @@ DOC_DSIR_WEIGHTS_SQL = r"""
 WITH lists AS (
     SELECT doc_id, lang,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS tk
+                ELSE list_filter(string_split_regex(text, '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '') END AS tk
     FROM documents
 ),
 toks AS (
@@ -3018,6 +3023,15 @@ def bm25_search(
         if dfv > 0:  # absent terms contribute nothing; skip (guards div-by-0)
             live_terms.append(t)
             idf_fp.append((n_docs * 1_000_000) // dfv)
+    if not live_terms:  # no query term occurs in the corpus: a TYPED empty
+        # (a zero-hit scan would return a schema-less dataset — the driver's
+        # schema compare would flag columns, not values)
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "n_terms_matched": pd.Series([], dtype=np.int64),
+             "dl": pd.Series([], dtype=np.int64),
+             "score_fp": pd.Series([], dtype=np.int64)}
+        )
     if live_terms:
         worst = max(idf_fp) * 44 * avgdl * max(1, dl_max)
         if worst >= 2**63:  # pragma: no cover - ~20x-sf0.1 envelope
@@ -3039,7 +3053,7 @@ def bm25_search_sql(query: str = "hash join vector", k: int = 10) -> str:
     return rf"""
 WITH q(term) AS (VALUES {qlist}),
 toks AS (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[\s\x0b\x1c-\x1f\x85\p{{Z}}\x{{2028}}\x{{2029}}]+'), x -> x != '')) AS term
     FROM documents WHERE trim(text) <> ''
 ),
 dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1),
@@ -3324,12 +3338,37 @@ WHERE levenshtein(cand.name_a, b.name) = 1
 """
 
 
+# edit distance 1 expressed in CODEPOINTS via one-substitution /
+# one-deletion EXISTS checks over codepoint-aware substr — DuckDB's
+# levenshtein() counts BYTES, so levenshtein('😀','😀🚀') = 4 while the
+# engine's deletion-neighborhood proof (and any text-sane definition)
+# says 1 (caught by the adversarial-corpus sweep)
 TYPO_WORD_PAIRS_SQL = r"""
 WITH toks AS (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[\s\x0b\x1c-\x1f\x85\p{Z}\x{2028}\x{2029}]+'), x -> x != '')) AS word
     FROM documents WHERE trim(text) <> ''
 ),
-v AS (SELECT word, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1)
+v AS (SELECT word, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1),
+pos AS (SELECT unnest(generate_series(
+            1, (SELECT COALESCE(MAX(length(word)), 0) + 1 FROM v)))::INT AS i)
 SELECT a.word AS word_a, b.word AS word_b, a.n AS n_a, b.n AS n_b
-FROM v a JOIN v b ON a.word < b.word AND levenshtein(a.word, b.word) = 1
+FROM v a JOIN v b
+  ON a.word < b.word
+ AND abs(length(a.word) - length(b.word)) <= 1
+ AND (
+   (length(a.word) = length(b.word) AND EXISTS (
+       SELECT 1 FROM pos
+       WHERE pos.i <= length(a.word)
+         AND substr(a.word, 1, pos.i - 1) = substr(b.word, 1, pos.i - 1)
+         AND substr(a.word, pos.i + 1) = substr(b.word, pos.i + 1)
+         AND substr(a.word, pos.i, 1) != substr(b.word, pos.i, 1)))
+   OR (length(a.word) + 1 = length(b.word) AND EXISTS (
+       SELECT 1 FROM pos
+       WHERE pos.i <= length(b.word)
+         AND substr(b.word, 1, pos.i - 1) || substr(b.word, pos.i + 1) = a.word))
+   OR (length(b.word) + 1 = length(a.word) AND EXISTS (
+       SELECT 1 FROM pos
+       WHERE pos.i <= length(a.word)
+         AND substr(a.word, 1, pos.i - 1) || substr(a.word, pos.i + 1) = b.word))
+ )
 """
