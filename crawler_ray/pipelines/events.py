@@ -900,9 +900,12 @@ def funnel_conversions(
         )
         counts[0] = len(cur)
         for k in range(1, len(steps)):
-            sk = df[df["step"] == k].merge(
-                cur.rename("prev"), left_on="user_id", right_index=True
-            )
+            # merge on an explicit COLUMN frame: a left_on+right_index merge
+            # can name the result's index 'user_id' while the column also
+            # exists, making the next groupby raise "both an index level and
+            # a column label" (surfaced by the hot-key skew corpus)
+            prev_df = cur.rename("prev").rename_axis("user_id").reset_index()
+            sk = df[df["step"] == k].merge(prev_df, on="user_id")
             sk = sk[sk["ts_us"] > sk["prev"]]
             cur = sk.groupby("user_id", sort=False)["ts_us"].min()
             counts[k] = len(cur)

@@ -144,3 +144,60 @@ def test_oracle_exact_on_adversarial_text(ray_session, nasty_dir, nasty_con, nam
             assert np.array_equal(a, b, equal_nan=True), f"col {c} differs"
         elif len(a):
             assert (a == b).all(), f"col {c} differs"
+
+
+# ---------------------------------------------------------------------------
+# hot-key skew: 90% of events on ONE user — the hot-host/hot-user shape every
+# web-scale event log has. Caught funnel_conversions' pandas index-vs-column
+# groupby ambiguity on first run.
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_skew")
+    import shutil
+
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    ids = ev["event_id"].to_numpy()
+    ev["user_id"] = np.where(ids % 10 < 9, 7, ev["user_id"])
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def skew_con(skew_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{skew_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _events_sensitive() -> list[str]:
+    return sorted(
+        n for n, sql in entry_mod.oracle_sql().items()
+        if "events" in sql.lower()
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _events_sensitive())
+def test_oracle_exact_on_hot_user_skew(ray_session, skew_dir, skew_con, name):
+    got = _canon(_to_pandas(entry_mod.queries()[name](skew_dir)))
+    exp = _canon(skew_con.sql(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.array_equal(a, b, equal_nan=True), f"col {c} differs"
+        elif len(a):
+            assert (a == b).all(), f"col {c} differs"
