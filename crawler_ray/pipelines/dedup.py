@@ -35,9 +35,30 @@ import ray.data as rd
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    """Documents reader with the loader's NULL contract applied at the
+    boundary: string columns coalesce to '' (the driver generator never
+    emits nulls, but real crawled parquet can — a null text would
+    otherwise crash every ``.split()``/``.str`` kernel downstream with 39
+    different stack traces). Vectorized, fused, skipped when a batch has
+    no nulls."""
     from crawler_ray.sources.io import read_parquet_sized
 
-    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+    str_cols = [c for c in columns if c in ("text", "lang", "source")]
+    if str_cols:
+        import pyarrow.compute as _pc
+
+        def denull(t: pa.Table) -> pa.Table:
+            for c in str_cols:
+                col = t[c]
+                if col.null_count:
+                    t = t.set_column(
+                        t.schema.get_field_index(c), c, _pc.fill_null(col, "")
+                    )
+            return t
+
+        ds = ds.map_batches(denull, batch_format="pyarrow")
+    return ds
 
 
 # ---------------------------------------------------------------------------

@@ -19,9 +19,12 @@ from crawler_ray.functions.rounding import round_np
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    from crawler_ray.sources.io import read_parquet_sized
+    """Documents reader with nulls coalesced to '' at the boundary — see
+    ``dedup._read_docs`` (same contract; duplicated to keep each module's
+    reader self-contained)."""
+    from crawler_ray.pipelines.dedup import _read_docs as _impl
 
-    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+    return _impl(sf_dir, columns)
 
 
 class TokenStats:

@@ -78,3 +78,44 @@ def test_query_total_on_single_row_corpus(ray_session, one_row_dir, name):
     np.array of an empty embedding shortlist collapsing to 1-D)."""
     df = _to_pandas(entry_mod.queries()[name](one_row_dir))
     assert df is not None
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    """NULLs in the nullable string columns (text/lang/props). The driver
+    generator never emits them, but real crawled parquet can; the loaders
+    coalesce string nulls to '' at the read boundary (dedup._read_docs),
+    which this sweep pins — before that fix, 39 pipelines crashed here.
+    Totality only: oracle NULL semantics legitimately differ (SQL length(
+    NULL) is NULL), so no value compare on this corpus."""
+    import shutil
+
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        if t not in ("documents", "events"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    import pyarrow as pa
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    docs.loc[ids % 20 == 5, "text"] = None
+    docs.loc[ids % 20 == 10, "lang"] = None
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    ev.loc[ev["event_id"].to_numpy() % 20 == 5, "props"] = None
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_total_on_null_bearing_corpus(ray_session, null_dir, name):
+    df = _to_pandas(entry_mod.queries()[name](null_dir))
+    assert df is not None
