@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -154,26 +153,18 @@ def candidate_buckets(
 
 
 def _ensure_layout(sf_dir: str, grid_bits: int = 3) -> str:
-    import hashlib
-
     # grid_bits is part of the cache key (the minhash band-index n_parts
     # lesson): a 3-bit layout served to a 4-bit caller stays CORRECT (the
     # exact predicate always applies and meta.json governs pruning) but
-    # silently prunes at the wrong granularity
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{grid_bits}".encode()
-    ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"crawler_ray_zorder_{key}")
-    if not os.path.exists(os.path.join(root, "meta.json")):
-        stage = f"{root}.tmp-{os.getpid()}"
-        write_zorder_events(sf_dir, stage, grid_bits=grid_bits)
-        try:
-            os.rename(stage, root)  # atomic publish; losers keep serving
-        except OSError:  # pragma: no cover - concurrent builder won
-            import shutil
+    # silently prunes at the wrong granularity. Build-once/atomic-publish
+    # via the shared artifact_cache protocol (every persisted index routes
+    # through it rather than re-implementing the rename dance).
+    from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
 
-            shutil.rmtree(stage, ignore_errors=True)
-    return root
+    return ensure_dir(
+        cache_dir("zorder", os.path.abspath(sf_dir), grid_bits),
+        lambda stage: write_zorder_events(sf_dir, stage, grid_bits=grid_bits),
+    )
 
 
 def layout_prune_stats(
