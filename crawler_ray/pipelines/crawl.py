@@ -55,6 +55,7 @@ import ray
 import ray.data as rd
 
 from crawler_ray import schemas
+from crawler_ray.sources.io import resolve_table_format as _resolve_table_format
 from crawler_ray.state.checkpoint import CheckpointManager
 from crawler_ray.state.politeness import PolitenessActor
 from crawler_ray.state.seen import SeenSet
@@ -335,6 +336,9 @@ class CrawlDriver:
                 None,  # sink_dirs (per-round attr)
                 cfg.fetcher,
                 cfg.http_opts,
+                # part-file format, resolved on the DRIVER (env is visible
+                # here; it is not in workers) and shipped with the args
+                _resolve_table_format(),
             )
         )
 
@@ -414,6 +418,7 @@ class CrawlDriver:
                             self.robots_txt, cfg.max_attempts,
                             cfg.synth_images, images_dir, True, sink_dirs,
                             cfg.fetcher, cfg.http_opts,
+                            _resolve_table_format(),
                         ),
                         batch_format="pyarrow",
                         batch_size=cfg.batch_size,

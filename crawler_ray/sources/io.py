@@ -2,8 +2,16 @@
 
 The north rule targets **Lance** tables for the image+caption output. This
 container has no ``lance``/``pylance`` wheel, so the Lance path is gated
-behind an import-try with parquet fallback — the call sites and layouts are
-identical, and flipping to Lance on a real cluster is this module only.
+behind an import-try — the real wheel is preferred when importable; setting
+``CRAWLER_RAY_LANCE=mini`` routes the same code paths through the vendored
+:mod:`crawler_ray.vendor.minilance` stand-in (fragmented, versioned,
+atomically-committed datasets with the real library's API subset and write
+semantics, Arrow-IPC fragment encoding), exercised end-to-end in
+``tests/test_minilance.py``; default is the parquet fallback. Call sites and
+layouts are identical across all three, and flipping a real cluster to real
+Lance is this module only. Crawl workers never consult the environment: the
+format is resolved driver-side (``resolve_table_format``) and threaded
+through the stage init args.
 
 ``read_local_images`` is the reference's local-file image source (S5:
 ``UploadImgsByFile``/``GetImgStr``/``FileHelper.GetAllFiles``,
@@ -26,10 +34,29 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def _use_minilance() -> bool:
+    """True when the vendored Lance stand-in should serve the Lance code
+    paths: either explicitly requested (``CRAWLER_RAY_LANCE=mini``) or
+    ``CRAWLER_RAY_LANCE=1`` with no real wheel present. Checked per call so
+    tests can flip it with ``monkeypatch.setenv``. The real wheel, when
+    importable, always wins (``CRAWLER_RAY_LANCE=mini`` forces the vendored
+    store even then, for tests). Default (env unset) is the historical
+    parquet fallback — flipping the whole engine's sinks to minilance is a
+    one-env-var change, exercised end-to-end in tests/test_minilance.py."""
+    v = os.environ.get("CRAWLER_RAY_LANCE", "")
+    if v == "mini":
+        return True
+    return v == "1" and not HAVE_LANCE
+
+
 def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
     """Write a Dataset as Lance when available, parquet otherwise."""
     if HAVE_LANCE and hasattr(ds, "write_lance"):
         ds.write_lance(uri, **kwargs)  # pragma: no cover
+    elif _use_minilance():
+        from crawler_ray.sources.lance_ray import write_minilance
+
+        write_minilance(ds, uri, mode=kwargs.pop("mode", "overwrite"))
     else:
         ds.write_parquet(uri, **kwargs)
 
@@ -37,12 +64,32 @@ def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
 def read_table(uri: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read a Lance dataset when available (and the uri is Lance), else
     parquet. Column pruning pushed down either way."""
-    if HAVE_LANCE and uri.endswith(".lance"):
-        return rd.read_lance(uri, columns=columns)  # pragma: no cover
+    if uri.endswith(".lance"):
+        if HAVE_LANCE:
+            return rd.read_lance(uri, columns=columns)  # pragma: no cover
+        if _use_minilance():
+            from crawler_ray.sources.lance_ray import read_minilance
+
+            return read_minilance(uri, columns=columns)
     return rd.read_parquet(uri, columns=columns)
 
 
-def write_part(table: pa.Table, root: str, stem: str) -> str:
+def resolve_table_format() -> str:
+    """Decide the part-file format ONCE, on the driver: ``"lance"`` (real
+    wheel), ``"minilance"`` (vendored stand-in, env-opted), or ``"parquet"``.
+    Crawl code resolves this at driver time and threads the result through
+    the stage init args — workers must NOT consult the environment, because
+    on a real multi-node cluster (and in Ray local mode, whose workers
+    inherit the raylet's env from ``ray.init`` time) driver env changes
+    never reach them."""
+    if HAVE_LANCE:  # pragma: no cover - no wheel in sandbox
+        return "lance"
+    if _use_minilance():
+        return "minilance"
+    return "parquet"
+
+
+def write_part(table: pa.Table, root: str, stem: str, fmt: str | None = None) -> str:
     """ONE deterministically-named part of a table directory — the unit every
     crawl sink writes (images, entities, errors, frontier). When ``lance`` is
     available each part is its OWN Lance dataset (``part-<stem>.lance``,
@@ -54,11 +101,19 @@ def write_part(table: pa.Table, root: str, stem: str) -> str:
     (``write_table(read_parts(root), uri)``) yields the single north-rule
     Lance table when wanted. Returns the path written."""
     os.makedirs(root, exist_ok=True)
-    if HAVE_LANCE:  # pragma: no cover - exercised via the mocked contract test
+    if fmt is None:
+        fmt = resolve_table_format()
+    if fmt == "lance":  # pragma: no cover - exercised via the mocked contract test
         import lance as _lance
 
         uri = os.path.join(root, f"part-{stem}.lance")
         _lance.write_dataset(table, uri, mode="overwrite")
+        return uri
+    if fmt == "minilance":
+        from crawler_ray.vendor import minilance
+
+        uri = os.path.join(root, f"part-{stem}.lance")
+        minilance.write_dataset(table, uri, mode="overwrite")
         return uri
     import pyarrow.parquet as pq
 
@@ -100,9 +155,16 @@ def read_parts(
     block per part; ``override_num_blocks`` is a parquet-only knob); parquet
     parts → ``read_parquet`` with column pruning pushed down."""
     lance_uris = [p for p in _part_entries(root) if p.endswith(".lance")]
-    if lance_uris:  # pragma: no cover - no lance wheel in sandbox; contract-tested
-        dsets = [rd.read_lance(u, columns=columns) for u in lance_uris]
-        return dsets[0].union(*dsets[1:]) if len(dsets) > 1 else dsets[0]
+    if lance_uris:
+        if HAVE_LANCE:  # pragma: no cover - no lance wheel in sandbox
+            dsets = [rd.read_lance(u, columns=columns) for u in lance_uris]
+            return dsets[0].union(*dsets[1:]) if len(dsets) > 1 else dsets[0]
+        from crawler_ray.sources.lance_ray import read_minilance
+
+        # ONE datasource over every part: a per-part read + union plan pays
+        # per-operator driver overhead for each part (measured 61 s vs 0.3 s
+        # on a 52-part frontier round)
+        return read_minilance(lance_uris, columns=columns)
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
@@ -122,8 +184,11 @@ def read_parts_table(root: str, columns: list[str] | None = None) -> pa.Table | 
 
     tables = []
     for p in _part_entries(root):
-        if p.endswith(".lance"):  # pragma: no cover - contract-tested
-            import lance as _lance
+        if p.endswith(".lance"):
+            if HAVE_LANCE:  # pragma: no cover - no lance wheel in sandbox
+                import lance as _lance
+            else:
+                from crawler_ray.vendor import minilance as _lance
 
             tables.append(_lance.dataset(p).to_table(columns=columns))
         else:

@@ -263,7 +263,7 @@ class CrawlProcessStage:
                  max_attempts: int = 3, synth_images: dict | None = None,
                  images_dir: str | None = None, filter_input: bool = False,
                  sink_dirs: dict | None = None, fetcher: str = "synthetic",
-                 http_opts: dict | None = None):
+                 http_opts: dict | None = None, table_fmt: str = "parquet"):
         if fetcher == "http":
             from crawler_ray.stages.fetch import HttpFetchStage
 
@@ -299,6 +299,11 @@ class CrawlProcessStage:
         # exactly ONE streaming execution whose output is a handful of stat
         # rows.
         self.sink_dirs = sink_dirs or {}
+        # part-file format, resolved ONCE on the driver (sources/io.py
+        # resolve_table_format) and shipped with the init args: workers may
+        # not consult the environment — driver env changes never reach
+        # already-started Ray workers, locally or on a real cluster
+        self.table_fmt = table_fmt
 
     def _robots_filter(self, batch: pa.Table) -> tuple[pa.Table, list[str]]:
         """Drop robots-disallowed rows; returns (batch, surviving urls) —
@@ -408,7 +413,7 @@ class CrawlProcessStage:
             digest = _hl.md5("".join(ids[j] for j in new_idx).encode()).hexdigest()[:16]
             # Lance fragment when available (north-rule image+caption
             # table), deterministic parquet part otherwise (sources/io.py)
-            write_part(table, self.images_dir, digest)
+            write_part(table, self.images_dir, digest, fmt=self.table_fmt)
             # one summary row per batch instead of 10^3 marker rows
             out.append(
                 _row(
@@ -602,8 +607,7 @@ class CrawlProcessStage:
          ["url", "host", "kind", "depth", "priority", "seed_id", "caption"]),
     )
 
-    @staticmethod
-    def _sink_write(table: pa.Table, root: str, tag: str) -> None:
+    def _sink_write(self, table: pa.Table, root: str, tag: str) -> None:
         import hashlib as _hl
 
         from crawler_ray.sources.io import write_part
@@ -612,7 +616,7 @@ class CrawlProcessStage:
         digest = _hl.md5(
             ("\x00".join(table[key_col].to_pylist()) + tag).encode()
         ).hexdigest()[:16]
-        write_part(table, root, digest)
+        write_part(table, root, digest, fmt=self.table_fmt)
 
     def _drain_sinks(self, result: pa.Table) -> pa.Table:
         """Write entity/error/successor rows to their per-round sinks and
