@@ -20,6 +20,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from crawler_ray.functions.rounding import round_np
+from crawler_ray.pipelines.result import schema_safe
 
 
 def _tag_and_bucket(ds: rd.Dataset, key: str, side: str, n_buckets: int) -> rd.Dataset:
@@ -1134,9 +1135,13 @@ def returned_item_report(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
             }
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("n_name", pa.string()), ("revenue", pa.float64())]
+    ))
 
 
 RETURNED_ITEM_REPORT_SQL = """
@@ -1374,9 +1379,12 @@ def local_supplier_volume(
             }
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("n_name", pa.string()), ("revenue", pa.float64())]
+    ))
 
 
 LOCAL_SUPPLIER_VOLUME_SQL = """
@@ -1650,9 +1658,13 @@ def nation_trade_flows(
             }
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("l_year", pa.int64()), ("revenue", pa.float64())]
+    ))
 
 
 def nation_trade_flows_sql(nat_a: str = "NATION_12", nat_b: str = "NATION_11") -> str:
@@ -1909,9 +1921,12 @@ def nation_market_share(
             }
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("o_year", pa.int64()), ("mkt_share", pa.float64())]
+    ))
 
 
 def nation_market_share_sql(region: str = "AMERICA", target: str = "NATION_1") -> str:
@@ -2693,9 +2708,13 @@ def shipping_priority_orders(
             }
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("l_orderkey", pa.int64()), ("revenue", pa.float64()),
+         ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())]
+    ))
 
 
 def shipping_priority_orders_sql(
@@ -2870,9 +2889,13 @@ def top_revenue_suppliers(
             }
         )
 
-    return agg.repartition(1).map_batches(
+    out = agg.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("total_revenue", pa.float64())]
+    ))
 
 
 def top_revenue_suppliers_sql(lo: str = "1996-01-01", hi: str = "1996-04-01") -> str:

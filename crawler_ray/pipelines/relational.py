@@ -25,6 +25,7 @@ import ray
 import ray.data as rd
 
 from crawler_ray.functions.rounding import round_pa
+from crawler_ray.pipelines.result import schema_safe
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
@@ -502,7 +503,13 @@ def first_order_per_customer(sf_dir: str) -> rd.Dataset:
 
 
 FIRST_ORDER_SQL = """
-SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS first_order_epoch
+SELECT o_custkey, o_orderkey,
+       -- integer FLOOR to seconds: epoch(ts)::BIGINT would ROUND fractional
+       -- seconds (cast double->bigint is round-half-even) while the engine
+       -- floors ns//1e9 — divergent on any sub-second timestamp (found by
+       -- tools/fuzz_oracles.py; the driver corpus is midnight-only so the
+       -- driver gate can never see it). Positive epochs only, so // == floor.
+       epoch_us(o_orderdate) // 1000000 AS first_order_epoch
 FROM orders
 QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey) = 1
@@ -1796,9 +1803,12 @@ def repeat_customers(sf_dir: str, y_a: int = 1995, y_b: int = 1996) -> rd.Datase
     """INTERSECT verb: customers with orders in BOTH years (the retention
     set). One custkey exchange over bit-packed presence pairs."""
     pres = _customer_year_presence(sf_dir, y_a, y_b)
-    return pres.map_batches(
-        lambda t: t.filter(pc.equal(t["mask"], 3)).select(["o_custkey"]),
-        batch_format="pyarrow",
+    return schema_safe(
+        pres.map_batches(
+            lambda t: t.filter(pc.equal(t["mask"], 3)).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
     )
 
 
@@ -1806,9 +1816,12 @@ def churned_customers(sf_dir: str, y_a: int = 1995, y_b: int = 1996) -> rd.Datas
     """EXCEPT verb: customers who ordered in ``y_a`` but NOT in ``y_b``
     (the churn set). Same presence fold, different mask."""
     pres = _customer_year_presence(sf_dir, y_a, y_b)
-    return pres.map_batches(
-        lambda t: t.filter(pc.equal(t["mask"], 1)).select(["o_custkey"]),
-        batch_format="pyarrow",
+    return schema_safe(
+        pres.map_batches(
+            lambda t: t.filter(pc.equal(t["mask"], 1)).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
     )
 
 
@@ -1968,9 +1981,12 @@ def either_year_customers(sf_dir: str, y_a: int = 1995, y_b: int = 1996) -> rd.D
     one custkey exchange total, the three verbs differ only in the final
     vectorized mask test."""
     pres = _customer_year_presence(sf_dir, y_a, y_b)
-    return pres.map_batches(
-        lambda t: t.filter(pc.greater(t["mask"], 0)).select(["o_custkey"]),
-        batch_format="pyarrow",
+    return schema_safe(
+        pres.map_batches(
+            lambda t: t.filter(pc.greater(t["mask"], 0)).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
     )
 
 
@@ -2295,8 +2311,13 @@ def forecast_revenue_change(sf_dir: str) -> rd.Dataset:
 
 
 FORECAST_REVENUE_SQL = """
-SELECT ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND(l_discount * 100))
-             / 10000.0, 2) AS revenue
+-- COALESCE: the engine's fold of ZERO qualifying lines is 0.00 (a sum of
+-- no partials), while SQL SUM over the empty set is NULL — align on 0
+-- (found by tools/fuzz_oracles.py --barren; the driver corpus always has
+-- qualifying lines)
+SELECT ROUND(COALESCE(
+             SUM(ROUND(l_extendedprice * 100) * ROUND(l_discount * 100)),
+             0) / 10000.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2393,9 +2414,12 @@ def promo_revenue_share(sf_dir: str, year: int = 1996) -> rd.Dataset:
             }
         )
 
-    return agg.repartition(1).map_batches(
+    out = agg.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+    return schema_safe(out, pa.schema(
+        [("l_month", pa.int64()), ("promo_share", pa.float64())]
+    ))
 
 
 def promo_revenue_share_sql(year: int = 1996) -> str:
