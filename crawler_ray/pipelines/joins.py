@@ -1131,7 +1131,7 @@ def returned_item_report(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
                 "c_custkey": m["c_custkey"].astype("int64"),
                 "c_name": m["c_name"],
                 "n_name": m["n_name"],
-                "revenue": (m["rev"] / 10000.0).round(2),
+                "revenue": round_np(m["rev"] / 10000.0, 2),
             }
         )
 
@@ -1375,7 +1375,7 @@ def local_supplier_volume(
         return pd.DataFrame(
             {
                 "n_name": out["n_name"],
-                "revenue": (out["rev"] / 10000.0).round(2),
+                "revenue": round_np(out["rev"] / 10000.0, 2),
             }
         )
 
@@ -1654,7 +1654,7 @@ def nation_trade_flows(
                 "supp_nation": out["s_nat"].map(name_of).astype(object),
                 "cust_nation": out["c_nat"].map(name_of).astype(object),
                 "l_year": out["year"].astype("int64"),
-                "revenue": (out["rev"] / 10000.0).round(2).astype("float64"),
+                "revenue": round_np(out["rev"] / 10000.0, 2),
             }
         )
 
@@ -1917,7 +1917,7 @@ def nation_market_share(
         return pd.DataFrame(
             {
                 "o_year": out["year"].astype("int64"),
-                "mkt_share": (out["rev_t"] / out["rev_all"]).round(6),
+                "mkt_share": round_np(out["rev_t"] / out["rev_all"], 6),
             }
         )
 
@@ -2355,7 +2355,7 @@ def dormant_customer_balance(
             {
                 "n_name": out["nat"].map(name_of),
                 "numcust": out["n_p"].astype("int64"),
-                "totacctbal": (out["cents_p"] / 100.0).round(2),
+                "totacctbal": round_np(out["cents_p"] / 100.0, 2),
             }
         )
 
@@ -2702,7 +2702,7 @@ def shipping_priority_orders(
         return pd.DataFrame(
             {
                 "l_orderkey": df["key"].astype("int64"),
-                "revenue": (df["rev"] / 10000.0).round(2),
+                "revenue": round_np(df["rev"] / 10000.0, 2),
                 "o_orderdate": df["o_orderdate"],
                 "o_orderpriority": df["priority"],
             }
@@ -2885,7 +2885,7 @@ def top_revenue_suppliers(
             {
                 "s_suppkey": m["s_suppkey"].astype("int64"),
                 "s_name": m["s_name"],
-                "total_revenue": (m["total"] / 10000.0).round(2),
+                "total_revenue": round_np(m["total"] / 10000.0, 2),
             }
         )
 

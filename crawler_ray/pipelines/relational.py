@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from crawler_ray.functions.rounding import round_pa
+from crawler_ray.functions.rounding import round_np, round_pa
 from crawler_ray.pipelines.result import schema_safe
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -2410,7 +2410,7 @@ def promo_revenue_share(sf_dir: str, year: int = 1996) -> rd.Dataset:
         return pd.DataFrame(
             {
                 "l_month": df["month"].astype("int64"),
-                "promo_share": (100.0 * df["promo_f"] / df["total_f"]).round(6),
+                "promo_share": round_np(100.0 * df["promo_f"] / df["total_f"], 6),
             }
         )
 

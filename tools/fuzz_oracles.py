@@ -139,10 +139,16 @@ def build_corpus(seed: int, out_dir: str, barren: bool = False) -> str:
     n = len(part)
     part["p_size"] = _zipf_pick(rng, np.arange(1, 51, dtype=np.int32), n)
     part["p_retailprice"] = _money(rng, n, 900, 920)
+    # barren: no Brand#1/2/3, no PROMO — the brand/type-filtered report
+    # queries (small_qty_part_revenue, brand_size_quantity_revenue,
+    # promo_revenue_share's numerator) come out empty
+    brand_pool = np.arange(10, 26) if barren else np.arange(1, 26)
     part["p_brand"] = np.array(
-        [f"Brand#{b}" for b in _zipf_pick(rng, np.arange(1, 26), n)], dtype=object
+        [f"Brand#{b}" for b in _zipf_pick(rng, brand_pool, n)], dtype=object
     )
     types = ["ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL", "PROMO"]
+    if barren:
+        types = ["ECONOMY"]
     part["p_type"] = _zipf_pick(rng, np.array(types, dtype=object), n)
     dump(part, "part", schemas["part"])
 
@@ -230,9 +236,10 @@ def build_corpus(seed: int, out_dir: str, barren: bool = False) -> str:
             texts[b] = " ".join(w)
     docs["text"] = texts
     docs["n_chars"] = [len(t) for t in texts]
-    docs["lang"] = _zipf_pick(
-        rng, np.array(["en", "de", "fr", "es", "zh"], dtype=object), n
-    )
+    # barren: no 'en' docs — the lang-gated pipelines (DSIR weights/sample,
+    # curation's lang filter) see an empty selected set
+    lang_pool = ["de", "fr", "es", "zh"] if barren else ["en", "de", "fr", "es", "zh"]
+    docs["lang"] = _zipf_pick(rng, np.array(lang_pool, dtype=object), n)
     docs["source"] = _zipf_pick(
         rng, np.array([f"src{i}" for i in range(20)], dtype=object), n
     )
