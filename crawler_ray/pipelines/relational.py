@@ -25,7 +25,7 @@ import ray
 import ray.data as rd
 
 from crawler_ray.functions.rounding import round_np, round_pa
-from crawler_ray.pipelines.result import schema_safe
+from crawler_ray.pipelines.result import scalar_safe, schema_safe
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
@@ -2085,10 +2085,20 @@ def small_qty_part_revenue(
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         total = float(df["rev_c"].sum())
         assert total < float(1 << 53), "rev sum exceeds exact-f64 envelope"
-        return pd.DataFrame({"avg_yearly": [round(total / 100.0 / 7.0, 2)]})
+        return pd.DataFrame(
+            {"avg_yearly": [float(round_np([total / 100.0 / 7.0], 2)[0])]}
+        )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
+    )
+    # scalar aggregate: SQL returns exactly ONE row even when nothing
+    # matches (COALESCEd to 0 in the oracle); the engine's fold has zero
+    # groups then and `finish` never runs — default the scalar here
+    return scalar_safe(
+        out,
+        pa.schema([("avg_yearly", pa.float64())]),
+        {"avg_yearly": 0.0},
     )
 
 
@@ -2100,7 +2110,8 @@ WITH st AS (
     WHERE p_brand = '{brand}'
     GROUP BY 1
 )
-SELECT ROUND(SUM(ROUND(l_extendedprice * 100)) / 100.0 / 7.0, 2) AS avg_yearly
+SELECT ROUND(COALESCE(SUM(ROUND(l_extendedprice * 100)), 0) / 100.0 / 7.0, 2)
+           AS avg_yearly
 FROM lineitem JOIN st USING (l_partkey)
 WHERE 2 * l_quantity * cq < sq
 """
@@ -2188,7 +2199,9 @@ def brand_size_quantity_revenue(sf_dir: str) -> rd.Dataset:
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         total = float(df["rev_p"].sum())
         assert total < float(1 << 53), "rev sum exceeds exact-f64 envelope"
-        return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
+        return pd.DataFrame(
+            {"revenue": [float(round_np([total / 10000.0], 2)[0])]}
+        )
 
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
@@ -2196,8 +2209,9 @@ def brand_size_quantity_revenue(sf_dir: str) -> rd.Dataset:
 
 
 BRAND_SIZE_QTY_REVENUE_SQL = """
-SELECT ROUND(SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100))
-             / 10000.0, 2) AS revenue
+SELECT ROUND(COALESCE(
+             SUM(ROUND(l_extendedprice * 100) * ROUND((1 - l_discount) * 100)),
+             0) / 10000.0, 2) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
@@ -2303,7 +2317,9 @@ def forecast_revenue_change(sf_dir: str) -> rd.Dataset:
         # rounding
         total = float(df["rev_p"].sum())
         assert total < float(1 << 53), "rev sum exceeds exact-f64 envelope"
-        return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
+        return pd.DataFrame(
+            {"revenue": [float(round_np([total / 10000.0], 2)[0])]}
+        )
 
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None

@@ -39,3 +39,16 @@ def schema_safe(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset | pa.Table:
     if mat.count() == 0:
         return schema.empty_table()
     return mat
+
+
+def scalar_safe(
+    ds: rd.Dataset, schema: pa.Schema, default_row: dict
+) -> rd.Dataset | pa.Table:
+    """Like :func:`schema_safe`, for scalar aggregates (no GROUP BY): SQL
+    returns exactly ONE row even over the empty set, so when the engine's
+    fold has zero groups (its finisher never runs) the aligned default row
+    — the COALESCE value the oracle uses — is returned typed."""
+    mat = ds.materialize()
+    if mat.count() == 0:
+        return pa.Table.from_pylist([default_row], schema=schema)
+    return mat
