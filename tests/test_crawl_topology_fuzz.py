@@ -60,3 +60,54 @@ def test_crawl_random_topology_matches_ground_truth(
     assert imgs.equals(site.expected_images), (
         f"seed {seed}: images table diverged (spec={spec})"
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_crawl_random_topology_kill_poison_resume(
+    ray_session, tmp_path_factory, seed
+):
+    """Compound recovery under a random topology: crawl to a random round,
+    abandon the driver (kill), then RESUME with a poison marker so one task
+    of the resumed round dies mid-flight (possibly after sibling tasks
+    mutated the seen-set and wrote sink parts) — the round rolls back to
+    the checkpoint and re-runs. Final state must still be bit-identical to
+    the generator's ground truth."""
+    rng = np.random.default_rng(seed)
+    spec = SiteSpec(
+        n_hosts=int(rng.integers(3, 7)),
+        products_per_host=int(rng.integers(10, 40)),
+        categories_per_host=int(rng.integers(2, 6)),
+        page_size=int(rng.integers(3, 10)),
+        dup_image_frac=float(rng.uniform(0.0, 0.6)),
+        error_frac=float(rng.uniform(0.0, 0.2)),
+        robots_frac=float(rng.uniform(0.0, 0.3)),
+        seed=seed,
+    )
+    site_dir = tmp_path_factory.mktemp(f"site_kpr_{seed}")
+    site = generate_site(spec)
+    write_site(site, str(site_dir))
+    out = tmp_path_factory.mktemp(f"crawl_kpr_{seed}")
+
+    base = dict(
+        fixture_dir=str(site_dir),
+        out_dir=str(out),
+        quota_per_host=int(rng.integers(10, 50)),
+        fetch_concurrency=2,
+        num_seen_shards=2,
+    )
+    drv1 = CrawlDriver(CrawlConfig(**base))
+    drv1.run(stop_after_round=int(rng.integers(0, 2)))
+    drv1.shutdown()
+
+    marker = str(out / "poison_once")
+    drv2 = CrawlDriver(CrawlConfig(**base, fail_once_marker=marker))
+    res = drv2.run(resume=True)
+    drv2.shutdown()
+    import os
+
+    assert os.path.exists(marker)  # the injected failure actually fired
+    assert res.pages_fetched == len(site.expected_seen)
+    assert read_images_table(str(out)).equals(site.expected_images), (
+        f"seed {seed}: kill+poison+resume diverged (spec={spec})"
+    )
