@@ -58,6 +58,8 @@ class MiniLanceDatasource(Datasource):
     ):
         if isinstance(uris, str):
             uris = [uris]
+        if not uris:
+            raise ValueError("no dataset uris given")
         if version is not None and len(uris) != 1:
             raise ValueError("version= only applies to a single-uri read")
         self._columns = columns

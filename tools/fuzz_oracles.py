@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hashcheck import TABLES, _canon, _to_pandas  # noqa: E402
 
-BASE = "/root/testdata/sf0.001"
+BASE = os.environ.get("FUZZ_BASE", "/root/testdata/sf0.001")
 
 VOCAB = [
     "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
