@@ -2203,8 +2203,13 @@ def brand_size_quantity_revenue(sf_dir: str) -> rd.Dataset:
             {"revenue": [float(round_np([total / 10000.0], 2)[0])]}
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
+    )
+    # scalar aggregate: one row even over an EMPTY corpus (zero input
+    # blocks -> `partial`/`finish` never run), matching the COALESCEd oracle
+    return scalar_safe(
+        out, pa.schema([("revenue", pa.float64())]), {"revenue": 0.0}
     )
 
 
@@ -2321,8 +2326,13 @@ def forecast_revenue_change(sf_dir: str) -> rd.Dataset:
             {"revenue": [float(round_np([total / 10000.0], 2)[0])]}
         )
 
-    return folded.repartition(1).map_batches(
+    out = folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
+    )
+    # scalar aggregate: one row even over an EMPTY corpus (zero input
+    # blocks -> `partial`/`finish` never run), matching the COALESCEd oracle
+    return scalar_safe(
+        out, pa.schema([("revenue", pa.float64())]), {"revenue": 0.0}
     )
 
 

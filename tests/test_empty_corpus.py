@@ -47,7 +47,15 @@ ALL = sorted(entry_mod.queries().keys())
 
 # model TRAINING on an empty corpus yields the zero-initialized model —
 # dim+1 weight rows is the honest result, not fabrication
-MAY_EMIT_ROWS = {"train_doc_classifier"}
+MAY_EMIT_ROWS = {
+    "train_doc_classifier",
+    # scalar aggregates (no GROUP BY): SQL returns exactly ONE row even
+    # over the empty set, and the engines are aligned on the COALESCEd
+    # zero default (pipelines/result.scalar_safe)
+    "forecast_revenue_change",
+    "brand_size_quantity_revenue",
+    "small_qty_part_revenue",
+}
 
 
 @pytest.mark.parametrize("name", ALL)
