@@ -193,7 +193,12 @@ def build_corpus(seed: int, out_dir: str, barren: bool = False) -> str:
     n = len(ev)
     ev["ts"] = _ts_with_ties(rng, n, "2024-01-01", "2024-01-31", 25)
     ev["user_id"] = _zipf_pick(rng, np.arange(0, 15), n)
-    ev["value"] = _money(rng, n, 0, 350)
+    # 10% negative values: legal parquet the driver generator never emits —
+    # exercises the sign regime of every value fold (integer-cents folds and
+    # SQL SUM/AVG agree on negatives; anything assuming value >= 0 surfaces)
+    ev["value"] = np.where(
+        rng.random(n) < 0.1, -_money(rng, n, 0, 350), _money(rng, n, 0, 350)
+    )
     etypes = ["view"] if barren else [
         "signup", "click", "error", "view", "purchase"
     ]
