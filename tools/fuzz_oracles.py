@@ -203,7 +203,14 @@ def build_corpus(seed: int, out_dir: str, barren: bool = False) -> str:
         "signup", "click", "error", "view", "purchase"
     ]
     ev["event_type"] = _zipf_pick(rng, np.array(etypes, dtype=object), n)
-    kvals = rng.integers(0, 100, n)
+    # mostly small counters (the generator's regime) plus a large-k tail up
+    # to 10^12 — inside int64 AND float64-exact, so any divergence is an
+    # int32 truncation or lossy parse, not a representation gap
+    kvals = np.where(
+        rng.random(n) < 0.05,
+        rng.integers(1_000_000, 1_000_000_000_000, n),
+        rng.integers(0, 100, n),
+    )
     props_forms = [
         lambda k: f'{{"k": {k}}}',
         lambda k: "{}",
