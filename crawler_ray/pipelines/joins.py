@@ -937,7 +937,13 @@ def late_ship_priority_counts(
     def li_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {"key": t["l_orderkey"].to_numpy(),
-             "ship": t["l_shipdate"].to_numpy().astype("datetime64[D]")
+             # FULL microsecond resolution: the oracle's `l_shipdate >
+             # o_orderdate + INTERVAL 30 DAY` compares TIMESTAMPS; a
+             # day-truncated compare silently drops orders whose last ship
+             # lands later-in-day than odate+30d on the boundary day
+             # (invisible on the midnight-only driver dates; found by the
+             # sf0.01-base fuzz, seed 11000)
+             "ship": t["l_shipdate"].to_numpy().astype("datetime64[us]")
                  .astype(np.int64)}
         )
         g = df.groupby("key", sort=False)["ship"].max()
@@ -952,7 +958,7 @@ def late_ship_priority_counts(
 
     def o_rows(t: pa.Table) -> pa.Table:
         k = t["o_orderkey"].to_numpy()
-        od = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        od = t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {"key": pa.array(k, pa.int64()),
              "part": pa.array((k % n_parts).astype(np.int64), pa.int64()),
@@ -968,7 +974,8 @@ def late_ship_priority_counts(
         od = df[~is_li].drop(columns=["ship_max"]).set_index("key")
         joined = od.join(mx, how="inner")
         late = joined[
-            joined["ship_max"] > joined["odate"] + np.int64(grace_days)
+            joined["ship_max"]
+            > joined["odate"] + np.int64(grace_days) * 86_400_000_000
         ]
         out = late.groupby("priority", sort=False).size().rename("n_p")
         return out.reset_index()
@@ -2120,8 +2127,10 @@ def waiting_supplier_counts(
             {
                 "key": t["l_orderkey"].to_numpy(),
                 "supp": t["l_suppkey"].to_numpy(),
+                # microsecond resolution — same boundary-day reasoning as
+                # late_ship_priority_counts (the oracle compares TIMESTAMPS)
                 "ship": t["l_shipdate"].to_numpy()
-                .astype("datetime64[D]")
+                .astype("datetime64[us]")
                 .astype(np.int64),
             }
         )
@@ -2147,7 +2156,7 @@ def waiting_supplier_counts(
 
     def o_rows(t: pa.Table) -> pa.Table:
         key = t["o_orderkey"].to_numpy()
-        od = t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        od = t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
                 "part": pa.array((key % n_parts).astype(np.int64), pa.int64()),
@@ -2169,7 +2178,9 @@ def waiting_supplier_counts(
         )
         od = df[~is_li][["key", "odate"]]
         m = ps.merge(od, on="key", how="inner")
-        m["late"] = m["ship"] > m["odate"] + np.int64(grace_days)
+        m["late"] = (
+            m["ship"] > m["odate"] + np.int64(grace_days) * 86_400_000_000
+        )
         grp = m.groupby("key", sort=False)["late"].agg(["size", "sum"])
         keep_orders = grp[(grp["size"] >= 2) & (grp["sum"] == 1)].index
         culprit = m[m["late"] & m["key"].isin(keep_orders)]
