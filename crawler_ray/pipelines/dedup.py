@@ -1695,9 +1695,12 @@ def minhash_band_index_dir(
     the buckets and silently drop pairs."""
     import os
 
-    from crawler_ray.state.artifact_cache import cache_dir
+    from crawler_ray.state.artifact_cache import cache_dir, source_fingerprint
 
-    return cache_dir("bands", os.path.abspath(sf_dir), ngram, n_parts)
+    return cache_dir(
+        "bands", os.path.abspath(sf_dir), ngram, n_parts,
+        source_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
 
 
 def ensure_minhash_band_index(

@@ -159,10 +159,15 @@ def _ensure_layout(sf_dir: str, grid_bits: int = 3) -> str:
     # silently prunes at the wrong granularity. Build-once/atomic-publish
     # via the shared artifact_cache protocol (every persisted index routes
     # through it rather than re-implementing the rename dance).
-    from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
+    from crawler_ray.state.artifact_cache import (
+        cache_dir,
+        ensure_dir,
+        source_fingerprint,
+    )
 
     return ensure_dir(
-        cache_dir("zorder", os.path.abspath(sf_dir), grid_bits),
+        cache_dir("zorder", os.path.abspath(sf_dir), grid_bits,
+                  source_fingerprint(f"{sf_dir}/events.parquet")),
         lambda stage: write_zorder_events(sf_dir, stage, grid_bits=grid_bits),
     )
 

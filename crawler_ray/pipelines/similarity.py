@@ -351,13 +351,18 @@ def ann_indexed_topk(
     tests/test_similarity.py::test_persisted_ann_index."""
     import os
 
-    from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
+    from crawler_ray.state.artifact_cache import (
+        cache_dir,
+        ensure_dir,
+        source_fingerprint,
+    )
 
     q = _query_vec(sf_dir, query_vec_id)
     if q is None:
         return _empty_topk()
     idx = ensure_dir(
-        cache_dir("ann", os.path.abspath(sf_dir)),
+        cache_dir("ann", os.path.abspath(sf_dir),
+                  source_fingerprint(f"{sf_dir}/embeddings.parquet")),
         lambda stage: build_ann_index(sf_dir, stage),
     )
     res = ann_query_indexed(idx, q, k=k + 1)
@@ -488,13 +493,18 @@ def ann_ivf_topk(
     check (approximate); recall and layout asserted in tests."""
     import os
 
-    from crawler_ray.state.artifact_cache import cache_dir, ensure_dir
+    from crawler_ray.state.artifact_cache import (
+        cache_dir,
+        ensure_dir,
+        source_fingerprint,
+    )
 
     q = _query_vec(sf_dir, query_vec_id)
     if q is None:
         return _empty_topk()
     idx = ensure_dir(
-        cache_dir("ivf", os.path.abspath(sf_dir)),
+        cache_dir("ivf", os.path.abspath(sf_dir),
+                  source_fingerprint(f"{sf_dir}/embeddings.parquet")),
         lambda stage: build_ivf_index(sf_dir, stage),
     )
     res = ivf_query(idx, q, k=k + 1, nprobe=nprobe)
@@ -1037,9 +1047,12 @@ def pq_index_dir(sf_dir: str) -> str:
     """Canonical cache location of the persisted PQ index for a corpus."""
     import os
 
-    from crawler_ray.state.artifact_cache import cache_dir
+    from crawler_ray.state.artifact_cache import cache_dir, source_fingerprint
 
-    return cache_dir("pq", os.path.abspath(sf_dir))
+    return cache_dir(
+        "pq", os.path.abspath(sf_dir),
+        source_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
 
 
 def ensure_pq_index(sf_dir: str) -> str:

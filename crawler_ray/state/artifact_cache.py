@@ -31,6 +31,23 @@ def cache_dir(kind: str, *key_parts: object) -> str:
     return os.path.join(tempfile.gettempdir(), f"crawler_ray_{kind}_{key}")
 
 
+def source_fingerprint(*paths: str) -> str:
+    """Make-style staleness key for the SOURCE file(s) an artifact derives
+    from: ``mtimeNs-size`` per file. Every derived-index cache key must
+    include this — a cache keyed on the source *path* alone silently serves
+    a stale index when the data at that path changes in place (found by the
+    oracle fuzzer: reruns mutate /tmp/fuzz_sf_<seed>/events.parquet under a
+    fixed path, and the Z-order layout cache kept answering from the old
+    corpus — same primary keys, different attribute values). Content
+    hashing would cost a full read at the 100-TB design point; mtime+size
+    is the standard dependency check and one ``stat`` per source."""
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{st.st_mtime_ns}-{st.st_size}")
+    return "_".join(parts)
+
+
 def ensure_dir(path: str, build: Callable[[str], None]) -> str:
     """Return ``path``, building it first via ``build(stage_dir)`` if absent.
 

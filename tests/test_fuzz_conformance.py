@@ -27,20 +27,29 @@ from tests.conftest import REPO_ROOT
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["random", "barren"])
+@pytest.mark.parametrize("mode", ["random", "barren", "random-sf0.01"])
 def test_fuzz_sweep_green(mode):
     # subprocess: the sweep owns its own Ray session sizing and must see
     # module state identical to a fresh driver run
+    import os
+
     cmd = [
         sys.executable,
         f"{REPO_ROOT}/tools/fuzz_oracles.py",
         "--seeds",
         "1",
     ]
+    env = dict(os.environ)
     if mode == "barren":
         cmd.append("--barren")
+    elif mode == "random-sf0.01":
+        # the 10x-row regime: denser timestamp/key collisions — this base
+        # caught the Q4/Q21 day-vs-timestamp lateness truncation (seed
+        # 11000) that sf0.001 pools were too coarse to hit
+        env["FUZZ_BASE"] = "/root/testdata/sf0.01"
+        env["FUZZ_SEED0"] = "11000"
     res = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO_ROOT, env=env
     )
     tail = "\n".join(res.stdout.splitlines()[-30:])
     assert res.returncode == 0, f"fuzz sweep ({mode}) failures:\n{tail}"

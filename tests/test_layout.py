@@ -85,3 +85,49 @@ def test_candidate_buckets_cover_rows(tmp_path):
         cands = set(layout.candidate_buckets(meta, u_lo, u_hi, t_lo, t_hi))
         inside = (u >= u_lo) & (u <= u_hi) & (t >= t_lo) & (t < t_hi)
         assert set(z[inside].tolist()) <= cands
+
+
+def test_derived_cache_invalidated_when_source_changes(ray_session, tmp_path):
+    """Stale-artifact regression (found by the oracle fuzzer): a derived
+    index cached under a key that ignores the SOURCE data silently answers
+    from the old corpus when the file at the same path is rewritten.
+    cache keys now include source_fingerprint (mtime+size), so mutating
+    events.parquet in place must yield fresh query results."""
+    import os
+    import shutil
+
+    d = tmp_path / "sf_mut"
+    d.mkdir()
+    for t in ("events",):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    before = (
+        layout.events_user_window(str(d), 0, 10**9, "2000-01-01", "2100-01-01")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(before) > 0
+
+    # rewrite the source in place: flip every event_type
+    ev = pq.read_table(str(d / "events.parquet")).to_pandas()
+    ev["event_type"] = "mutated"
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        str(d / "events.parquet"),
+    )
+    # ensure the mtime actually moves even on coarse filesystems
+    os.utime(str(d / "events.parquet"))
+
+    after = (
+        layout.events_user_window(str(d), 0, 10**9, "2000-01-01", "2100-01-01")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(after) == len(before)
+    assert (after["event_type"] == "mutated").all(), (
+        "stale z-order layout served: source changed but cache key did not"
+    )
