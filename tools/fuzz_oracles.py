@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hashcheck import TABLES, _canon, _to_pandas  # noqa: E402
+from hashcheck import DEFAULT_SKIP, TABLES, _canon, _to_pandas  # noqa: E402
 
 BASE = os.environ.get("FUZZ_BASE", "/root/testdata/sf0.001")
 
@@ -293,11 +293,24 @@ def run_seed(
         )
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # at big bases (sf0.1+) the deliberately-quadratic DuckDB twins don't
+    # finish — demote those queries to totality-only (the Ray side is the
+    # scale path; their value-exactness is held at the smaller bases)
+    skip_quadratic = "--skip-quadratic" in sys.argv or os.environ.get(
+        "FUZZ_SKIP_QUADRATIC"
+    )
     failures: list[str] = []
     for name in names:
         t0 = time.monotonic()
         try:
             got = _canon(_to_pandas(queries[name](sf_dir)))
+            if name in oracles and skip_quadratic and name in DEFAULT_SKIP:
+                print(
+                    f"  PASS seed={seed} {name}: {len(got)} rows "
+                    "(totality only; quadratic oracle skipped)",
+                    flush=True,
+                )
+                continue
             if name in oracles:
                 exp = _canon(con.sql(oracles[name]).df())
                 assert list(got.columns) == list(exp.columns), (
