@@ -36,56 +36,66 @@ except ImportError:
 
 def _use_minilance() -> bool:
     """True when the vendored Lance stand-in should serve the Lance code
-    paths: either explicitly requested (``CRAWLER_RAY_LANCE=mini``) or
-    ``CRAWLER_RAY_LANCE=1`` with no real wheel present. Checked per call so
-    tests can flip it with ``monkeypatch.setenv``. The real wheel, when
-    importable, always wins (``CRAWLER_RAY_LANCE=mini`` forces the vendored
-    store even then, for tests). Default (env unset) is the historical
-    parquet fallback — flipping the whole engine's sinks to minilance is a
+    paths: either explicitly requested (``CRAWLER_RAY_LANCE=mini``, which
+    forces the vendored store even when the real wheel is importable — the
+    call sites check this BEFORE ``HAVE_LANCE``) or ``CRAWLER_RAY_LANCE=1``
+    with no real wheel present. ``CRAWLER_RAY_LANCE=off`` forces the parquet
+    fallback. Checked per call so tests can flip it with
+    ``monkeypatch.setenv``. Default (env unset) is the historical parquet
+    fallback — flipping the whole engine's sinks to minilance is a
     one-env-var change, exercised end-to-end in tests/test_minilance.py."""
     v = os.environ.get("CRAWLER_RAY_LANCE", "")
     if v == "mini":
         return True
+    if v in ("off", "parquet"):
+        return False
     return v == "1" and not HAVE_LANCE
 
 
 def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
     """Write a Dataset as Lance when available, parquet otherwise."""
-    if HAVE_LANCE and hasattr(ds, "write_lance"):
-        ds.write_lance(uri, **kwargs)  # pragma: no cover
-    elif _use_minilance():
+    if _use_minilance():
         from crawler_ray.sources.lance_ray import write_minilance
 
         write_minilance(ds, uri, mode=kwargs.pop("mode", "overwrite"))
+    elif HAVE_LANCE and hasattr(ds, "write_lance"):
+        ds.write_lance(uri, **kwargs)  # pragma: no cover
     else:
         ds.write_parquet(uri, **kwargs)
 
 
 def read_table(uri: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read a Lance dataset when available (and the uri is Lance), else
-    parquet. Column pruning pushed down either way."""
+    parquet. Column pruning pushed down either way. Dispatch is on what the
+    WRITER produced, not the current env: a ``.lance`` uri holding a
+    committed minilance dataset reads through the vendored store even when
+    ``CRAWLER_RAY_LANCE`` is unset (round-4 advice: env-gating the read path
+    made minilance data unreadable once the var was dropped)."""
     if uri.endswith(".lance"):
-        if HAVE_LANCE:
-            return rd.read_lance(uri, columns=columns)  # pragma: no cover
-        if _use_minilance():
+        from crawler_ray.vendor import minilance
+
+        if minilance.is_dataset(uri):
             from crawler_ray.sources.lance_ray import read_minilance
 
             return read_minilance(uri, columns=columns)
+        if HAVE_LANCE:
+            return rd.read_lance(uri, columns=columns)  # pragma: no cover
     return rd.read_parquet(uri, columns=columns)
 
 
 def resolve_table_format() -> str:
-    """Decide the part-file format ONCE, on the driver: ``"lance"`` (real
-    wheel), ``"minilance"`` (vendored stand-in, env-opted), or ``"parquet"``.
-    Crawl code resolves this at driver time and threads the result through
-    the stage init args — workers must NOT consult the environment, because
-    on a real multi-node cluster (and in Ray local mode, whose workers
-    inherit the raylet's env from ``ray.init`` time) driver env changes
-    never reach them."""
-    if HAVE_LANCE:  # pragma: no cover - no wheel in sandbox
-        return "lance"
+    """Decide the part-file format ONCE, on the driver: ``"minilance"``
+    (vendored stand-in — the sandbox default and the forced choice under
+    ``CRAWLER_RAY_LANCE=mini``), ``"lance"`` (real wheel), or ``"parquet"``
+    (``CRAWLER_RAY_LANCE=off``). Crawl code resolves this at driver time and
+    threads the result through the stage init args — workers must NOT
+    consult the environment, because on a real multi-node cluster (and in
+    Ray local mode, whose workers inherit the raylet's env from ``ray.init``
+    time) driver env changes never reach them."""
     if _use_minilance():
         return "minilance"
+    if HAVE_LANCE:  # pragma: no cover - no wheel in sandbox
+        return "lance"
     return "parquet"
 
 
@@ -129,17 +139,33 @@ def _part_entries(root: str):
     """Yield every part path under a ``write_part`` sink tree: parts directly
     in ``root`` (the frontier layout) and parts one level down in
     ``round_NNNN`` subdirs (the images / entity-table layout). Sorted for a
-    deterministic read order."""
+    deterministic read order.
+
+    Mixed-format dirs (a crawl resumed with ``CRAWLER_RAY_LANCE`` flipped can
+    hold the SAME content-derived stem in both formats — ``write_part``'s
+    retry-overwrite only replaces the same-format file): part stems are
+    content-addressed, so duplicate stems are duplicate CONTENT; yield each
+    stem once, preferring the ``.lance`` part deterministically. Round-4
+    advice: ``read_parts`` previously dropped ALL parquet parts whenever any
+    lance part existed (silent data loss) while ``read_parts_table`` read
+    both and double-counted rewritten stems."""
     if not os.path.isdir(root):
         return
-    for name in sorted(os.listdir(root)):
+
+    def emit(dirpath: str, names: list[str]):
+        parts = [n for n in sorted(names) if n.endswith((".lance", ".parquet"))]
+        stems_with_lance = {n[: -len(".lance")] for n in parts if n.endswith(".lance")}
+        for n in parts:
+            if n.endswith(".parquet") and n[: -len(".parquet")] in stems_with_lance:
+                continue  # same content-addressed stem already yielded as lance
+            yield os.path.join(dirpath, n)
+
+    top = sorted(os.listdir(root))
+    yield from emit(root, top)
+    for name in top:
         p = os.path.join(root, name)
-        if name.endswith((".lance", ".parquet")):
-            yield p
-        elif os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                if f.endswith((".lance", ".parquet")):
-                    yield os.path.join(p, f)
+        if os.path.isdir(p):
+            yield from emit(p, os.listdir(p))
 
 
 def read_parts(
@@ -154,17 +180,23 @@ def read_parts(
     between rounds). Lance parts → union of per-part ``read_lance`` (one
     block per part; ``override_num_blocks`` is a parquet-only knob); parquet
     parts → ``read_parquet`` with column pruning pushed down."""
-    lance_uris = [p for p in _part_entries(root) if p.endswith(".lance")]
+    entries = list(_part_entries(root))
+    lance_uris = [p for p in entries if p.endswith(".lance")]
+    parquet_paths = [p for p in entries if p.endswith(".parquet")]
     if lance_uris:
-        if HAVE_LANCE:  # pragma: no cover - no lance wheel in sandbox
+        if HAVE_LANCE and not _use_minilance():  # pragma: no cover - no wheel
             dsets = [rd.read_lance(u, columns=columns) for u in lance_uris]
-            return dsets[0].union(*dsets[1:]) if len(dsets) > 1 else dsets[0]
-        from crawler_ray.sources.lance_ray import read_minilance
+            ds = dsets[0].union(*dsets[1:]) if len(dsets) > 1 else dsets[0]
+        else:
+            from crawler_ray.sources.lance_ray import read_minilance
 
-        # ONE datasource over every part: a per-part read + union plan pays
-        # per-operator driver overhead for each part (measured 61 s vs 0.3 s
-        # on a 52-part frontier round)
-        return read_minilance(lance_uris, columns=columns)
+            # ONE datasource over every part: a per-part read + union plan
+            # pays per-operator driver overhead for each part (measured 61 s
+            # vs 0.3 s on a 52-part frontier round)
+            ds = read_minilance(lance_uris, columns=columns)
+        if parquet_paths:  # mixed-format dir: read BOTH formats in one plan
+            ds = ds.union(rd.read_parquet(parquet_paths, columns=columns))
+        return ds
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
@@ -185,10 +217,12 @@ def read_parts_table(root: str, columns: list[str] | None = None) -> pa.Table | 
     tables = []
     for p in _part_entries(root):
         if p.endswith(".lance"):
-            if HAVE_LANCE:  # pragma: no cover - no lance wheel in sandbox
+            from crawler_ray.vendor import minilance
+
+            if minilance.is_dataset(p):
+                _lance = minilance
+            else:  # pragma: no cover - no real lance wheel in sandbox
                 import lance as _lance
-            else:
-                from crawler_ray.vendor import minilance as _lance
 
             tables.append(_lance.dataset(p).to_table(columns=columns))
         else:

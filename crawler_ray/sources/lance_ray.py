@@ -115,11 +115,18 @@ class MiniLanceDatasource(Datasource):
 class MiniLanceDatasink(Datasink[List[dict]]):
     """Distributed fragment writes + one atomic driver-side commit."""
 
-    def __init__(self, uri: str, mode: str = "create"):
+    def __init__(
+        self, uri: str, mode: str = "create", schema: Optional[pa.Schema] = None
+    ):
         if mode not in ("create", "overwrite", "append"):
             raise ValueError(f"bad mode {mode!r}")
         self._uri = uri
         self._mode = mode
+        # schema captured at sink construction (from the Ray Dataset) so an
+        # all-empty create/overwrite still commits an empty version — without
+        # it, write_minilance(ds, uri, mode='overwrite') of an empty dataset
+        # left the PREVIOUS version's rows visible (round-4 advice)
+        self._schema = schema
 
     def get_name(self) -> str:
         return "MiniLance"
@@ -153,13 +160,22 @@ class MiniLanceDatasink(Datasink[List[dict]]):
                     schema_b64 = e["_schema_b64"]
                     e = {k: v for k, v in e.items() if k != "_schema_b64"}
                 entries.append(e)
-        if schema_b64 is None:
-            # all-empty write: nothing to commit in append mode; for
-            # create/overwrite an empty dataset still needs a version, but
-            # with no blocks we have no schema — skip (matches parquet sink
-            # behavior of writing nothing for an empty dataset)
+        if schema_b64 is not None:
+            schema = minilance._schema_from_b64(schema_b64)
+        elif self._mode in ("create", "overwrite"):
+            # all-empty write: create/overwrite still publishes an (empty)
+            # version so callers can truncate a dataset; append of zero rows
+            # is a no-op (no version bump needed). Schema source: the one
+            # captured at sink construction, else — Ray drops the schema of
+            # an all-empty Dataset entirely — the previous committed
+            # version's schema (truncation preserves the schema).
+            schema = self._schema
+            if schema is None and minilance.is_dataset(self._uri):
+                schema = minilance.dataset(self._uri).schema
+            if schema is None:
+                return
+        else:
             return
-        schema = minilance._schema_from_b64(schema_b64)
         minilance.commit(self._uri, schema, entries, mode=self._mode)
 
 
@@ -178,5 +194,15 @@ def read_minilance(
 
 
 def write_minilance(ds, uri: str, mode: str = "create") -> None:
-    """``Dataset.write_lance`` twin over the vendored store."""
-    ds.write_datasink(MiniLanceDatasink(uri, mode=mode))
+    """``Dataset.write_lance`` twin over the vendored store. The dataset
+    schema is captured up front (cheap metadata fetch) so an all-empty
+    create/overwrite still commits an empty version."""
+    schema = None
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            schema = base
+    except Exception:  # pragma: no cover - schema stays best-effort
+        pass
+    ds.write_datasink(MiniLanceDatasink(uri, mode=mode, schema=schema))

@@ -269,6 +269,77 @@ def test_io_compact_parts_to_single_lance_table(mini_env, ray_session, tmp_path)
     assert got["phash"].to_pylist() == sorted(range(12), key=lambda i: f"id{i}")
 
 
+def test_io_read_parts_mixed_format_dir(mini_env, ray_session, tmp_path, monkeypatch):
+    """A crawl resumed with CRAWLER_RAY_LANCE flipped leaves a part dir with
+    BOTH formats — possibly the same content-addressed stem twice. Both
+    readers must see each stem exactly once and read both formats (round-4
+    advice: read_parts dropped all parquet rows; read_parts_table
+    double-counted same-stem rewrites)."""
+    from crawler_ray.sources import io as io_mod
+
+    root = str(tmp_path / "images")
+    t_lance, t_pq, t_both = _t(3), _t(2, off=3), _t(2, off=5)
+    io_mod.write_part(t_lance, os.path.join(root, "round_0000"), "aaa", fmt="minilance")
+    io_mod.write_part(t_pq, os.path.join(root, "round_0000"), "bbb", fmt="parquet")
+    # same stem written in both formats (retry after the env flip): content-
+    # addressed stems mean identical content — must count ONCE
+    io_mod.write_part(t_both, os.path.join(root, "round_0001"), "ccc", fmt="parquet")
+    io_mod.write_part(t_both, os.path.join(root, "round_0001"), "ccc", fmt="minilance")
+
+    expect = pa.concat_tables([t_lance, t_pq, t_both]).sort_by("image_id")
+    tbl = io_mod.read_parts_table(root)
+    assert tbl.sort_by("image_id").equals(expect)
+    rows = io_mod.read_parts(root).take_all()
+    assert sorted(r["image_id"] for r in rows) == expect["image_id"].to_pylist()
+    # and identically with the env var dropped (dispatch on writer output)
+    monkeypatch.delenv("CRAWLER_RAY_LANCE")
+    rows2 = io_mod.read_parts(root, columns=["image_id"]).take_all()
+    assert sorted(r["image_id"] for r in rows2) == expect["image_id"].to_pylist()
+
+
+def test_io_read_table_autodetects_minilance_without_env(
+    mini_env, ray_session, tmp_path, monkeypatch
+):
+    """Data written under CRAWLER_RAY_LANCE=mini must stay readable via
+    read_table once the env var is unset (round-4 advice: the read path was
+    env-gated and fell through to read_parquet on a minilance dir)."""
+    import ray.data as rd
+
+    from crawler_ray.sources import io as io_mod
+
+    uri = str(tmp_path / "tbl.lance")
+    t = _t(12)
+    io_mod.write_table(rd.from_arrow(t), uri)
+    monkeypatch.delenv("CRAWLER_RAY_LANCE")
+    got = io_mod.read_table(uri, columns=["image_id", "caption"]).take_all()
+    assert sorted(r["image_id"] for r in got) == sorted(f"id{i}" for i in range(12))
+    assert all(set(r) == {"image_id", "caption"} for r in got)
+
+
+def test_datasink_empty_overwrite_truncates(ray_session, tmp_path):
+    """write_minilance(empty_ds, uri, mode='overwrite') publishes an EMPTY
+    version rather than leaving the previous rows visible (round-4 advice)."""
+    import ray.data as rd
+
+    from crawler_ray.sources.lance_ray import write_minilance
+
+    uri = str(tmp_path / "trunc.lance")
+    t = _t(6)
+    write_minilance(rd.from_arrow(t), uri, mode="create")
+    assert minilance.dataset(uri).count_rows() == 6
+    empty = rd.from_arrow(t).filter(lambda r: False)
+    write_minilance(empty, uri, mode="overwrite")
+    ds = minilance.dataset(uri)
+    assert ds.count_rows() == 0
+    assert ds.versions() == [1, 2]
+    assert ds.schema.equals(t.schema)
+    # append of zero rows stays a no-op (no version bump)
+    write_minilance(empty, uri, mode="append")
+    assert minilance.dataset(uri).versions() == [1, 2]
+    # time travel still serves the pre-truncate rows
+    assert minilance.dataset(uri, version=1).count_rows() == 6
+
+
 # ------------------------------------------------------------------ e2e crawl
 
 
