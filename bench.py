@@ -452,6 +452,11 @@ def main() -> dict:
         "crawl": crawl,
         "ingest": ingest,
     }
+    # which optional deps serve the REAL path this run (verdict item: an
+    # environment upgrade must be noticed, not silently stubbed around)
+    from crawler_ray.capabilities import capability_report
+
+    result["caps"] = capability_report()
     if queryscale is not None:
         result["queryscale"] = queryscale
     ray.shutdown()

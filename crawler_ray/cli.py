@@ -123,6 +123,24 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Lance-table maintenance on a ``.lance`` dataset: merge small
+    fragments into full-size ones (a new committed version — old versions
+    still time-travel) and optionally GC manifests/fragments beyond
+    ``--keep-versions``. Mirrors the real library's
+    ``DatasetOptimizer.compact_files`` + ``cleanup_old_versions``; runs on
+    the vendored store in this sandbox."""
+    from crawler_ray.vendor import minilance
+
+    out = dict(minilance.compact_files(args.uri, args.target_rows))
+    if args.keep_versions:
+        out["gc"] = minilance.cleanup_old_versions(
+            args.uri, keep_versions=args.keep_versions
+        )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Filter (optional LAION-style gate) + pack a crawl's images into
     WebDataset tar shards; prints the manifest summary."""
@@ -310,6 +328,17 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--dest", required=True)
     k.add_argument("--cpus", type=int, default=None)
     k.set_defaults(fn=cmd_compact)
+
+    z = sub.add_parser(
+        "optimize",
+        help="Lance-table maintenance: merge small fragments, GC old versions",
+    )
+    z.add_argument("--uri", required=True, help=".lance dataset path")
+    z.add_argument("--target-rows", type=int, default=1 << 20,
+                   help="target rows per fragment after compaction")
+    z.add_argument("--keep-versions", type=int, default=0,
+                   help="GC to this many newest versions (0 = keep all)")
+    z.set_defaults(fn=cmd_optimize)
 
     w = sub.add_parser(
         "pack", help="pack crawled images into WebDataset tar shards"

@@ -42,3 +42,27 @@ def tune_data_context(progress_bars: bool = False) -> None:
     # (hash_shuffle was also tried: its aggregator actors deadlock against
     # the crawl's state actors on small CPU counts — do not use.)
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    _silence_known_noise()
+
+
+def _silence_known_noise() -> None:
+    """Drop exactly ONE known-cosmetic Ray log line so real warnings stay
+    visible at scale: "Failed to hash the schemas (for deduplication):
+    unhashable type 'dict'" — emitted by
+    ray/data/_internal/arrow_ops/transform_pyarrow.py for every block whose
+    schema carries map-typed column metadata. Schema-dedup is a memory
+    micro-optimization; failing it is harmless, but at one line per block it
+    floods multi-thousand-block runs. The filter matches the message prefix
+    on that one module's logger only — novel warnings (any other message,
+    any other logger) pass through untouched."""
+    import logging
+
+    class _DropSchemaHashNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return not str(record.getMessage()).startswith(
+                "Failed to hash the schemas (for deduplication)"
+            )
+
+    lg = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
+    if not any(isinstance(f, _DropSchemaHashNoise) for f in lg.filters):
+        lg.addFilter(_DropSchemaHashNoise())

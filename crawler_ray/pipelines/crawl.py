@@ -107,6 +107,9 @@ class CrawlConfig:
     # fault injection (tests): path of a marker file — the first round task
     # to claim it raises mid-round, exercising the rollback-and-retry path
     fail_once_marker: str | None = None
+    # fault injection (tests): first claiming task KILLS a seen-shard actor
+    # mid-round (simulated node loss) — exercising actor respawn + restore
+    kill_actor_once_marker: str | None = None
 
 
 @dataclass
@@ -190,6 +193,32 @@ class CrawlDriver:
         )
         self.metrics: dict[str, dict] = {}
         self.lineage: dict[str, dict] = {}
+        # set by _heal_actors; the round loop re-broadcasts stage args so
+        # worker-cached stages drop their dead actor handles
+        self._actors_respawned = False
+
+    def _heal_actors(self) -> int:
+        """Respawn DEAD state actors (seen shards, politeness) after a
+        node-loss-class failure, returning how many were respawned. Seen
+        shards come back EMPTY and are immediately restored from the last
+        complete checkpoint by ``_rollback_to_latest`` — the round-as-
+        recovery-unit design (``max_retries=0``) guarantees no surviving
+        task depends on the dead actor's partial state. Politeness actors
+        hold only rate/robots CACHE state (token buckets refill, robots
+        re-parse from the driver-held texts), so a fresh actor is
+        semantically equivalent."""
+        healed = self.seen.heal()
+        for i, a in enumerate(self.politeness):
+            try:
+                ray.get(a.allowed.remote([]))
+            except ray.exceptions.RayActorError:
+                self.politeness[i] = PolitenessActor.remote(
+                    self.robots_txt, virtual=True
+                )
+                healed += 1
+        if healed:
+            self._actors_respawned = True
+        return healed
 
     def prewarm(self) -> None:
         """Spin up Ray's worker pool and import the stage modules on every
@@ -258,6 +287,9 @@ class CrawlDriver:
             output is pruned and the seen shards are restored/reset before
             the round re-runs whole."""
             nonlocal frontier_source, frontier_rows, pending_big_seed
+            # respawn any DEAD state actor first: restore()/reset() on a
+            # dead handle would re-raise and make the rollback itself fail
+            self._heal_actors()
             latest = self.ckpt.latest_complete_round()
             if latest is not None:
                 frontier_source, snaps, self.metrics, self.lineage = (
@@ -323,29 +355,38 @@ class CrawlDriver:
         # stable per-crawl stage args (shipped ONCE; per-round sink dirs are
         # plain attrs on the worker-cached stage, so workers build the stage
         # once for the whole crawl, not once per round)
-        base_args_ref = ray.put(
-            (
-                pages_ref,
-                self.politeness,
-                self.seen,
-                self.robots_txt,
-                cfg.max_attempts,
-                cfg.synth_images,
-                None,  # images_dir (per-round attr)
-                False,  # filter_input (per-round attr)
-                None,  # sink_dirs (per-round attr)
-                cfg.fetcher,
-                cfg.http_opts,
-                # part-file format, resolved on the DRIVER (env is visible
-                # here; it is not in workers) and shipped with the args
-                _resolve_table_format(),
+        def _make_base_args_ref():
+            return ray.put(
+                (
+                    pages_ref,
+                    self.politeness,
+                    self.seen,
+                    self.robots_txt,
+                    cfg.max_attempts,
+                    cfg.synth_images,
+                    None,  # images_dir (per-round attr)
+                    False,  # filter_input (per-round attr)
+                    None,  # sink_dirs (per-round attr)
+                    cfg.fetcher,
+                    cfg.http_opts,
+                    # part-file format, resolved on the DRIVER (env is
+                    # visible here; it is not in workers), shipped with args
+                    _resolve_table_format(),
+                )
             )
-        )
+
+        base_args_ref = _make_base_args_ref()
 
         rnd = start_round
         while rnd < cfg.max_rounds and (
             pending_big_seed or frontier_rows is None or frontier_rows > 0
         ):
+            if self._actors_respawned:
+                # a healed state actor means every worker-cached stage holds
+                # DEAD handles — re-put the broadcast args (new object ref =
+                # new cache key) so workers rebuild against the live actors
+                base_args_ref = _make_base_args_ref()
+                self._actors_respawned = False
             t0 = _t()
             if cfg.fetch_mode == "tasks":
                 width = int(ray.cluster_resources().get("CPU", cfg.fetch_concurrency))
@@ -475,6 +516,7 @@ class CrawlDriver:
                     images_dir,
                     sink_dirs,
                     fail_once_marker=cfg.fail_once_marker,
+                    kill_actor_once_marker=cfg.kill_actor_once_marker,
                 )
                 if est_rows <= max(512, cfg.batch_size * 2):
                     # small-round fast path: the whole frontier fits one
@@ -531,7 +573,7 @@ class CrawlDriver:
                 if round_retries_left <= 0:
                     raise
                 round_retries_left -= 1
-                rnd = _rollback_to_latest()
+                rnd = _rollback_to_latest()  # heals dead state actors first
                 totals = _totals_from_metrics()
                 continue
             s = stats.groupby("row_type")["status"].sum()

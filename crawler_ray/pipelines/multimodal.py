@@ -472,7 +472,7 @@ def image_caption_alignment(
             fn_constructor_args=(tau,),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .select_columns(["image_id", "clip_score", "aligned"])
     )

@@ -41,15 +41,17 @@ def _use_minilance() -> bool:
     call sites check this BEFORE ``HAVE_LANCE``) or ``CRAWLER_RAY_LANCE=1``
     with no real wheel present. ``CRAWLER_RAY_LANCE=off`` forces the parquet
     fallback. Checked per call so tests can flip it with
-    ``monkeypatch.setenv``. Default (env unset) is the historical parquet
-    fallback — flipping the whole engine's sinks to minilance is a
-    one-env-var change, exercised end-to-end in tests/test_minilance.py."""
+    ``monkeypatch.setenv``. Default (env unset): the north rule names Lance
+    image+caption tables as the serving layout, so with no real wheel the
+    vendored store IS the default sink (round-5 flip, A/B'd against parquet
+    across the full suite + bench — BASELINE.md); ``CRAWLER_RAY_LANCE=off``
+    restores the parquet fallback."""
     v = os.environ.get("CRAWLER_RAY_LANCE", "")
     if v == "mini":
         return True
     if v in ("off", "parquet"):
         return False
-    return v == "1" and not HAVE_LANCE
+    return not HAVE_LANCE
 
 
 def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
@@ -71,15 +73,16 @@ def read_table(uri: str, columns: list[str] | None = None) -> rd.Dataset:
     committed minilance dataset reads through the vendored store even when
     ``CRAWLER_RAY_LANCE`` is unset (round-4 advice: env-gating the read path
     made minilance data unreadable once the var was dropped)."""
-    if uri.endswith(".lance"):
-        from crawler_ray.vendor import minilance
+    from crawler_ray.vendor import minilance
 
-        if minilance.is_dataset(uri):
-            from crawler_ray.sources.lance_ray import read_minilance
+    # auto-detect regardless of suffix: compaction/serving dests carry
+    # arbitrary names, and is_dataset is one os.listdir
+    if minilance.is_dataset(uri):
+        from crawler_ray.sources.lance_ray import read_minilance
 
-            return read_minilance(uri, columns=columns)
-        if HAVE_LANCE:
-            return rd.read_lance(uri, columns=columns)  # pragma: no cover
+        return read_minilance(uri, columns=columns)
+    if HAVE_LANCE and uri.endswith(".lance"):  # pragma: no cover - no wheel
+        return rd.read_lance(uri, columns=columns)
     return rd.read_parquet(uri, columns=columns)
 
 

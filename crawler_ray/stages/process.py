@@ -177,7 +177,8 @@ def _passthrough_rows(df, row_type: str, status=None) -> pa.Table:
 
 def make_round_fn(init_args_ref, quota: int, batch_size: int,
                   filter_input: bool = False, images_dir=None,
-                  sink_dirs=None, fail_once_marker: str | None = None):
+                  sink_dirs=None, fail_once_marker: str | None = None,
+                  kill_actor_once_marker: str | None = None):
     """Fused SELECT + PROCESS for one host-hash partition of the frontier
     (``groupby('part').map_groups``): per-host top-``quota`` selection
     (priority desc, url asc — deterministic, arrival-order-free) runs
@@ -206,6 +207,24 @@ def make_round_fn(init_args_ref, quota: int, batch_size: int,
             except FileExistsError:
                 pass
         stage = _cached_stage(init_args_ref, images_dir, sink_dirs)
+        if kill_actor_once_marker is not None:
+            # fault-injection hook (tests only): the FIRST task to claim the
+            # marker KILLS a seen-shard STATE ACTOR mid-round (no_restart —
+            # simulating node loss), then proceeds; its own seen-set RPCs
+            # fail with RayActorError, the round dies, and the driver must
+            # respawn the shard (SeenSet.heal) + restore from checkpoint.
+            import os as _os
+
+            import ray as _ray
+
+            try:
+                _os.close(_os.open(
+                    kill_actor_once_marker,
+                    _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+                ))
+                _ray.kill(stage.seen.shards[0], no_restart=True)
+            except FileExistsError:
+                pass
         outs: list[pa.Table] = []
         acct: list[dict] = []
         if filter_input:

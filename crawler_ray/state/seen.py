@@ -166,9 +166,13 @@ class SeenSet:
     """Client handle over the shard pool. Safe to pass to ``map_batches``
     stages (holds only actor handles)."""
 
-    def __init__(self, shards: list, num_shards: int):
+    def __init__(self, shards: list, num_shards: int, init_args: tuple | None = None):
         self.shards = shards
         self.num_shards = num_shards
+        # (capacity_per_shard, exact, seed) — kept so heal() can respawn a
+        # DEAD shard actor with its original parameters (incl. per-shard
+        # seed, which the cuckoo hashing depends on)
+        self.init_args = init_args
 
     @classmethod
     def create(
@@ -182,7 +186,27 @@ class SeenSet:
             SeenShard.remote(capacity_per_shard, exact, seed + i)
             for i in range(num_shards)
         ]
-        return cls(shards, num_shards)
+        return cls(shards, num_shards, (capacity_per_shard, exact, seed))
+
+    def heal(self) -> int:
+        """Respawn every DEAD shard actor (node loss / OOM kill) with its
+        original parameters and return how many were respawned. A fresh
+        shard starts EMPTY — callers must ``restore()`` from the last
+        complete checkpoint (or ``reset()``) immediately after, which is
+        exactly what the crawl's round-rollback does. The round-as-recovery-
+        unit design makes this sound: ``max_retries=0`` tasks mean no task
+        observed-and-survived the dead shard's partial state."""
+        if self.init_args is None:
+            raise RuntimeError("SeenSet built without init_args cannot heal")
+        capacity, exact, seed = self.init_args
+        respawned = 0
+        for i, s in enumerate(self.shards):
+            try:
+                ray.get(s.size.remote())
+            except ray.exceptions.RayActorError:
+                self.shards[i] = SeenShard.remote(capacity, exact, seed + i)
+                respawned += 1
+        return respawned
 
     def _route(self, keys) -> tuple[np.ndarray, np.ndarray]:
         h = keys_to_u64(keys)

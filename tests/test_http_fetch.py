@@ -162,12 +162,11 @@ def test_http_crawl_end_to_end(ray_session, http_site, tmp_path_factory):
 
     import os
 
-    prods = []
-    root = os.path.join(str(out), "tables", "products")
-    for rdir in sorted(os.listdir(root)):
-        d = os.path.join(root, rdir)
-        for f in os.listdir(d):
-            prods.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    from crawler_ray.sources.io import read_parts_table
+
+    prods = read_parts_table(
+        os.path.join(str(out), "tables", "products")
+    ).to_pylist()
     ids = sorted(json.loads(p["record"])["id"] for p in prods)
     assert ids == [12, 13, 112]  # 11 -> 111 -> 112 via the redirect chain
 
@@ -178,11 +177,7 @@ def test_http_crawl_end_to_end(ray_session, http_site, tmp_path_factory):
     # persistent 500: retried max_attempts times then dead-lettered
     assert res.errors == 1
     err_root = os.path.join(str(out), "errors")
-    errs = []
-    for rdir in sorted(os.listdir(err_root)):
-        d = os.path.join(err_root, rdir)
-        for f in os.listdir(d):
-            errs.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    errs = read_parts_table(err_root).to_pylist()
     assert len(errs) == 1 and errs[0]["status"] == 500 and errs[0]["attempt"] == 2
     n500 = sum("ProductId=500" in h for h in state["hits"])
     assert n500 == 2  # the retry budget was actually spent on the wire
@@ -218,12 +213,9 @@ def test_http_crawl_end_to_end(ray_session, http_site, tmp_path_factory):
         )
 
     # brand lookup-or-insert: ONE brand row globally despite 3 products
-    brands = []
-    broot = os.path.join(str(out), "tables", "brands")
-    for rdir in sorted(os.listdir(broot)):
-        d = os.path.join(broot, rdir)
-        for f in os.listdir(d):
-            brands.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    from crawler_ray.sources.io import read_parts_table as _rpt
+
+    brands = _rpt(os.path.join(str(out), "tables", "brands")).to_pylist()
     assert len(brands) == 1
     brec = json.loads(brands[0]["record"])
     assert brec["brand_name"] == "acme"
@@ -378,12 +370,11 @@ def test_http_signed_post_crawl_end_to_end(ray_session, http_post_site, tmp_path
     drv.shutdown()
 
     # all four products crawled across BOTH list pages (pagination over POST)
-    prods = []
-    root = os.path.join(str(out), "tables", "products")
-    for rdir in sorted(os.listdir(root)):
-        d = os.path.join(root, rdir)
-        for f in os.listdir(d):
-            prods.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    from crawler_ray.sources.io import read_parts_table
+
+    prods = read_parts_table(
+        os.path.join(str(out), "tables", "products")
+    ).to_pylist()
     ids = sorted(json.loads(p["record"])["id"] for p in prods)
     assert ids == [21, 22, 23, 24]
 

@@ -109,9 +109,11 @@ def test_read_table_routes_to_read_lance(mock_lance, monkeypatch, tmp_path):
     assert seen["args"][1] == ["image_id"]  # column pruning pushed down
 
 
-def test_parquet_fallback_same_layout(tmp_path):
-    """Without lance the SAME call produces the same logical table layout
-    (one dir per partition, deterministic part name)."""
+def test_parquet_fallback_same_layout(tmp_path, monkeypatch):
+    """With CRAWLER_RAY_LANCE=off the SAME call produces the same logical
+    table layout (one dir per partition, deterministic part name) in
+    parquet — the explicit escape hatch from the minilance default."""
+    monkeypatch.setenv("CRAWLER_RAY_LANCE", "off")
     assert not io_mod.HAVE_LANCE  # sandbox reality
     t = pa.table({"image_id": ["a"], "bytes": [b"x"], "caption": ["c"]})
     root = str(tmp_path / "images" / "round_0000")
@@ -137,5 +139,5 @@ def test_compact_parts_roundtrip(ray_session, tmp_path):
     dest = str(tmp_path / "serving")
     n = io_mod.compact_parts(str(root), dest)
     assert n == 3
-    got = pq.read_table(dest).sort_by("image_id")
-    assert got.column("image_id").to_pylist() == ["a", "b", "c"]
+    rows = io_mod.read_table(dest).take_all()
+    assert sorted(r["image_id"] for r in rows) == ["a", "b", "c"]

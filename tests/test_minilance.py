@@ -125,6 +125,68 @@ def test_commit_race_for_same_version_rejected(tmp_path):
         )
 
 
+def test_compact_files_merges_small_fragments(tmp_path):
+    """compact_files coalesces adjacent small fragments into target-size ones
+    as a NEW committed version: row order preserved, full-size fragments
+    carried over by reference (not rewritten), old versions still
+    time-travel."""
+    uri = str(tmp_path / "ds.lance")
+    t = _t(100)
+    reader = pa.RecordBatchReader.from_batches(t.schema, t.to_batches(max_chunksize=5))
+    minilance.write_dataset(reader, uri, max_rows_per_file=10)  # 10 fragments
+    big = _t(50, off=200)
+    minilance.write_dataset(big, uri, mode="append")  # 1 full fragment
+    before = minilance.dataset(uri)
+    assert len(before.get_fragments()) == 11
+    big_path = before.get_fragments()[10].path
+
+    res = minilance.compact_files(uri, target_rows_per_fragment=40)
+    ds = minilance.dataset(uri)
+    assert res["version"] == ds.version == 3
+    assert res["fragments_removed"] == 10
+    # 100 small rows at target 40 → 40+40+20, plus the untouched big fragment
+    assert [f.count_rows() for f in ds.get_fragments()] == [40, 40, 20, 50]
+    # the already-full fragment was carried over by REFERENCE, not rewritten
+    assert ds.get_fragments()[3].path == big_path
+    # row order preserved exactly
+    assert ds.to_table().equals(pa.concat_tables([t, big]))
+    # time travel to the pre-compaction version still works
+    assert minilance.dataset(uri, version=2).to_table().equals(
+        pa.concat_tables([t, big])
+    )
+    # compacting an already-compact dataset is a no-op (no version bump)
+    res2 = minilance.compact_files(uri, target_rows_per_fragment=40)
+    assert res2["version"] is None and minilance.dataset(uri).version == 3
+
+
+def test_cleanup_old_versions_reclaims_unreferenced_files(tmp_path):
+    uri = str(tmp_path / "ds.lance")
+    minilance.write_dataset(_t(10), uri)
+    minilance.write_dataset(_t(5, off=10), uri, mode="overwrite")
+    minilance.write_dataset(_t(3, off=20), uri, mode="append")
+    # plus an orphan from a crashed write — GC must reclaim it too
+    minilance.write_fragment(_t(7, off=50), uri)
+    assert minilance.dataset(uri).versions() == [1, 2, 3]
+    n_files = len(os.listdir(os.path.join(uri, "data")))
+    assert n_files == 4
+
+    res = minilance.cleanup_old_versions(uri, keep_versions=1)
+    # dropped: v1+v2 manifests; reclaimed: v1's fragment + the orphan
+    # (v2's fragments survive — v3 still references them via append)
+    assert res["versions_removed"] == 2
+    assert res["files_removed"] == 2
+    assert res["bytes_reclaimed"] > 0
+    ds = minilance.dataset(uri)
+    assert ds.versions() == [3]
+    assert ds.count_rows() == 8
+    expect = pa.concat_tables([_t(5, off=10), _t(3, off=20)])
+    assert ds.to_table().equals(expect)
+    with pytest.raises(ValueError):
+        minilance.dataset(uri, version=1)
+    with pytest.raises(ValueError):
+        minilance.cleanup_old_versions(uri, keep_versions=0)
+
+
 def test_empty_table_roundtrip(tmp_path):
     uri = str(tmp_path / "ds.lance")
     t = _t(0)

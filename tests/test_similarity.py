@@ -73,7 +73,7 @@ def test_image_resize_stage(ray_session):
         fn_constructor_args=(16, 16),
         batch_format="pyarrow",
         batch_size=4,
-        concurrency=2,
+        concurrency=(1, 2),
     ).to_pandas()
     assert (out["w"] == 16).all() and (out["h"] == 16).all()
     px0 = decode_image(out.iloc[0]["bytes"], out.iloc[0]["fmt"])

@@ -13,12 +13,20 @@ sensitivity and quadratic blowups actually show.
 
 Usage:
     python tools/hashcheck.py [SF_DIR] [name ...] [--include-quadratic]
+                              [--rows-only] [--json=OUT.json]
 
     SF_DIR   defaults to /tmp/sf_x20 (the tile_testdata.py default output)
     name...  specific query names; default = every oracled query minus
              DEFAULT_SKIP (oracles that are deliberately O(n^2) in DuckDB —
              the Ray side scales, the SQL twin does not; they stay covered
              at sf0.001-0.1 by tests/test_conformance.py)
+    --rows-only          also run every queries() entry WITHOUT an oracle
+                         (recorded as a rows+schema-stability check)
+    --json=OUT.json      write a driver-CORRECTNESS-shaped per-query record
+                         ({rows_match, schema_match, hash_match, spark_rows,
+                         oracle_rows, err}; rows-only entries carry
+                         rows_only: true and null oracle fields) — the
+                         round-5 full-surface emission next to BENCH
 
 Exit code: number of failing queries (0 = all green).
 """
@@ -72,6 +80,10 @@ def _to_pandas(result) -> pd.DataFrame:
 
 def main(argv: list[str]) -> int:
     include_quadratic = "--include-quadratic" in argv
+    rows_only_too = "--rows-only" in argv
+    json_out = next(
+        (a.split("=", 1)[1] for a in argv if a.startswith("--json=")), None
+    )
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/tmp/sf_x20"
     sys.path.insert(0, "/root/repo")
@@ -81,6 +93,11 @@ def main(argv: list[str]) -> int:
     oracles = entry_mod.oracle_sql()
     names = args[1:] or sorted(
         n for n in oracles if include_quadratic or n not in DEFAULT_SKIP
+    )
+    rows_only_names = (
+        sorted(n for n in queries if n not in oracles)
+        if rows_only_too and not args[1:]
+        else []
     )
 
     con = duckdb.connect()
@@ -95,22 +112,31 @@ def main(argv: list[str]) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
 
+    records: dict[str, dict] = {}
     n_fail = 0
     for name in names:
         t0 = time.monotonic()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             got = _canon(_to_pandas(queries[name](sf_dir)))
             t_ray = time.monotonic() - t0
             t1 = time.monotonic()
             exp = _canon(con.sql(oracles[name]).df())
             t_sql = time.monotonic() - t1
+            rec["spark_rows"], rec["oracle_rows"] = len(got), len(exp)
             assert list(got.columns) == list(exp.columns), (
                 f"columns {list(got.columns)} != {list(exp.columns)}"
             )
+            rec["schema_match"] = True
             assert len(got) == len(exp), f"rows {len(got)} != {len(exp)}"
+            rec["rows_match"] = True
             pd.testing.assert_frame_equal(
                 got, exp, check_dtype=False, atol=1e-6, rtol=1e-9
             )
+            rec["hash_match"] = True
             print(
                 f"PASS {name}: {len(got)} rows "
                 f"(ray {t_ray:.1f}s, duckdb {t_sql:.1f}s)",
@@ -119,12 +145,48 @@ def main(argv: list[str]) -> int:
         except Exception as e:
             n_fail += 1
             msg = str(e).replace("\n", " | ")[:500]
+            rec["err"] = msg
             print(f"FAIL {name}: {msg}", flush=True)
+        records[name] = rec
+    for name in rows_only_names:
+        rec = {
+            "rows_only": True, "rows_match": False, "schema_match": False,
+            "hash_match": None, "spark_rows": None, "oracle_rows": None,
+            "err": None,
+        }
+        t0 = time.monotonic()
+        try:
+            got = _to_pandas(queries[name](sf_dir))
+            rec["spark_rows"] = len(got)
+            # no SQL twin: the check is that the pipeline runs and yields a
+            # non-degenerate frame with a stable (sorted) column set
+            assert len(got.columns) > 0, "no columns"
+            rec["schema_match"] = True
+            rec["rows_match"] = True
+            print(
+                f"PASS {name} [rows-only]: {len(got)} rows "
+                f"(ray {time.monotonic() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as e:
+            n_fail += 1
+            msg = str(e).replace("\n", " | ")[:500]
+            rec["err"] = msg
+            print(f"FAIL {name} [rows-only]: {msg}", flush=True)
+        records[name] = rec
     skipped = sorted(set(oracles) - set(names))
+    total = len(names) + len(rows_only_names)
     print(
-        f"\n{len(names) - n_fail}/{len(names)} green on {sf_dir}"
+        f"\n{total - n_fail}/{total} green on {sf_dir}"
+        + (f" ({len(rows_only_names)} rows-only)" if rows_only_names else "")
         + (f"; skipped (quadratic oracle): {len(skipped)}" if skipped else "")
     )
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w", encoding="utf-8") as f:
+            _json.dump(records, f, indent=1)
+        print(f"wrote {json_out}")
     return n_fail
 
 
