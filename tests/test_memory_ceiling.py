@@ -44,10 +44,12 @@ def test_ingest_500k_under_1gb_store():
         ["ingest", "--store-gb", "1", "--cpus", "16", "--n", "500000"],
         timeout=1800,
     )
-    assert res["ok"] and res["pages_fetched"] == 500_000
+    assert res["ok"] and res["pages_fetched"] == res["expected_unique"] > 450_000
     print(
         f"\n[memceil] ingest 500k @1GiB store: {res['sec']}s, "
-        f"spilled {res['spilled_mb']} MiB, restored {res['restored_mb']} MiB"
+        f"spill_requests={res['spill_requests']} "
+        f"restore_requests={res['restore_requests']} "
+        f"spill_dir={res['spill_dir_mb']} MiB"
     )
 
 
@@ -63,5 +65,7 @@ def test_querybar_under_1gb_store():
     }
     print(
         f"\n[memceil] querybar @1GiB store: {res['sec']}s, "
-        f"spilled {res['spilled_mb']} MiB, restored {res['restored_mb']} MiB"
+        f"spill_requests={res['spill_requests']} "
+        f"restore_requests={res['restore_requests']} "
+        f"spill_dir={res['spill_dir_mb']} MiB"
     )
