@@ -401,14 +401,16 @@ def bench_queryscale() -> dict:
 def main() -> dict:
     import ray
 
+    from crawler_ray.context import tune_data_context, worker_runtime_env
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env=worker_runtime_env(),
     )
-    from crawler_ray.context import tune_data_context
 
     tune_data_context()
 

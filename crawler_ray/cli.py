@@ -27,9 +27,11 @@ def _init_ray(cpus: int | None):
         # cluster); default to a local session otherwise. num_cpus is only
         # meaningful when WE start the session.
         addr = os.environ.get("RAY_ADDRESS", "local")
+        from crawler_ray.context import worker_runtime_env
+
         kwargs = dict(
             address=addr, include_dashboard=False, ignore_reinit_error=True,
-            logging_level="ERROR",
+            logging_level="ERROR", runtime_env=worker_runtime_env(),
         )
         if cpus and addr == "local":
             kwargs["num_cpus"] = cpus

@@ -45,6 +45,40 @@ def tune_data_context(progress_bars: bool = False) -> None:
     _silence_known_noise()
 
 
+def worker_runtime_env() -> dict:
+    """``runtime_env`` for the ``ray.init`` calls WE own (bench, CLI, test
+    fixture, tools): installs the known-noise log filter in every worker
+    process too. The noise source is environmental — the driver-generated
+    testdata parquet carries pandas footer metadata, and a ``pa.Schema``
+    with metadata is unhashable in this pyarrow, so Ray's block-schema
+    dedup warns once per block in the READ workers. External drivers that
+    call ``ray.init`` themselves still see those lines (bounded by Ray's
+    log dedup); everything this repo launches is clean.
+
+    The hook is a self-contained CLOSURE on purpose: the setup hook runs at
+    worker-process start, BEFORE the driver's sys.path reaches the worker —
+    a module-level function would pickle by reference to ``crawler_ray``
+    and die with ModuleNotFoundError (which stalls worker startup and hangs
+    the whole session). cloudpickle ships a closure by value."""
+
+    def _hook():  # pragma: no cover - runs inside worker processes
+        import logging
+
+        class _DropSchemaHashNoise(logging.Filter):
+            def filter(self, record):
+                return not str(record.getMessage()).startswith(
+                    "Failed to hash the schemas (for deduplication)"
+                )
+
+        lg = logging.getLogger(
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        )
+        if not any(type(f).__name__ == "_DropSchemaHashNoise" for f in lg.filters):
+            lg.addFilter(_DropSchemaHashNoise())
+
+    return {"worker_process_setup_hook": _hook}
+
+
 def _silence_known_noise() -> None:
     """Drop exactly ONE known-cosmetic Ray log line so real warnings stay
     visible at scale: "Failed to hash the schemas (for deduplication):

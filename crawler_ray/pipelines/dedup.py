@@ -294,7 +294,7 @@ def _fixed_binary_from_mat(mat: np.ndarray, width_bytes: int) -> pa.Array:
 
 
 def sig_to_bands(t: pa.Table) -> pa.Table:
-    """Signature rows → (bucket:int64, doc_id, bands, minisig) band rows.
+    """Signature rows → (bucket:int64, doc_id, minisig) band rows.
     Fully vectorized: the (n, 128) signature matrix is reshaped to
     (n, 16, 8) and each band is folded lane-by-lane with an FNV-style
     multiply-xor + splitmix64 finalizer — 128 vector ops total, no per-doc
@@ -302,25 +302,30 @@ def sig_to_bands(t: pa.Table) -> pa.Table:
     band hash; collisions only create extra candidates, which verification
     removes.
 
-    What each band row CARRIES (272 B total vs the full 1 KiB signature the
-    previous round shipped — the banding exchange was the measured bottleneck
-    once the estimate walk was vectorized):
+    What each band row CARRIES (144 B vs round-3's 272 B and round-2's full
+    1 KiB signature — the banding exchange is the measured scaling
+    bottleneck, so every byte here is load-bearing):
 
-    - ``bands``: all 16 per-band 64-bit hashes (the same ``z`` the bucket
-      key is cut from). Canonical-band dedup compares THESE — band-hash
-      equality is exactly the relation that put the pair in a bucket, so
-      exactly-once emission stays exact (no truncation-induced misses).
     - ``minisig``: the low byte of each of the 128 lanes. The pairwise
       estimate counts equal mini-lanes; a differing lane collides on its low
       byte w.p. 1/256, inflating the count by ≤ ~0.5 of the 128 lanes —
       far inside the 3σ prefilter margin, and only ever ADDS candidates
-      (verification removes them). 8× less gather traffic in the estimate."""
+      (verification removes them). 8× less gather traffic in the estimate.
+
+    Round-5 change: the 16×8 B per-band hashes (``bands``) are GONE. They
+    existed only for canonical-band dedup (emit a pair from its first
+    colliding band). But the mini-lane estimate is a pure function of the
+    PAIR — identical in every bucket the pair collides in — so emitting
+    from every colliding bucket yields the same pair set, and exactly-once
+    now comes from an explicit drop-duplicates at the (already
+    pair-partitioned) verify stage instead. Same emitted set, 47% fewer
+    bytes through the dominant exchange (measured: the 4→16 cpu scaling
+    residual is exchange memory bandwidth, BASELINE.md round-5 entry)."""
     rows_per_band = _N_PERM // _N_BANDS
     n = t.num_rows
     if n == 0:
         return pa.table({"bucket": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
-                         "bands": pa.array([], pa.binary(_N_BANDS * 8)),
                          "minisig": pa.array([], pa.binary(_N_PERM))})
     flat = _binary_col_to_mat(t["sig"], _N_PERM * 8, n)
     mat = flat.reshape(n, _N_BANDS, rows_per_band)
@@ -339,7 +344,6 @@ def sig_to_bands(t: pa.Table) -> pa.Table:
     return pa.table(
         {"bucket": pa.array(bucket.ravel(), pa.int64()),
          "doc_id": t["doc_id"].take(pa.array(idx)),
-         "bands": _fixed_binary_from_mat(z[idx], _N_BANDS * 8),
          "minisig": _fixed_binary_from_mat(mini[idx], _N_PERM)}
     )
 
@@ -421,31 +425,33 @@ def _estimate_pairs_multi(threshold: float):
             bkt = g["bucket"].to_numpy()
             ids = g["doc_id"].to_numpy()
             mini = _binary_col_to_mat(g["minisig"], _N_PERM, n, dtype=np.uint8)
-            bands = _binary_col_to_mat(g["bands"], _N_BANDS * 8, n)
             order = np.lexsort((ids, bkt))
             bkt, ids = bkt[order], ids[order]
-            mini, bands = mini[order], bands[order]
+            mini = mini[order]
             starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
             ends = np.r_[starts[1:], n]
             for ai, bi in pair_index_chunks(starts, ends - starts):
                 # estimate from the uint8 mini-lanes (chance low-byte
                 # collisions only ever ADD candidates; see sig_to_bands)
                 est_ok = (mini[ai] == mini[bi]).sum(axis=1) >= min_est_count
-                if not est_ok.any():
-                    continue
-                sel = np.flatnonzero(est_ok)
-                # canonical-band dedup on the EXACT per-band hashes — the
-                # very relation that bucketed the pair
-                band_eq = bands[ai[sel]] == bands[bi[sel]]  # (k, 16)
-                cur = bkt[ai[sel]].astype(np.uint64) >> np.uint64(58)
-                keep = (~band_eq.any(axis=1)) | (band_eq.argmax(axis=1) == cur)
-                if keep.any():
+                if est_ok.any():
+                    sel = np.flatnonzero(est_ok)
                     # ids are ascending within each bucket (lexsort),
                     # so ids[ai] < ids[bi] already
-                    out_a.append(ids[ai[sel[keep]]])
-                    out_b.append(ids[bi[sel[keep]]])
+                    out_a.append(ids[ai[sel]])
+                    out_b.append(ids[bi[sel]])
         da = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
         db = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        if len(da):
+            # partition-local dedup (the estimate is pair-deterministic, so
+            # a pair colliding in k buckets of this partition appears k
+            # identical times): one lexsort-unique here, and the verify
+            # stage's pair-partitioned drop-duplicates finishes the
+            # cross-partition cases — together exactly-once, replacing the
+            # per-row 128 B band-hash payload the exchange used to carry
+            pairs = np.stack([da, db], axis=1)
+            pairs = np.unique(pairs, axis=0)
+            da, db = pairs[:, 0], pairs[:, 1]
         return pa.table({"doc_a": pa.array(da, pa.int64()),
                          "doc_b": pa.array(db, pa.int64())})
 
@@ -635,12 +641,15 @@ def minhash_near_dup_pairs(
 
     def pair_up(g: pa.Table) -> pd.DataFrame:
         df = g.to_pandas()
+        # exactly-once: vpart is a pure function of (doc_a, doc_b), so ALL
+        # duplicate emissions of a pair (different buckets, different
+        # estimate partitions) land in this one group — dedup here is global
         a = df[df["side"] == 0][["doc_a", "doc_b", "text"]].rename(
             columns={"text": "text_a"}
-        )
+        ).drop_duplicates(["doc_a", "doc_b"])
         b = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
             columns={"text": "text_b"}
-        )
+        ).drop_duplicates(["doc_a", "doc_b"])
         return verifier(a.merge(b, on=["doc_a", "doc_b"]))
 
     attached = (
@@ -1656,10 +1665,9 @@ def _cross_pairs_multi(threshold: float):
             ids = g["doc_id"].to_numpy()
             side = g["side"].to_numpy()
             mini = _binary_col_to_mat(g["minisig"], _N_PERM, n, dtype=np.uint8)
-            bands = _binary_col_to_mat(g["bands"], _N_BANDS * 8, n)
             order = np.lexsort((ids, side, bkt))
             bkt, ids, side = bkt[order], ids[order], side[order]
-            mini, bands = mini[order], bands[order]
+            mini = mini[order]
             starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
             ends = np.r_[starts[1:], n]
             # per segment: side is sorted, so base rows (0) precede probe (1)
@@ -1668,17 +1676,17 @@ def _cross_pairs_multi(threshold: float):
             base_cnt = (ends - starts) - probe_cnt
             for ai, bi in cross_index_chunks(starts, base_cnt, probe_cnt):
                 est_ok = (mini[ai] == mini[bi]).sum(axis=1) >= min_est_count
-                if not est_ok.any():
-                    continue
-                sel = np.flatnonzero(est_ok)
-                band_eq = bands[ai[sel]] == bands[bi[sel]]
-                cur = bkt[ai[sel]].astype(np.uint64) >> np.uint64(58)
-                keep = (~band_eq.any(axis=1)) | (band_eq.argmax(axis=1) == cur)
-                if keep.any():
-                    out_new.append(ids[ai[sel[keep]]])
-                    out_base.append(ids[bi[sel[keep]]])
+                if est_ok.any():
+                    sel = np.flatnonzero(est_ok)
+                    out_new.append(ids[ai[sel]])
+                    out_base.append(ids[bi[sel]])
         bd = np.concatenate(out_base) if out_base else np.array([], np.int64)
         nd = np.concatenate(out_new) if out_new else np.array([], np.int64)
+        if len(bd):
+            # partition-local dedup; verify-stage drop-duplicates finishes
+            # cross-partition cases (see _estimate_pairs_multi)
+            pairs = np.unique(np.stack([bd, nd], axis=1), axis=0)
+            bd, nd = pairs[:, 0], pairs[:, 1]
         return pa.table({"doc_a": pa.array(bd, pa.int64()),
                          "doc_b": pa.array(nd, pa.int64())})
 
@@ -1697,8 +1705,10 @@ def minhash_band_index_dir(
 
     from crawler_ray.state.artifact_cache import cache_dir, source_fingerprint
 
+    # "bands2": layout v2 (round 5) — the per-band hash column was dropped
+    # from the index rows; a v1 index on disk must not be read by v2 code
     return cache_dir(
-        "bands", os.path.abspath(sf_dir), ngram, n_parts,
+        "bands2", os.path.abspath(sf_dir), ngram, n_parts,
         source_fingerprint(f"{sf_dir}/documents.parquet"),
     )
 
@@ -1831,12 +1841,13 @@ def cross_snapshot_near_dups(
 
     def pair_up(g: pa.Table) -> pd.DataFrame:
         df = g.to_pandas()
+        # exactly-once via pair-partitioned dedup (see minhash pair_up)
         a = df[df["side"] == 0][["doc_a", "doc_b", "text"]].rename(
             columns={"text": "text_a"}
-        )
+        ).drop_duplicates(["doc_a", "doc_b"])
         b = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
             columns={"text": "text_b"}
-        )
+        ).drop_duplicates(["doc_a", "doc_b"])
         v = verifier(a.merge(b, on=["doc_a", "doc_b"]))
         return v.rename(columns={"doc_a": "base_doc", "doc_b": "new_doc"})
 

@@ -13,14 +13,16 @@ def ray_session():
     """One Ray session for the whole pytest run (driver contract)."""
     import ray
 
+    from crawler_ray.context import tune_data_context, worker_runtime_env
+
     ray.init(
         address="local",
         num_cpus=4,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env=worker_runtime_env(),
     )
-    from crawler_ray.context import tune_data_context
 
     tune_data_context()
     yield

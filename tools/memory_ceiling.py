@@ -137,14 +137,16 @@ def main() -> int:
 
     import ray
 
+    from crawler_ray.context import tune_data_context, worker_runtime_env
+
     ray.init(
         address="local",
         num_cpus=args.cpus,
         include_dashboard=False,
         object_store_memory=int(args.store_gb * (1 << 30)),
         logging_level="ERROR",
+        runtime_env=worker_runtime_env(),
     )
-    from crawler_ray.context import tune_data_context
 
     tune_data_context()
     try:
