@@ -539,6 +539,80 @@ class PairVerifier:
         )
 
 
+
+# candidate-pair sets small enough to broadcast (ids + partition map) to the
+# doc scan: 2M pairs ≈ 48 MB of int64 triples in the object store, read
+# zero-copy by every task. Above this the partitioned full-text attach runs.
+_PAIR_BROADCAST_MAX = 2_000_000
+
+
+def _broadcast_pair_halves(docs, cand_pairs: "pd.DataFrame", nb: int):
+    """Guarded-broadcast text attach: candidate (doc_a, doc_b) pairs —
+    ALREADY bounded by _PAIR_BROADCAST_MAX — are sorted per side on the
+    driver and ``ray.put`` ONCE; the doc scan then emits text-bearing half
+    rows (vpart, doc_a, doc_b, side, text) for exactly the docs that occur
+    in some pair, straight into the pair-partitioned verify exchange.
+
+    vs the partitioned path this removes one all-to-all (the doc_id-keyed
+    union exchange) AND stops shipping the texts of docs that occur in no
+    pair — at 800k docs / 26k pairs the union exchange moved ~340 MB of
+    text for a ~22 MB need. The estimate prefilter makes candidate sets
+    small in practice; the partitioned path remains the unconditional
+    fallback above the threshold (pair count at 100 TB scale is
+    data-dependent, so the broadcast MUST be guarded — same rule as the
+    relational BroadcastJoiner's footer-count auto-guard)."""
+    import ray
+
+    da = cand_pairs["doc_a"].to_numpy(np.int64)
+    db = cand_pairs["doc_b"].to_numpy(np.int64)
+    vpart = ((da * np.int64(1000003) + db) % nb).astype(np.int64)
+    side_arrays = []
+    for key in (da, db):
+        order = np.argsort(key, kind="stable")
+        side_arrays.append(
+            (key[order], da[order], db[order], vpart[order])
+        )
+    pairs_ref = ray.put(side_arrays)
+
+    def emit_halves(t: pa.Table) -> pa.Table:
+        sides = ray.get(pairs_ref)  # zero-copy plasma read, cached per node
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"]
+        out = []
+        for side_idx, (skey, sda, sdb, svp) in enumerate(sides):
+            lo = np.searchsorted(skey, ids, "left")
+            hi = np.searchsorted(skey, ids, "right")
+            cnt = hi - lo
+            nz = np.flatnonzero(cnt)
+            if len(nz) == 0:
+                continue
+            # expand [lo, hi) ranges vectorized: one arange minus repeated
+            # starts, offset by repeated lo
+            c = cnt[nz]
+            rep = np.repeat(nz, c)
+            base = np.concatenate([np.arange(l, h) for l, h in
+                                   zip(lo[nz].tolist(), hi[nz].tolist())])
+            out.append(pa.table(
+                {"vpart": pa.array(svp[base], pa.int64()),
+                 "doc_a": pa.array(sda[base], pa.int64()),
+                 "doc_b": pa.array(sdb[base], pa.int64()),
+                 "side": pa.array(
+                     np.full(len(base), side_idx, np.int64), pa.int64()),
+                 "text": texts.take(pa.array(rep))}
+            ))
+        if not out:
+            return pa.table(
+                {"vpart": pa.array([], pa.int64()),
+                 "doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(out)
+
+    return docs.map_batches(emit_halves, batch_format="pyarrow")
+
+
 def minhash_near_dup_pairs(
     sf_dir: str, ngram: int = 3, threshold: float = 0.8
 ) -> rd.Dataset:
@@ -574,7 +648,9 @@ def minhash_near_dup_pairs(
     candidates = (
         banded.groupby("part")
         .map_groups(_estimate_pairs_multi(threshold), batch_format="pyarrow")
+        .materialize()  # O(pairs) blocks; executed once, reused either path
     )
+    n_cand = candidates.count()
 
     def halves(t: pa.Table) -> pa.Table:
         # each candidate pair → two half-rows keyed by the doc whose text
@@ -651,6 +727,19 @@ def minhash_near_dup_pairs(
             columns={"text": "text_b"}
         ).drop_duplicates(["doc_a", "doc_b"])
         return verifier(a.merge(b, on=["doc_a", "doc_b"]))
+
+    if 0 < n_cand <= _PAIR_BROADCAST_MAX:
+        # (n_cand == 0 stays on the partitioned path: Ray drops the schema
+        # of an all-empty Dataset, so to_pandas() would yield a 0-column
+        # frame — the partitioned path is already empty-safe end to end)
+        # broadcast fast path: driver-side global pair dedup (bounded by the
+        # guard), then ONE pair-partitioned exchange — see
+        # _broadcast_pair_halves for the byte/latency accounting
+        cand = candidates.to_pandas()
+        cand = cand.drop_duplicates(["doc_a", "doc_b"])
+        return _broadcast_pair_halves(docs, cand, nb).groupby(
+            "vpart"
+        ).map_groups(pair_up, batch_format="pyarrow")
 
     attached = (
         candidates.map_batches(halves, batch_format="pyarrow")
