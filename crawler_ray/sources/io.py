@@ -195,8 +195,15 @@ def read_parts(
 
             # ONE datasource over every part: a per-part read + union plan
             # pays per-operator driver overhead for each part (measured 61 s
-            # vs 0.3 s on a 52-part frontier round)
-            ds = read_minilance(lance_uris, columns=columns)
+            # vs 0.3 s on a 52-part frontier round). Block-count override
+            # and remote args are forwarded for parity with the parquet
+            # branch — fusion and the single-block fast path need them.
+            ds = read_minilance(
+                lance_uris,
+                columns=columns,
+                override_num_blocks=override_num_blocks,
+                ray_remote_args=ray_remote_args,
+            )
         if parquet_paths:  # mixed-format dir: read BOTH formats in one plan
             ds = ds.union(rd.read_parquet(parquet_paths, columns=columns))
         return ds

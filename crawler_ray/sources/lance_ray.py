@@ -80,19 +80,38 @@ class MiniLanceDatasource(Datasource):
         columns = self._columns
         frags = [f for ds in self._dsets for f in ds.get_fragments()]
         tasks: List[ReadTask] = []
-        for frag in frags:
-            path, rows, size = frag.path, frag.count_rows(), frag.size_bytes
+        # honor a LOWER requested parallelism (read_datasource's
+        # override_num_blocks) by coalescing contiguous fragments into
+        # groups — each task then yields ONE concatenated table, so
+        # override_num_blocks=1 really produces a single block. The crawl's
+        # small-round fast path depends on that invariant (global per-host
+        # quota selection runs on the whole frontier in one batch), and
+        # read→map fusion needs the task count to match the plan.
+        if parallelism and 0 < parallelism < len(frags):
+            groups, step = [], len(frags) / parallelism
+            for i in range(parallelism):
+                groups.append(frags[int(i * step): int((i + 1) * step)])
+            groups = [g for g in groups if g]
+        else:
+            groups = [[f] for f in frags]
+        for group in groups:
+            paths = [f.path for f in group]
+            rows = sum(f.count_rows() for f in group)
+            sizes = [f.size_bytes for f in group]
+            size = sum(s for s in sizes if s is not None) if sizes else None
             meta = BlockMetadata(
                 num_rows=rows,
                 size_bytes=size,
                 exec_stats=None,
-                input_files=[path],
+                input_files=paths,
             )
 
-            def read_fn(path=path, columns=columns) -> Iterable[pa.Table]:
+            def read_fn(paths=paths, columns=columns) -> Iterable[pa.Table]:
+                import pyarrow as _pa
                 import pyarrow.feather as feather
 
-                yield feather.read_table(path, columns=columns)
+                tbls = [feather.read_table(p, columns=columns) for p in paths]
+                yield tbls[0] if len(tbls) == 1 else _pa.concat_tables(tbls)
 
             tasks.append(ReadTask(read_fn, meta))
         if not tasks:
@@ -183,13 +202,24 @@ def read_minilance(
     uris: str | List[str],
     columns: Optional[List[str]] = None,
     version: Optional[int] = None,
+    override_num_blocks: Optional[int] = None,
+    ray_remote_args: Optional[dict] = None,
 ):
     """``ray.data.read_lance`` twin over the vendored store; a list of uris
-    reads many datasets as ONE operator (see MiniLanceDatasource)."""
+    reads many datasets as ONE operator (see MiniLanceDatasource).
+    ``ray_remote_args`` must be forwarded by callers whose downstream map
+    uses non-default remote args (e.g. the crawl's ``max_retries=0``) or
+    Ray Data will not fuse the read with the map — the round-5 minilance
+    crawl regression was exactly this missing fusion."""
     import ray.data as rd
 
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if ray_remote_args is not None:
+        kwargs["ray_remote_args"] = ray_remote_args
     return rd.read_datasource(
-        MiniLanceDatasource(uris, columns=columns, version=version)
+        MiniLanceDatasource(uris, columns=columns, version=version), **kwargs
     )
 
 
