@@ -1867,7 +1867,9 @@ def cross_snapshot_near_dups(
         base_bands.union(probe_bands)
         .groupby("part")
         .map_groups(_cross_pairs_multi(threshold), batch_format="pyarrow")
+        .materialize()  # O(pairs); executed once, reused either attach path
     )
+    n_cand = candidates.count()
 
     # fused single-exchange text attach (the minhash_near_dup_pairs shape):
     # pair half-rows + doc rows share ONE doc_id-partition exchange
@@ -1939,6 +1941,16 @@ def cross_snapshot_near_dups(
         ).drop_duplicates(["doc_a", "doc_b"])
         v = verifier(a.merge(b, on=["doc_a", "doc_b"]))
         return v.rename(columns={"doc_a": "base_doc", "doc_b": "new_doc"})
+
+    if 0 < n_cand <= _PAIR_BROADCAST_MAX:
+        # guarded-broadcast fast path (see _broadcast_pair_halves): one
+        # exchange, and only pair-member docs' texts cross the network.
+        # n_cand == 0 stays on the partitioned path (empty-Dataset
+        # to_pandas drops the schema).
+        cand = candidates.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return _broadcast_pair_halves(docs, cand, nb).groupby(
+            "vpart"
+        ).map_groups(pair_up, batch_format="pyarrow")
 
     return (
         candidates.map_batches(halves, batch_format="pyarrow")
